@@ -1,0 +1,19 @@
+from distributedvectordatabase_spark.functions.vector import (
+    cosine_dist,
+    cosine_sim,
+    dot,
+    l2,
+    l2_norm,
+    l2_normalize,
+    l2sq,
+)
+
+__all__ = [
+    "cosine_dist",
+    "cosine_sim",
+    "dot",
+    "l2",
+    "l2_norm",
+    "l2_normalize",
+    "l2sq",
+]

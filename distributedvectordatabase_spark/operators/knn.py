@@ -1,0 +1,241 @@
+"""Exact and pruned k-nearest-neighbor search, Spark-first.
+
+Re-expresses the reference's entire search path — coordinator fan-out,
+per-shard FAISS top-k, global merge (reference
+coordinator/coordinator.py:132-254 + shard/shard_node.py:101-133) — as
+a declarative plan:
+
+    broadcast(queries) ⨯ corpus  →  distance  →  per-query top-k
+
+Two implementations, same semantics:
+
+- ``impl="expr"`` — pure Catalyst: higher-order-function distance
+  expression + window top-k. Whole-stage-codegen'd, zero Python. The
+  shuffle moves the scored (qid, id, dist) triples — fine for modest
+  query batches, and it is the form the DuckDB oracle mirrors 1:1.
+- ``impl="arrow"`` — the scale path: queries are broadcast as a numpy
+  matrix, ``mapInPandas`` computes a BLAS distance-matrix per Arrow
+  batch of the corpus and keeps only the per-(query, partition) top-k
+  **before** any exchange. The follow-up merge window then shuffles
+  only O(n_queries · k · n_partitions) rows — this is exactly the
+  reference's per-shard-FAISS-topk + coordinator argsort merge
+  (shard/shard_node.py:127, coordinator/coordinator.py:211-249), but
+  vectorized and spill-safe. At 100 TB this is the only viable shape:
+  the corpus is scanned once, never shuffled.
+
+Semantics pinned for reproducibility / oracle checks:
+- ties broken by (dist, neighbor_id) ascending — the reference's
+  argsort tie order is undefined (coordinator/coordinator.py:229);
+- k clamped to >=1 (coordinator.py:145-147) and implicitly to corpus
+  size (row_number runs out; reference shard_node.py:118-120);
+- distances are float64 over float32-stored vectors, clamped at >= 0
+  (BLAS norm-identity can yield -1e-16 for exact matches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions.vector import cosine_dist, l2sq
+
+_METRICS = {"l2sq", "cosine"}
+
+
+def _dist_expr(metric: str, a, b) -> Column:
+    if metric == "l2sq":
+        return l2sq(a, b)
+    if metric == "cosine":
+        return cosine_dist(a, b)
+    raise ValueError(f"unknown metric {metric!r}; use one of {sorted(_METRICS)}")
+
+
+def _final_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "neighbor_id", "dist", "rnk")
+    )
+
+
+def knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Batch exact kNN: for every query row, the k nearest corpus rows.
+
+    Returns (qid, neighbor_id, dist, rnk), rnk in 1..k ordered by
+    (dist, neighbor_id) ascending.
+    """
+    k = max(int(k), 1)
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}")
+    if impl == "arrow":
+        partial = _arrow_partial_topk(corpus, queries, k, metric, id_col, vec_col, qid_col, qvec_col)
+        return _final_topk(partial, k)
+    if impl == "expr":
+        pairs = corpus.join(F.broadcast(queries.select(qid_col, qvec_col)))
+        scored = pairs.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("neighbor_id"),
+            _dist_expr(metric, qvec_col, vec_col).alias("dist"),
+        )
+        return _final_topk(scored, k)
+    raise ValueError(f"unknown impl {impl!r}; use 'arrow' or 'expr'")
+
+
+def _arrow_partial_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """mapInPandas partial top-k: per Arrow batch, a (nq × batch) BLAS
+    distance matrix; emit the k best (with 2k tie slack) per query."""
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, Q))
+    take = 2 * k  # slack so dist-ties at the k boundary survive to the merge
+
+    def scan(batches):
+        qids, Q = bc.value
+        qn = np.einsum("ij,ij->i", Q, Q)
+        qnorm = np.sqrt(qn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col].values), dtype=np.float64)
+            ids = pdf[id_col].values.astype(np.int64)
+            if metric == "l2sq":
+                D = qn[:, None] + np.einsum("ij,ij->i", X, X)[None, :] - 2.0 * (Q @ X.T)
+                np.maximum(D, 0.0, out=D)
+            else:  # cosine distance with zero-norm guard
+                xnorm = np.sqrt(np.einsum("ij,ij->i", X, X))
+                denom = qnorm[:, None] * xnorm[None, :]
+                sim = np.divide(Q @ X.T, denom, out=np.zeros((len(Q), len(X))), where=denom != 0)
+                D = 1.0 - sim
+            t = min(take, D.shape[1])
+            if t < D.shape[1]:
+                part = np.argpartition(D, t - 1, axis=1)[:, :t]
+            else:
+                part = np.broadcast_to(np.arange(D.shape[1]), (len(Q), D.shape[1]))
+            out_qid, out_id, out_d = [], [], []
+            for i in range(len(Q)):
+                cols = part[i]
+                d = D[i, cols]
+                order = np.lexsort((ids[cols], d))[: min(k, len(cols))]
+                sel = cols[order]
+                out_qid.append(np.full(len(sel), qids[i], dtype=np.int64))
+                out_id.append(ids[sel])
+                out_d.append(D[i, sel])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_qid),
+                    "neighbor_id": np.concatenate(out_id),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema="qid long, neighbor_id long, dist double"
+    )
+
+
+def knn_single(
+    corpus: DataFrame,
+    query_vector,
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query kNN as ORDER BY dist LIMIT k → TakeOrderedAndProject
+    (per-partition heap, driver merge; no full sort, no shuffle)."""
+    k = max(int(k), 1)
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dist_expr(metric, q, vec_col).alias("dist"),
+        )
+        .orderBy("dist", "neighbor_id")
+        .limit(k)
+    )
+
+
+def knn_pruned(
+    corpus_bucketed: DataFrame,
+    queries: DataFrame,
+    lsh,
+    k: int = 10,
+    num_candidates: int = 2,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """LSH-pruned approximate kNN (the reference's 2-of-3 shard probe:
+    coordinator/coordinator.py:150-175, sharding/lsh_sharding.py:98-161,
+    multi-probe bit-flip policy corrected per SURVEY §4).
+
+    ``corpus_bucketed`` must carry ``shard_col`` (SignLSH.assign /
+    VectorStore.read). Candidate shards are computed driver-side from
+    the seeded LSH — the queries are the small user-supplied side, as
+    in the reference's coordinator — then applied as:
+
+    1. ``shard_id IN (union of candidates)``: a literal predicate
+       Catalyst turns into Parquet **partition pruning** — pruned
+       shards are never read from disk;
+    2. an equi-join on (qid ↔ candidate shard) so each query pairs
+       only with rows of its own candidate shards.
+    """
+    k = max(int(k), 1)
+    qrows = queries.select(qid_col, qvec_col).collect()
+    cand_pairs = [
+        (int(r[qid_col]), int(s))
+        for r in qrows
+        for s in lsh.candidate_shards(list(r[qvec_col]), num_candidates=num_candidates)
+    ]
+    spark = corpus_bucketed.sparkSession
+    cand_df = spark.createDataFrame(cand_pairs, schema=f"{qid_col} long, {shard_col} int")
+    all_shards = sorted({s for _, s in cand_pairs})
+
+    pruned = corpus_bucketed.filter(F.col(shard_col).isin(all_shards))
+    pairs = pruned.join(
+        F.broadcast(queries.select(qid_col, qvec_col).join(cand_df, qid_col)),
+        on=shard_col,
+    )
+    scored = pairs.select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col).alias("neighbor_id"),
+        _dist_expr(metric, qvec_col, vec_col).alias("dist"),
+    )
+    return _final_topk(scored, k)
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
+    """recall@k of an approximate kNN result vs the exact one (the
+    reference never measures its LSH recall; we do — SURVEY §5.3)."""
+    e = exact.filter(F.col("rnk") <= k).select("qid", "neighbor_id")
+    a = approx.filter(F.col("rnk") <= k).select("qid", "neighbor_id")
+    hits = e.join(a, ["qid", "neighbor_id"]).count()
+    total = e.count()
+    return hits / total if total else 1.0

@@ -1,0 +1,57 @@
+"""Canonical Parquet sources for the driver testdata (TESTDATA.md).
+
+The reference's sources were NPZ files + JSON-over-HTTP payloads
+(load_coco_embeddings.py:17-22, shard/shard_server.py:25-68); our
+canonical source/sink is columnar Parquet, read declaratively so
+Catalyst gets predicate pushdown and column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so spark.sql() works on the
+    same names the DuckDB oracle uses."""
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def queries_fixture(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, n: int = 20) -> DataFrame:
+    """The deterministic query-set fixture from FIXTURES.md §1: the
+    first ``n`` embeddings rows ordered by vec_id, self-queried (their
+    nearest neighbor must be themselves at distance 0)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )

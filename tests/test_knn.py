@@ -1,0 +1,81 @@
+"""Exact kNN correctness vs the DuckDB oracle + reference-semantics
+invariants (self-query distance 0, k clamping, tie determinism)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions.vector import duckdb_cosine_dist, duckdb_l2sq
+from distributedvectordatabase_spark.operators.knn import knn, knn_single
+from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def _oracle_knn_sql(metric_sql: str, n_queries: int, k: int) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id, {metric_sql} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, round(dist, 6) AS dist, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@pytest.mark.parametrize("impl", ["expr", "arrow"])
+@pytest.mark.parametrize("metric,metric_sql", [
+    ("l2sq", duckdb_l2sq("qvec", "e.embedding")),
+    ("cosine", duckdb_cosine_dist("qvec", "e.embedding")),
+])
+def test_knn_matches_oracle(spark, oracle, impl, metric, metric_sql):
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=10)
+    res = knn(corpus, queries, k=5, metric=metric, impl=impl).withColumn(
+        "dist", F.round("dist", 6)
+    )
+    assert_matches_oracle(res, oracle, _oracle_knn_sql(metric_sql, 10, 5))
+
+
+def test_self_query_distance_zero(spark):
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=10)
+    top1 = knn(corpus, queries, k=1, metric="l2sq").collect()
+    assert len(top1) == 10
+    for r in top1:
+        assert r.neighbor_id == r.qid, "self-query must return itself first"
+        assert abs(r.dist) < 1e-9
+
+
+def test_k_clamped_to_corpus_size(spark):
+    corpus = load_table(spark, "embeddings", SF_DIR).limit(3)
+    queries = queries_fixture(spark, SF_DIR, n=2)
+    res = knn(corpus, queries, k=100, metric="l2sq")
+    counts = {r.qid: r.cnt for r in res.groupBy("qid").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v == 3 for v in counts.values())
+
+
+def test_knn_single_topk_plan_and_result(spark, oracle):
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    qvec = corpus.orderBy("vec_id").first().embedding
+    res = knn_single(corpus, qvec, k=5, metric="l2sq")
+    # plan: must be TakeOrderedAndProject (per-partition heap, no global sort)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = res.collect()
+    assert rows[0].neighbor_id == 0 and abs(rows[0].dist) < 1e-9
+    assert [r.neighbor_id for r in rows] == [
+        r[0]
+        for r in oracle.sql(
+            f"""SELECT e.vec_id FROM embeddings e
+               CROSS JOIN (SELECT embedding qv FROM embeddings WHERE vec_id=0) q
+               ORDER BY {duckdb_l2sq('q.qv', 'e.embedding')}, e.vec_id LIMIT 5"""
+        ).fetchall()
+    ]
