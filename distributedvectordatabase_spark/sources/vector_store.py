@@ -1,0 +1,140 @@
+"""Bucketed Parquet vector store — the Spark-native "index".
+
+The reference's index is a RAM-resident FAISS FlatL2 per shard node,
+fed by a coordinator that LSH-routes and HTTP-scatters batches
+(shard/shard_node.py:42-99, coordinator/coordinator.py:63-109) and
+persisted via faiss.write_index (shard/shard_node.py:135-145). Here
+the index **is** a Parquet table partitioned by ``shard_id``:
+
+- "index build" = ``assign shard_id → write.partitionBy(shard_id)``;
+  the group-by-shard scatter is Spark's exchange (free, parallel,
+  retried) instead of a ThreadPoolExecutor of HTTP POSTs;
+- "load index" = ``spark.read.parquet(path)`` — shard_id comes back
+  as a partition column, so ``shard_id IN (...)`` predicates become
+  Catalyst **partition pruning** (directories never read);
+- "save index" = already durable; append ingest is an append-mode
+  write (the reference's 1000-row batch loop + 1 s pacing,
+  load_coco_embeddings.py:38-115, collapses into the writer).
+
+Scale notes: at 100 TB, num_tables stays small (it's a routing
+modulus, not a parallelism unit) while *files per shard partition*
+carry the parallelism; we repartition by shard_id plus a spread key
+so each partition directory holds many similarly-sized files and no
+single task owns a whole shard.
+
+Deviation (SURVEY §4): auto-generated IDs are globally unique
+(max_id + monotonic offset), not the reference's per-shard counters
+which collide across shards (shard/shard_node.py:49,77-80).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions.lsh import SignLSH
+
+
+class DimensionMismatchError(ValueError):
+    """Reference semantics: inserting a wrong-dimension vector is an
+    error (shard/shard_node.py:72-74)."""
+
+
+class VectorStore:
+    def __init__(
+        self,
+        path: str,
+        lsh: SignLSH | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        files_per_shard: int = 4,
+    ):
+        self.path = path
+        self.lsh = lsh or SignLSH()
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.files_per_shard = files_per_shard
+
+    # -- ingest -------------------------------------------------------------
+
+    def _prepare(self, df: DataFrame, validate_dim: bool) -> DataFrame:
+        if validate_dim:
+            bad = df.filter(F.size(self.vec_col) != self.lsh.dim).limit(1).count()
+            if bad:
+                raise DimensionMismatchError(
+                    f"vector dimension mismatch: expected {self.lsh.dim}"
+                )
+        if self.id_col not in df.columns:
+            df = df.withColumn(self.id_col, F.monotonically_increasing_id())
+        out = self.lsh.assign(df, vec_col=self.vec_col, out="shard_id")
+        # spread each shard over several writer tasks so one task never
+        # owns a whole shard directory (skew + parallelism at scale)
+        spread = (F.abs(F.hash(self.id_col)) % self.files_per_shard).alias("_spread")
+        return out.repartition(
+            self.lsh.num_tables * self.files_per_shard, F.col("shard_id"), spread
+        )
+
+    def write(self, df: DataFrame, mode: str = "overwrite", validate_dim: bool = True) -> None:
+        """Build (or rebuild) the index: bucket + partitioned write."""
+        self._prepare(df, validate_dim).write.mode(mode).partitionBy("shard_id").parquet(self.path)
+
+    def append(self, df: DataFrame, validate_dim: bool = True) -> None:
+        """Append ingest (reference add_vectors); auto-IDs continue past
+        the current max id, globally unique."""
+        spark = df.sparkSession
+        if self.id_col not in df.columns and os.path.exists(self.path):
+            start = self.read(spark).agg(F.max(self.id_col)).first()[0] or 0
+            df = df.withColumn(
+                self.id_col, F.monotonically_increasing_id() + F.lit(start + 1)
+            )
+        self._prepare(df, validate_dim).write.mode("append").partitionBy("shard_id").parquet(self.path)
+
+    # -- read / query -------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def knn(self, spark: SparkSession, queries: DataFrame, k: int = 10, pruned: bool = True,
+            num_candidates: int = 2, metric: str = "l2sq", **kw) -> DataFrame:
+        from distributedvectordatabase_spark.operators.knn import knn, knn_pruned
+
+        corpus = self.read(spark)
+        if pruned:
+            return knn_pruned(
+                corpus, queries, self.lsh, k=k, num_candidates=num_candidates,
+                metric=metric, id_col=self.id_col, vec_col=self.vec_col, **kw,
+            )
+        return knn(corpus, queries, k=k, metric=metric,
+                   id_col=self.id_col, vec_col=self.vec_col, **kw)
+
+    # -- stats (reference get_stats / get_system_stats) ---------------------
+
+    def shard_stats(self, spark: SparkSession) -> DataFrame:
+        """Per-shard stats record (reference shard/shard_node.py:147-185,
+        minus the zero-vector 'sample ids' bug — we report id bounds)."""
+        bytes_per_vec = 4 * self.lsh.dim  # float32 storage
+        return (
+            self.read(spark)
+            .groupBy("shard_id")
+            .agg(
+                F.count("*").alias("total_vectors"),
+                F.lit(self.lsh.dim).alias("dimension"),
+                F.min(self.id_col).alias("min_id"),
+                F.max(self.id_col).alias("max_id"),
+            )
+            .withColumn(
+                "memory_usage_mb",
+                F.round(F.col("total_vectors") * F.lit(bytes_per_vec) / (1024.0 * 1024.0), 6),
+            )
+            .orderBy("shard_id")
+        )
+
+    def system_stats(self, spark: SparkSession) -> DataFrame:
+        """Global roll-up (reference coordinator_server.py:53-58)."""
+        return self.shard_stats(spark).agg(
+            F.sum("total_vectors").alias("total_vectors"),
+            F.count("*").alias("num_shards"),
+            F.max("dimension").alias("dimension"),
+        )

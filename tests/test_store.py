@@ -1,0 +1,83 @@
+"""VectorStore: write/read round-trip, partition pruning, append with
+auto-ids, dimension enforcement, pruned-kNN recall, stats."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.operators.knn import knn, recall_at_k
+from distributedvectordatabase_spark.operators.stats import distribution_metrics, shard_distribution
+from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+from distributedvectordatabase_spark.sources.vector_store import DimensionMismatchError, VectorStore
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "emb")
+    vs = VectorStore(path, SignLSH(dim=64))
+    vs.write(load_table(spark, "embeddings", SF_DIR))
+    return vs
+
+
+def test_roundtrip_counts_and_buckets(spark, store):
+    src = load_table(spark, "embeddings", SF_DIR)
+    back = store.read(spark)
+    assert back.count() == src.count() == 500
+    # every row kept its id and landed in its LSH bucket
+    pdf = back.select("vec_id", "embedding", "shard_id").orderBy("vec_id").toPandas()
+    want = store.lsh.bucket_of(np.array(list(pdf["embedding"])))
+    assert pdf["shard_id"].astype(int).tolist() == want.tolist()
+
+
+def test_partition_pruning_in_plan(spark, store):
+    df = store.read(spark).filter(F.col("shard_id") == 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan
+    assert df.select("shard_id").distinct().collect()[0][0] == 1
+
+
+def test_pruned_knn_recall(spark, store):
+    queries = queries_fixture(spark, SF_DIR, n=10)
+    exact = knn(load_table(spark, "embeddings", SF_DIR), queries, k=10)
+    approx = store.knn(spark, queries, k=10, pruned=True, num_candidates=2)
+    r = recall_at_k(exact, approx, k=10)
+    assert r >= 0.5, f"2-of-3-shard probe recall collapsed: {r}"
+    # probing every shard must be exact
+    full = store.knn(spark, queries, k=10, pruned=True, num_candidates=3)
+    assert recall_at_k(exact, full, k=10) == 1.0
+
+
+def test_append_auto_ids_globally_unique(spark, store):
+    rng = np.random.RandomState(0)
+    extra = spark.createDataFrame(
+        [(rng.standard_normal(64).astype(float).tolist(),) for _ in range(10)],
+        schema="embedding array<float>",
+    )
+    store.append(extra)
+    back = store.read(spark)
+    assert back.count() == 510
+    assert back.select("vec_id").distinct().count() == 510  # no collisions
+
+
+def test_dimension_enforced(spark, store):
+    bad = spark.createDataFrame([([1.0, 2.0],)], schema="embedding array<float>")
+    with pytest.raises(DimensionMismatchError):
+        store.append(bad)
+
+
+def test_stats_and_distribution(spark, store):
+    stats = store.shard_stats(spark)
+    rows = stats.collect()
+    assert sum(r.total_vectors for r in rows) == 510
+    assert all(r.dimension == 64 for r in rows)
+    sys_stats = store.system_stats(spark).first()
+    assert sys_stats.total_vectors == 510
+
+    dist = shard_distribution(store.read(spark)).collect()
+    assert abs(sum(r.pct for r in dist) - 100.0) < 1e-4
+    m = distribution_metrics(store.read(spark)).first()
+    assert m.min_count <= m.avg_count <= m.max_count
+    assert m.distribution_quality in {"excellent", "good", "acceptable", "uneven"}
+    assert abs(m.imbalance_factor - (m.max_count - m.min_count) / m.avg_count) < 1e-4
