@@ -1,0 +1,811 @@
+"""The declared-query catalog: every operator from SURVEY §2 exposed as
+a named query with (a) a Spark runner and (b) a DuckDB oracle.
+
+Two kinds of entries:
+
+- **SQL-templated**: one template, rendered per dialect via
+  functions/text.py primitives — Spark runs ``spark.sql(render("spark"))``
+  (pure Catalyst, whole-stage codegen), the oracle is
+  ``render("duckdb")``. Structural parity by construction.
+- **DataFrame-API**: vector/LSH operators whose Spark side is the
+  engine's real API (arrow kNN, pandas_udf bucketing, partitioned
+  store); their oracles are generated SQL embedding the same seeded
+  projection constants.
+
+Money aggregations cast to DECIMAL before summing: double summation
+order differs between engines (Spark partial aggs vs DuckDB sequential)
+and at 60k+ rows the drift exceeds the 1e-6 canonical rounding; decimal
+sums are exact and therefore engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributedvectordatabase_spark.functions import text as T
+from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.functions.text import DUCKDB, SPARK
+
+N_QUERIES = 20  # FIXTURES.md query fixture: first 20 embeddings, self-queried
+KNN_K = 10
+NEARDUP_COS = 0.35  # max pairwise cosine in testdata is ~0.51
+MINHASH_JACCARD = 0.8
+MINHASH_BANDS = 4
+MINHASH_ROWS = 3
+SIMHASH_MAX_HAMMING = 2
+
+_LSH = SignLSH()  # dim=64, 4 fns × 3 tables, seed 42 — the engine default
+
+
+@dataclass
+class Query:
+    name: str
+    run: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    from distributedvectordatabase_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+
+
+def _sql_query(name: str, render: Callable[[str], str]) -> Query:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(render(SPARK))
+
+    return Query(name, run, render(DUCKDB))
+
+
+# ---------------------------------------------------------------------------
+# dialect helpers shared by templates
+# ---------------------------------------------------------------------------
+
+def _asize(d: str) -> str:
+    return "size" if d == SPARK else "len"
+
+
+def _adistinct(d: str) -> str:
+    return "array_distinct" if d == SPARK else "list_distinct"
+
+
+def _jaccard(a: str, b: str, d: str) -> str:
+    """Jaccard of two distinct-element arrays."""
+    if d == SPARK:
+        return f"cast(size(array_intersect({a}, {b})) as double) / nullif(size(array_union({a}, {b})), 0)"
+    return f"cast(len(list_intersect({a}, {b})) as double) / nullif(len(list_distinct({a} || {b})), 0)"
+
+
+def _dot(a: str, b: str, d: str) -> str:
+    if d == SPARK:
+        return (
+            f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), "
+            f"(x, y) -> x * y), cast(0.0 as double), (s, x) -> s + x)"
+        )
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def _l2sq(a: str, b: str, d: str) -> str:
+    if d == SPARK:
+        return (
+            f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), "
+            f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (s, x) -> s + x)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i]) ^ 2))"
+    )
+
+
+def _l2norm(a: str, d: str) -> str:
+    return f"sqrt({_dot(a, a, d)})"
+
+
+def _cos_sim(a: str, b: str, d: str) -> str:
+    den = f"({_l2norm(a, d)} * {_l2norm(b, d)})"
+    return f"(case when {den} = 0 then 0.0 else {_dot(a, b, d)} / {den} end)"
+
+
+def _cos_dist(a: str, b: str, d: str) -> str:
+    return f"(1.0 - {_cos_sim(a, b, d)})"
+
+
+def _dec(expr: str, spec: str = "18,4") -> str:
+    return f"cast({expr} as decimal({spec}))"
+
+
+def _hour(ts: str, d: str) -> str:
+    if d == SPARK:
+        return f"date_format(date_trunc('hour', {ts}), 'yyyy-MM-dd HH:mm')"
+    return f"strftime(date_trunc('hour', {ts}), '%Y-%m-%d %H:%M')"
+
+
+def _day(ts: str, d: str) -> str:
+    return f"date_format({ts}, 'yyyy-MM-dd')" if d == SPARK else f"strftime({ts}, '%Y-%m-%d')"
+
+
+def _micros(ts: str, d: str) -> str:
+    return f"unix_micros({ts})" if d == SPARK else f"epoch_us({ts})"
+
+
+def _json_int(col: str, path: str, d: str) -> str:
+    if d == SPARK:
+        return f"cast(get_json_object({col}, '{path}') as int)"
+    return f"json_extract_string({col}, '{path}')::INT"
+
+
+def _xor_popcount(a: str, b: str, d: str) -> str:
+    if d == SPARK:
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor(({a})::BIGINT, ({b})::BIGINT))"
+
+
+def _elem(arr: str, i0: int, d: str) -> str:
+    """0-based element access in both dialects."""
+    return f"{arr}[{i0}]" if d == SPARK else f"{arr}[{i0 + 1}]"
+
+
+# ---------------------------------------------------------------------------
+# text / document queries (SURVEY §2.3 X3, X4 + north-star text analysis)
+# ---------------------------------------------------------------------------
+
+def _q_doc_token_stats(d: str) -> str:
+    toks = T.tokens("text", d)
+    return f"""
+    SELECT doc_id,
+           {_asize(d)}({toks}) AS n_ws_tokens,
+           {_asize(d)}({T.regex_tokens('text', d)}) AS n_bpe_tokens,
+           length(text) AS text_len,
+           round(cast({T.sum_token_lengths(toks, d)} as double)
+                 / nullif({_asize(d)}({toks}), 0), 6) AS avg_token_len
+    FROM documents
+    """
+
+
+def _q_doc_quality(d: str) -> str:
+    toks = T.tokens("text", d)
+    stop = T.marker_score(toks, T.STOPWORDS_EN, d)
+    n = f"{_asize(d)}({toks})"
+    stop_ratio = f"(cast({stop} as double) / nullif({n}, 0))"
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    strip = (
+        "regexp_replace(text, '[^A-Za-z]', '')"
+        if d == SPARK
+        else "regexp_replace(text, '[^A-Za-z]', '', 'g')"
+    )
+    alpha_ratio = f"(cast(length({strip}) as double) / nullif(length(text), 0))"
+    score = (
+        f"least(1.0, cast({n} as double) / 100.0) * 0.4"
+        f" + least({stop_ratio} * 5.0, 1.0) * 0.3 + {alpha_ratio} * 0.3"
+    )
+    return f"""
+    SELECT doc_id,
+           round({stop_ratio}, 6) AS stopword_ratio,
+           round({alpha_ratio}, 6) AS alpha_ratio,
+           round({score}, 6) AS quality_score
+    FROM documents
+    """
+
+
+def _q_doc_lang_id(d: str) -> str:
+    return f"""
+    SELECT doc_id, lang, {T.lang_id_expr('text', d)} AS pred_lang
+    FROM documents
+    """
+
+
+def _q_doc_fingerprint(d: str) -> str:
+    return f"SELECT doc_id, {T.fingerprint('text', d)} AS fp FROM documents"
+
+
+def _q_dedup_exact(d: str) -> str:
+    return """
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """
+
+
+def _minhash_cte(d: str) -> str:
+    toks = f"{_adistinct(d)}({T.tokens('text', d)})"
+    sigs = ", ".join(
+        f"{T.minhash_sig('toks', j, d)} AS h{j}"
+        for j in range(MINHASH_BANDS * MINHASH_ROWS)
+    )
+    bands = "\n      UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat({hs}) AS band_key FROM sig".format(
+            b=b,
+            hs=", ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sig AS (SELECT doc_id, toks, {sigs} FROM t),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    """
+
+
+def _q_dedup_minhash(d: str) -> str:
+    return (
+        _minhash_cte(d)
+        + f"""
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b, {_jaccard('ta.toks', 'tb.toks', d)} AS jaccard
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.doc_a
+      JOIN t tb ON tb.doc_id = c.doc_b
+    ) v
+    WHERE jaccard >= {MINHASH_JACCARD}
+    """
+    )
+
+
+def _q_dedup_simhash(d: str) -> str:
+    sh = T.simhash(T.tokens("text", d), d)
+    return f"""
+    WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_xor_popcount('a.sh', 'b.sh', d)} AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE {_xor_popcount('a.sh', 'b.sh', d)} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def _q_ngram_sim_topk(d: str) -> str:
+    sh = f"{_adistinct(d)}({T.word_shingles(T.tokens('text', d), 3, d)})"
+    return f"""
+    WITH t AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 100)
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_jaccard('a.sh', 'b.sh', d)} AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    ) p
+    WHERE jaccard > 0
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# event queries (X6 time buckets, X7 JSON, sessionization)
+# ---------------------------------------------------------------------------
+
+def _q_events_hourly(d: str) -> str:
+    return f"""
+    SELECT {_hour('ts', d)} AS hour_bucket, event_type,
+           count(*) AS n_events,
+           round(cast(sum({_dec('value')}) as double), 6) AS sum_value,
+           round(cast(sum({_dec('value')}) as double) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def _q_events_json(d: str) -> str:
+    k = _json_int("props", "$.k", d)
+    return f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(cast(sum({k}) as double) / count(*), 6) AS avg_k,
+           max({k}) AS max_k, min({k}) AS min_k
+    FROM events
+    GROUP BY event_type
+    """
+
+
+def _q_events_sessions(d: str) -> str:
+    gap_us = 30 * 60 * 1_000_000
+    m = _micros("ts", d)
+    return f"""
+    WITH o AS (
+      SELECT user_id,
+             CASE WHEN lag({m}) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR {m} - lag({m}) OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+    FROM o
+    GROUP BY user_id
+    """
+
+
+def _q_events_daily(d: str) -> str:
+    return f"""
+    SELECT {_day('ts', d)} AS day,
+           count(distinct user_id) AS active_users,
+           count(distinct CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# relational star-schema queries (X8)
+# ---------------------------------------------------------------------------
+
+_REVENUE = "l_extendedprice"  # with discount applied below
+
+
+def _rev(d: str) -> str:
+    return f"sum({_dec('l_extendedprice', '14,4')} * {_dec('1 - l_discount', '8,4')})"
+
+
+def _q_tpch_q1(d: str) -> str:
+    charge = (
+        f"sum({_dec('l_extendedprice', '14,4')} * {_dec('1 - l_discount', '8,4')}"
+        f" * {_dec('1 + l_tax', '8,4')})"
+    )
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           round(cast(sum({_dec('l_quantity', '14,4')}) as double), 6) AS sum_qty,
+           round(cast(sum({_dec('l_extendedprice', '14,4')}) as double), 6) AS sum_base_price,
+           round(cast({_rev(d)} as double), 6) AS sum_disc_price,
+           round(cast({charge} as double), 6) AS sum_charge,
+           round(cast(sum({_dec('l_quantity', '14,4')}) as double) / count(*), 6) AS avg_qty,
+           round(cast(sum({_dec('l_extendedprice', '14,4')}) as double) / count(*), 6) AS avg_price,
+           round(cast(sum({_dec('l_discount', '8,4')}) as double) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def _q_tpch_q3(d: str) -> str:
+    return f"""
+    SELECT o.o_orderkey, {_day('o.o_orderdate', d)} AS orderdate, o.o_orderpriority,
+           round(cast({_rev(d)} as double), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < timestamp '1999-01-01 00:00:00'
+      AND l.l_shipdate > timestamp '1999-01-01 00:00:00'
+    GROUP BY o.o_orderkey, {_day('o.o_orderdate', d)}, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """
+
+
+def _q_tpch_q5(d: str) -> str:
+    return f"""
+    SELECT n.n_name, round(cast({_rev(d)} as double), 6) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o.o_orderdate < timestamp '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """
+
+
+def _q_top_customers(d: str) -> str:
+    return """
+    SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 6) AS acctbal, rn
+    FROM (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) r
+    WHERE rn <= 3
+    """
+
+
+def _q_sales_rollup(d: str) -> str:
+    return f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           round(cast(sum({_dec('l_quantity', '14,4')}) as double), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """
+
+
+def _q_priority_stats(d: str) -> str:
+    return f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(distinct o_custkey) AS n_customers,
+           round(cast(sum({_dec('o_totalprice', '16,4')}) as double), 6) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """
+
+
+def _q_part_type_revenue(d: str) -> str:
+    return f"""
+    SELECT p.p_type, count(*) AS n_items,
+           round(cast({_rev(d)} as double), 6) AS revenue
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_type
+    """
+
+
+def _q_customers_without_orders(d: str) -> str:
+    return """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """
+
+
+# ---------------------------------------------------------------------------
+# vector analytics (X5 centroids, norms, near-dup)
+# ---------------------------------------------------------------------------
+
+def _flat_cte(d: str) -> str:
+    if d == SPARK:
+        return (
+            "flat AS (SELECT vec_id, label, pos + 1 AS dim_idx, cast(val as double) AS val "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) ex AS pos, val)"
+        )
+    return (
+        "flat AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim_idx, "
+        "unnest(embedding)::DOUBLE AS val FROM embeddings)"
+    )
+
+
+def _q_label_centroids(d: str) -> str:
+    return f"""
+    WITH {_flat_cte(d)}
+    SELECT label, dim_idx, round(avg(val), 6) AS mean_val
+    FROM flat
+    GROUP BY label, dim_idx
+    """
+
+
+def _q_label_dispersion(d: str) -> str:
+    return f"""
+    WITH {_flat_cte(d)},
+    cent AS (SELECT label, dim_idx, avg(val) AS m FROM flat GROUP BY label, dim_idx),
+    per_vec AS (
+      SELECT f.vec_id, f.label, sum((f.val - c.m) * (f.val - c.m)) AS sq
+      FROM flat f JOIN cent c ON f.label = c.label AND f.dim_idx = c.dim_idx
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT label, count(*) AS n_vectors, round(avg(sq), 6) AS avg_sq_dist_to_centroid
+    FROM per_vec
+    GROUP BY label
+    """
+
+
+def _q_vector_norms(d: str) -> str:
+    norm = _l2norm("embedding", d)
+    first = _elem("embedding", 0, d)
+    return f"""
+    SELECT vec_id, {_asize(d)}(embedding) AS dim,
+           round({norm}, 6) AS l2_norm,
+           round(cast({first} as double) / nullif({norm}, 0), 6) AS first_normalized
+    FROM embeddings
+    """
+
+
+def _q_embedding_neardup(d: str) -> str:
+    return f"""
+    SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+    FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sim('a.embedding', 'b.embedding', d)} AS cosine_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) p
+    WHERE cosine_sim >= {NEARDUP_COS}
+    """
+
+
+# ---------------------------------------------------------------------------
+# kNN / LSH oracle SQL (generated; DataFrame-API Spark side)
+# ---------------------------------------------------------------------------
+
+def knn_oracle_sql(metric: str, n_queries: int = N_QUERIES, k: int = KNN_K) -> str:
+    mexpr = _l2sq("q.qvec", "e.embedding", DUCKDB) if metric == "l2sq" else _cos_dist(
+        "q.qvec", "e.embedding", DUCKDB
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id, {mexpr} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, round(dist, 6) AS dist, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def knn_single_oracle_sql(k: int = KNN_K) -> str:
+    m = _l2sq("q.qvec", "e.embedding", DUCKDB)
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS neighbor_id, round({m}, 6) AS dist
+    FROM q CROSS JOIN embeddings e
+    ORDER BY {m}, e.vec_id
+    LIMIT {k}
+    """
+
+
+def lsh_bucket_oracle_sql(lsh: SignLSH) -> str:
+    return f"SELECT vec_id, {lsh.bucket_sql_duckdb('embedding')} AS shard_id FROM embeddings"
+
+
+def lsh_distribution_oracle_sql(lsh: SignLSH) -> str:
+    return f"""
+    WITH b AS ({lsh_bucket_oracle_sql(lsh)})
+    SELECT shard_id, count(*) AS n_vectors,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
+    FROM b GROUP BY shard_id
+    """
+
+
+def lsh_metrics_oracle_sql(lsh: SignLSH) -> str:
+    return f"""
+    WITH b AS ({lsh_bucket_oracle_sql(lsh)}),
+    c AS (SELECT shard_id, count(*) AS n FROM b GROUP BY shard_id),
+    m AS (
+      SELECT min(n) AS min_count, max(n) AS max_count,
+             avg(n) AS a, coalesce(stddev_pop(n), 0.0) AS s
+      FROM c
+    )
+    SELECT min_count, max_count,
+           round(a, 6) AS avg_count, round(s, 6) AS std_count,
+           round(CASE WHEN a > 0 THEN (max_count - min_count) / a ELSE 0.0 END, 6) AS imbalance_factor,
+           round(CASE WHEN a > 0 THEN s / a ELSE 0.0 END, 6) AS cv,
+           CASE WHEN (CASE WHEN a > 0 THEN s / a ELSE 0.0 END) < 0.1 THEN 'excellent'
+                WHEN (CASE WHEN a > 0 THEN s / a ELSE 0.0 END) < 0.2 THEN 'good'
+                WHEN (CASE WHEN a > 0 THEN s / a ELSE 0.0 END) < 0.3 THEN 'acceptable'
+                ELSE 'uneven' END AS distribution_quality
+    FROM m
+    """
+
+
+def pruned_knn_oracle_sql(
+    lsh: SignLSH, n_queries: int = N_QUERIES, k: int = KNN_K, num_candidates: int = 2
+) -> str:
+    """Replicates the corrected multi-probe candidate enumeration in pure
+    SQL: per query, primary bucket from the 12 seeded sign bits, plus
+    the bucket reached by flipping the |dot|-closest bit that lands in
+    a different bucket; sequential-fill fallback. num_candidates=2."""
+    assert num_candidates == 2, "oracle SQL is generated for the default 2-probe"
+    dots = ", ".join(
+        f"{_dot('qvec', '[' + ', '.join(repr(float(x)) for x in lsh.projections[:, j]) + ']', DUCKDB)} AS d{j}"
+        for j in range(lsh.num_bits)
+    )
+    bitsum = " + ".join(f"(CASE WHEN d{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(lsh.num_bits))
+    dlist = "[" + ", ".join(f"d{j}" for j in range(lsh.num_bits)) + "]"
+    m = _l2sq("q.qvec", "e.embedding", DUCKDB)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    qd AS (SELECT qid, qvec, {dots} FROM q),
+    qb AS (SELECT *, ({bitsum})::BIGINT AS bitsum FROM qd),
+    qp AS (SELECT qid, qvec, bitsum, bitsum % {lsh.num_tables} AS prim FROM qb),
+    flips AS (
+      SELECT qp.qid, gs - 1 AS j, abs(d) AS absd,
+             ((qp.bitsum + (CASE WHEN d > 0 THEN -1 ELSE 1 END) * (1::BIGINT << (gs - 1)))
+              % {lsh.num_tables}) AS fb
+      FROM (SELECT qid, generate_subscripts(ds, 1) AS gs, unnest(ds) AS d
+            FROM (SELECT qid, {dlist} AS ds FROM qb) x) u
+      JOIN qp ON qp.qid = u.qid
+    ),
+    probe AS (
+      SELECT qid, fb, row_number() OVER (PARTITION BY qid ORDER BY absd, j) AS rn
+      FROM flips f JOIN qp USING (qid)
+      WHERE fb <> qp.prim
+    ),
+    cand AS (
+      SELECT qid, prim AS shard_id FROM qp
+      UNION ALL
+      SELECT qp.qid,
+             coalesce(p.fb, CASE WHEN qp.prim = 0 THEN 1 ELSE 0 END) AS shard_id
+      FROM qp LEFT JOIN (SELECT qid, fb FROM probe WHERE rn = 1) p USING (qid)
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, {lsh.bucket_sql_duckdb('embedding')} AS shard_id
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id, {m} AS dist
+      FROM q
+      JOIN cand c ON c.qid = q.qid
+      JOIN corpus e ON e.shard_id = c.shard_id
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, round(dist, 6) AS dist, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-API runners
+# ---------------------------------------------------------------------------
+
+def _run_knn(metric: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from distributedvectordatabase_spark.operators.knn import knn
+        from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+        corpus = load_table(spark, "embeddings", sf_dir)
+        queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+        return knn(corpus, queries, k=KNN_K, metric=metric).withColumn(
+            "dist", F.round("dist", 6)
+        )
+
+    return run
+
+
+def _run_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn_single
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    qvec = corpus.filter(F.col("vec_id") == 0).first().embedding
+    return knn_single(corpus, qvec, k=KNN_K).withColumn("dist", F.round("dist", 6))
+
+
+def _run_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn_pruned
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    corpus = _LSH.assign(load_table(spark, "embeddings", sf_dir))
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    return knn_pruned(corpus, queries, _LSH, k=KNN_K, num_candidates=2).withColumn(
+        "dist", F.round("dist", 6)
+    )
+
+
+def _run_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return _LSH.assign(load_table(spark, "embeddings", sf_dir)).select("vec_id", "shard_id")
+
+
+def _run_lsh_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedvectordatabase_spark.operators.stats import shard_distribution
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return shard_distribution(_LSH.assign(load_table(spark, "embeddings", sf_dir)))
+
+
+def _run_lsh_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedvectordatabase_spark.operators.stats import distribution_metrics
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return distribution_metrics(_LSH.assign(load_table(spark, "embeddings", sf_dir)))
+
+
+def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest round-trip: bucketed partitioned write → read back →
+    per-shard counts (exercises O7/O8/O17 through the driver gate)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    path = os.path.join(tempfile.gettempdir(), "dvdb_store_gate", os.path.basename(sf_dir))
+    vs = VectorStore(path, _LSH)
+    vs.write(load_table(spark, "embeddings", sf_dir))
+    return (
+        vs.read(spark)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(F.col("shard_id").cast("int").alias("shard_id"), "n_vectors")
+    )
+
+
+def _store_counts_oracle(lsh: SignLSH) -> str:
+    return f"""
+    WITH b AS ({lsh_bucket_oracle_sql(lsh)})
+    SELECT shard_id, count(*) AS n_vectors FROM b GROUP BY shard_id
+    """
+
+
+def _run_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedvectordatabase_spark.operators.pca import pca_reduce
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return pca_reduce(load_table(spark, "embeddings", sf_dir), k=16)
+
+
+def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedvectordatabase_spark.operators.ann import ivf_knn
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    return ivf_knn(corpus, queries, k=KNN_K, n_cells=16, n_probe=4, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+def build_catalog() -> dict[str, Query]:
+    qs = [
+        # vector search (O9/O11/X1, O10 pruning, O13)
+        Query("knn_l2", _run_knn("l2sq"), knn_oracle_sql("l2sq")),
+        Query("knn_cosine", _run_knn("cosine"), knn_oracle_sql("cosine")),
+        Query("knn_single_topk", _run_knn_single, knn_single_oracle_sql()),
+        Query("knn_pruned_2of3", _run_knn_pruned, pruned_knn_oracle_sql(_LSH)),
+        # LSH sharding (O4-O6) + stats (O14/O15)
+        Query("lsh_buckets", _run_lsh_buckets, lsh_bucket_oracle_sql(_LSH)),
+        Query("lsh_shard_distribution", _run_lsh_distribution, lsh_distribution_oracle_sql(_LSH)),
+        Query("lsh_distribution_metrics", _run_lsh_metrics, lsh_metrics_oracle_sql(_LSH)),
+        # store round-trip (O7/O8/O17/O18)
+        Query("store_shard_counts", _run_store_counts, _store_counts_oracle(_LSH)),
+        # PCA (O3) — no SQL oracle (sign/rotation indeterminacy); rows-only
+        Query("pca_project_16", _run_pca, None),
+        # ANN scale path — rows-only (centroid init not SQL-expressible)
+        Query("ann_ivf_topk", _run_ann_ivf, None),
+        # text analysis (X4 + north star)
+        _sql_query("doc_token_stats", _q_doc_token_stats),
+        _sql_query("doc_quality", _q_doc_quality),
+        _sql_query("doc_lang_id", _q_doc_lang_id),
+        _sql_query("doc_fingerprint", _q_doc_fingerprint),
+        # dedup family (X2/X3 + north star)
+        _sql_query("dedup_exact", _q_dedup_exact),
+        _sql_query("dedup_minhash", _q_dedup_minhash),
+        _sql_query("dedup_simhash", _q_dedup_simhash),
+        _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
+        _sql_query("embedding_neardup", _q_embedding_neardup),
+        # vector analytics (X5)
+        _sql_query("label_centroids", _q_label_centroids),
+        _sql_query("label_dispersion", _q_label_dispersion),
+        _sql_query("vector_norms", _q_vector_norms),
+        # events (X6/X7)
+        _sql_query("events_hourly", _q_events_hourly),
+        _sql_query("events_json_extract", _q_events_json),
+        _sql_query("events_sessions", _q_events_sessions),
+        _sql_query("events_daily_active", _q_events_daily),
+        # relational star schema (X8)
+        _sql_query("tpch_q1_pricing", _q_tpch_q1),
+        _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),
+        _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
+        _sql_query("top_customers_per_nation", _q_top_customers),
+        _sql_query("sales_rollup", _q_sales_rollup),
+        _sql_query("priority_stats", _q_priority_stats),
+        _sql_query("part_type_revenue", _q_part_type_revenue),
+        _sql_query("customers_without_orders", _q_customers_without_orders),
+    ]
+    return {q.name: q for q in qs}

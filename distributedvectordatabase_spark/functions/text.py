@@ -1,0 +1,172 @@
+"""Text-analysis primitives as dialect-parameterized SQL generators.
+
+Every primitive here exists in two dialects — Spark SQL (run via
+``spark.sql`` → Catalyst, whole-stage codegen, zero Python UDFs) and
+DuckDB SQL (the correctness oracle). Generating both sides from one
+template guarantees the engines compute the *same* function, which is
+what makes hash-dedup / MinHash / SimHash results byte-comparable.
+
+Primitives: whitespace + BPE-ish regex tokenization, 64-bit md5-based
+hashing, word shingles, MinHash signatures (salted-md5 min — min over
+hex strings is engine-portable, no integer-hash dialect drift),
+16-bit SimHash, language-marker scoring, quality metrics, rolling
+8-char fingerprints.
+
+The reference has **no** string/text functions at all (SURVEY §2.2);
+this is the north-star extension surface (SURVEY §2.3 X3/X4) that a
+training-data pipeline needs at 100 TB. All of it is embarrassingly
+parallel per-row expression work — no shuffles except the final
+aggregations, so it scales with scan bandwidth.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# language marker words (tiny curated stopword sets per language)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "es": ["el", "los", "que", "y", "una", "por", "como"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans"],
+    "zh": ["的", "是", "不", "我", "了", "在", "有"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _d(dialect: str) -> dict[str, str]:
+    if dialect == SPARK:
+        return {
+            "filter": "filter",
+            "transform": "transform",
+            "amin": "array_min",
+            "asize": "size",
+            "asum": "aggregate({arr}, 0L, (s, t) -> s + {body})",
+        }
+    if dialect == DUCKDB:
+        return {
+            "filter": "list_filter",
+            "transform": "list_transform",
+            "amin": "list_min",
+            "asize": "len",
+            "asum": "coalesce(list_sum(list_transform({arr}, t -> {body})), 0)",
+        }
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def str_array(words: list[str], dialect: str) -> str:
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"array({quoted})" if dialect == SPARK else f"[{quoted}]"
+
+
+def tokens(col: str, dialect: str) -> str:
+    """Whitespace tokens, empties dropped (split-on-space is identical
+    in both engines; regex split differs in dialect corner cases)."""
+    d = _d(dialect)
+    split = f"split({col}, ' ', -1)" if dialect == SPARK else f"string_split({col}, ' ')"
+    return f"{d['filter']}({split}, t -> t <> '')"
+
+
+def regex_tokens(col: str, dialect: str) -> str:
+    """BPE-ish tokens: letter runs / digit runs / single punctuation."""
+    if dialect == SPARK:
+        return f"regexp_extract_all({col}, '{TOKEN_REGEX}', 0)"
+    return f"regexp_extract_all({col}, '{TOKEN_REGEX}')"
+
+
+def n_tokens(col: str, dialect: str) -> str:
+    d = _d(dialect)
+    return f"{d['asize']}({tokens(col, dialect)})"
+
+
+def hash64(expr: str, dialect: str) -> str:
+    """Deterministic cross-engine 60-bit integer hash via md5 hex."""
+    if dialect == SPARK:
+        return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def word_shingles(toks_expr: str, n: int, dialect: str) -> str:
+    """Word n-gram shingles of a token array (space-joined strings)."""
+    if dialect == SPARK:
+        return (
+            f"case when size({toks_expr}) < {n} then array() "
+            f"else transform(sequence(1, size({toks_expr}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks_expr}, i, {n}))) end"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({toks_expr}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {n - 1}), ' '))"
+    )
+
+
+def minhash_sig(toks_expr: str, salt: int, dialect: str) -> str:
+    """One MinHash signature: min over tokens of md5('<salt>|' || t).
+    Min over lowercase-hex strings is byte-identical across engines."""
+    d = _d(dialect)
+    return f"{d['amin']}({d['transform']}({toks_expr}, t -> md5('{salt}|' || t)))"
+
+
+def simhash(toks_expr: str, dialect: str, bits: int = 16) -> str:
+    """SimHash over token multiset. Bit j is set iff strictly more than
+    half the tokens have the high bit of md5 hex nibble j set (nibble
+    in '89abcdef'). Duplicated tokens count with multiplicity — the
+    classic frequency-weighted SimHash."""
+    d = _d(dialect)
+    total = f"{d['asize']}({toks_expr})"
+    terms = []
+    for j in range(bits):
+        m = (
+            f"{d['asize']}({d['filter']}({toks_expr}, "
+            f"t -> substring(md5(t), {j + 1}, 1) in ('8','9','a','b','c','d','e','f')))"
+        )
+        terms.append(f"(case when 2 * {m} > {total} then {2**j} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def marker_score(toks_expr: str, words: list[str], dialect: str) -> str:
+    """How many tokens are in a marker-word list (multiplicity counts)."""
+    d = _d(dialect)
+    arr = str_array(words, dialect)
+    contains = "array_contains" if dialect == SPARK else "list_contains"
+    return f"{d['asize']}({d['filter']}({toks_expr}, t -> {contains}({arr}, t)))"
+
+
+def lang_id_expr(col: str, dialect: str) -> str:
+    """Predicted language = argmax of marker scores, ties broken by the
+    fixed LANG_MARKERS order (en first)."""
+    t = tokens(col, dialect)
+    scores = {lang: marker_score(t, words, dialect) for lang, words in LANG_MARKERS.items()}
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    inner = " ".join(f"when {expr} = {m} then '{lang}'" for lang, expr in scores.items())
+    return f"(case {inner} end)"
+
+
+def char_shingles(col: str, n: int, dialect: str) -> str:
+    """Rolling character n-grams of the raw text (min 1 shingle)."""
+    if dialect == SPARK:
+        return (
+            f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
+            f"i -> substring({col}, i, {n}))"
+        )
+    return (
+        f"list_transform(range(1, greatest(length({col}) - {n - 1}, 1) + 1), "
+        f"i -> substr({col}, i, {n}))"
+    )
+
+
+def fingerprint(col: str, dialect: str, n: int = 8) -> str:
+    """Document fingerprint: lexicographic-min md5 of rolling n-char
+    shingles (winnowing-style content signature)."""
+    d = _d(dialect)
+    return f"{d['amin']}({d['transform']}({char_shingles(col, n, dialect)}, s -> md5(s)))"
+
+
+def sum_token_lengths(toks_expr: str, dialect: str) -> str:
+    d = _d(dialect)
+    return d["asum"].format(arr=toks_expr, body="length(t)")

@@ -29,7 +29,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # The driver testdata stores events.ts as TIMESTAMP(NANOS), which
+    # Spark's Parquet reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    # Read nanos as long and rebuild a µs timestamp — DuckDB's native
+    # TIMESTAMP is µs as well, so both engines truncate identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -5,6 +5,7 @@ round doubles to 1e-6, sort columns by name, sort rows, compare)."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -40,10 +41,10 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.copy()
     out = out[sorted(out.columns)]
     for c in out.columns:
+        if out[c].dtype == object and out[c].map(lambda x: isinstance(x, Decimal) or x is None).all():
+            out[c] = out[c].astype("float64")
         if pd.api.types.is_float_dtype(out[c]):
-            out[c] = out[c].map(
-                lambda x: 0.0 if (x is not None and not (isinstance(x, float) and math.isnan(x)) and round(float(x), 6) == 0.0) else round(float(x), 6) if x is not None and not math.isnan(x) else None
-            )
+            out[c] = out[c].astype("float64").round(6) + 0.0  # +0.0 folds -0.0
         elif pd.api.types.is_datetime64_any_dtype(out[c]):
             out[c] = out[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
     out = out.sort_values(by=list(out.columns), ignore_index=True)

@@ -1,0 +1,36 @@
+"""Driver-gate simulation: every catalog query runs on Spark at sf0.01
+and matches its DuckDB oracle (canonicalized). This is the same check
+the driver performs for CORRECTNESS_r{N}.json."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from distributedvectordatabase_spark.catalog import build_catalog
+from tests.conftest import SF_DIR, SF_SMALL, assert_matches_oracle
+
+CATALOG = build_catalog()
+WITH_ORACLE = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in CATALOG.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, oracle, name):
+    q = CATALOG[name]
+    assert_matches_oracle(q.run(spark, SF_DIR), oracle, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = CATALOG[name].run(spark, SF_DIR)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 30
+    # smoke one callable through the public contract
+    assert qs["tpch_q1_pricing"](spark, SF_SMALL).count() > 0
