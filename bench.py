@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized via a count() over the full result (forces
+the complete plan — scans, shuffles, window top-k — without paying
+driver-side collect serialization for wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from distributedvectordatabase_spark.catalog import build_catalog
+from distributedvectordatabase_spark.session import get_spark
+
+# Headline set: vector search (exact, pruned, ANN), LSH sharding stats,
+# dedup + text analysis, event-stream analytics, relational star schema.
+HEADLINE = [
+    "knn_l2",
+    "knn_cosine",
+    "knn_pruned_2of3",
+    "ann_ivf_topk",
+    "lsh_shard_distribution",
+    "store_shard_counts",
+    "dedup_exact",
+    "dedup_minhash",
+    "doc_token_stats",
+    "doc_quality",
+    "events_sessions",
+    "events_hourly",
+    "tpch_q1_pricing",
+    "tpch_q3_topk_revenue",
+    "tpch_q5_nation_revenue",
+    "top_customers_per_nation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(
+        app_name="dvdb-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = build_catalog()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup (the reference's latency plots likewise
+    # exclude server startup).
+    catalog["lsh_buckets"].run(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = catalog[name]
+        t0 = time.perf_counter()
+        q.run(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

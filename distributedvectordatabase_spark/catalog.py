@@ -34,9 +34,13 @@ from distributedvectordatabase_spark.functions.text import DUCKDB, SPARK
 N_QUERIES = 20  # FIXTURES.md query fixture: first 20 embeddings, self-queried
 KNN_K = 10
 NEARDUP_COS = 0.35  # max pairwise cosine in testdata is ~0.51
-MINHASH_JACCARD = 0.8
-MINHASH_BANDS = 4
-MINHASH_ROWS = 3
+# The driver's synthetic documents corpus has a ~40-word vocabulary —
+# median pairwise Jaccard is 0.63, so banding must be deep (rows=6) and
+# the threshold high (0.9) for the candidate set to stay sub-quadratic.
+# On a realistic web corpus (baseline J≈0) shallower bands raise recall.
+MINHASH_JACCARD = 0.9
+MINHASH_BANDS = 2
+MINHASH_ROWS = 6
 SIMHASH_MAX_HAMMING = 2
 
 _LSH = SignLSH()  # dim=64, 4 fns × 3 tables, seed 42 — the engine default
@@ -741,6 +745,33 @@ def _store_counts_oracle(lsh: SignLSH) -> str:
     """
 
 
+def _run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API MinHash-LSH: signatures computed once and cached;
+    the SQL-template form re-tokenizes per CTE reference (Catalyst
+    inlines CTEs) and is ~20× slower at sf0.1. Oracle stays the SQL
+    template — same salts, same band keys, identical results."""
+    from distributedvectordatabase_spark.operators.dedup import minhash_neardup_pairs
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return minhash_neardup_pairs(
+        load_table(spark, "documents", sf_dir),
+        threshold=MINHASH_JACCARD,
+        bands=MINHASH_BANDS,
+        rows=MINHASH_ROWS,
+    )
+
+
+def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded SimHash join (scale path: no O(n²) cross join);
+    identical results to the oracle's self-join by construction."""
+    from distributedvectordatabase_spark.operators.dedup import simhash_neardup_pairs
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return simhash_neardup_pairs(
+        load_table(spark, "documents", sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
 def _run_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedvectordatabase_spark.operators.pca import pca_reduce
     from distributedvectordatabase_spark.sources.tables import load_table
@@ -785,8 +816,8 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("doc_fingerprint", _q_doc_fingerprint),
         # dedup family (X2/X3 + north star)
         _sql_query("dedup_exact", _q_dedup_exact),
-        _sql_query("dedup_minhash", _q_dedup_minhash),
-        _sql_query("dedup_simhash", _q_dedup_simhash),
+        Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
+        Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
         _sql_query("embedding_neardup", _q_embedding_neardup),
         # vector analytics (X5)

@@ -1,0 +1,176 @@
+"""Near-duplicate detection operators (SURVEY §2.3 X2/X3 + north star).
+
+The reference has no dedup at all; this is the training-data-pipeline
+surface. Design for 100 TB:
+
+- **MinHash + LSH banding**: tokenize → 12 salted-md5 min-hashes →
+  4 bands × 3 rows → equi-join on (band, band_key). The only shuffle is
+  the band-key join, which touches candidate pairs (near-linear for
+  realistic corpora), never the O(n²) pair space. Signatures are
+  computed ONCE and cached — the SQL-template form re-evaluates the
+  tokenization per CTE reference because Catalyst inlines CTEs.
+- **SimHash**: 16-bit frequency-weighted simhash; pairs within Hamming
+  distance h found via the pigeonhole band trick — split the fingerprint
+  into h+1 chunks, equi-join on chunk equality (any pair within h must
+  agree on ≥1 chunk), then verify with bit_count. Same results as the
+  O(n²) self-join, but shuffle-joinable at scale.
+
+Semantics are byte-identical to the DuckDB oracle templates in
+catalog.py (same salted-md5 min over distinct whitespace tokens, same
+band keys), so results hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions import text as T
+
+
+def tokenized(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, distinct whitespace tokens) — the MinHash input form."""
+    toks = F.expr(f"array_distinct({T.tokens(text_col, T.SPARK)})")
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+
+def minhash_signatures(tok_df: DataFrame, n_hashes: int) -> DataFrame:
+    """Append h0..h{n-1}: min over tokens of md5('<salt>|' || token).
+
+    Min over lowercase hex strings is byte-identical across engines,
+    which is why the signature is a string min rather than an integer
+    multiply-shift hash (engine-portable, oracle-checkable).
+    """
+    sigs = [
+        F.expr(T.minhash_sig("toks", j, T.SPARK)).alias(f"h{j}") for j in range(n_hashes)
+    ]
+    return tok_df.select("doc_id", "toks", *sigs)
+
+
+def minhash_band_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    Bands are exploded from one array column (single scan of the cached
+    signatures) rather than a bands-way UNION ALL, then self-equi-joined
+    on (band, band_key) — Catalyst plans a shuffle hash join on the band
+    key, which is the scalable path: work is proportional to matching
+    pairs per bucket, not to n².
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sig_df.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    bands: int,
+    rows: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    Columns: (doc_a, doc_b, jaccard) with jaccard rounded to 1e-6,
+    filtered to >= threshold. Mirrors catalog._q_dedup_minhash exactly.
+    """
+    toks = tokenized(docs, text_col, id_col).cache()
+    sigs = minhash_signatures(toks, bands * rows).cache()
+    cand = minhash_band_pairs(sigs, bands, rows)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jac = F.expr(
+        "cast(size(array_intersect(toks_a, toks_b)) as double)"
+        " / nullif(size(array_union(toks_a, toks_b)), 0)"
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash pairs within ``max_hamming`` via pigeonhole banding.
+
+    Split the fingerprint into (max_hamming + 1) bit-chunks; any pair
+    within the bound agrees on at least one whole chunk, so an equi-join
+    per chunk finds every candidate without the O(n²) cross join. The
+    bit_count verification keeps results identical to a full self-join
+    (catalog._q_dedup_simhash).
+    """
+    sh = F.expr(T.simhash(T.tokens(text_col, T.SPARK), T.SPARK, bits=bits))
+    s = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+
+    n_chunks = max_hamming + 1
+    base = bits // n_chunks
+    sizes = [base + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(sizes[:i]) for i in range(n_chunks)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.expr(f"shiftright(sh, {offsets[i]}) & {(1 << sizes[i]) - 1}").alias("ck"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    e = s.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
+        "doc_id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.ck") == F.col("b.ck"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
