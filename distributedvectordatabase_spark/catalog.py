@@ -772,6 +772,68 @@ def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents → media table (payload bytes +
+    typed metadata) → Arrow-batched mapInPandas decode (deterministic
+    fake decoder) → per-format roll-up. The oracle reproduces the fake
+    decoder arithmetic (md5-derived brightness) in SQL."""
+    from distributedvectordatabase_spark.operators.multimodal import (
+        as_media_table,
+        decode_stats,
+        format_stats,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    media = as_media_table(load_table(spark, "documents", sf_dir))
+    return format_stats(decode_stats(media, decoder="fake"))
+
+
+def _multimodal_stats_oracle() -> str:
+    return """
+    SELECT format, count(*) AS n_items, (sum(n_bytes))::BIGINT AS total_bytes,
+           round(avg(brightness), 6) AS avg_brightness,
+           round(avg(width * height), 6) AS avg_pixels
+    FROM (
+      SELECT ['jpeg','png','webp'][(doc_id % 3) + 1] AS format,
+             64 + (doc_id % 8) * 16 AS width,
+             64 + (doc_id % 5) * 32 AS height,
+             octet_length(text::BLOB)::BIGINT AS n_bytes,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS brightness
+      FROM documents
+    )
+    GROUP BY format
+    """
+
+
+def _run_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: payload → ≤8 fixed-stride byte frames
+    per item inside mapInPandas; checked via per-item frame counts."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.multimodal import (
+        as_media_table,
+        sample_frames,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    media = as_media_table(load_table(spark, "documents", sf_dir))
+    return (
+        sample_frames(media, every_n_bytes=64, max_frames=8)
+        .groupBy("item_id")
+        .agg(F.count("*").alias("n_frames"), F.sum(F.length("frame_payload")).alias("n_bytes"))
+    )
+
+
+def _frame_sample_oracle() -> str:
+    return """
+    SELECT doc_id AS item_id,
+           least(8, greatest(1, octet_length(text::BLOB) // 64))::BIGINT AS n_frames,
+           least(octet_length(text::BLOB),
+                 least(8, greatest(1, octet_length(text::BLOB) // 64)) * 64)::BIGINT AS n_bytes
+    FROM documents
+    """
+
+
 def _run_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedvectordatabase_spark.operators.pca import pca_reduce
     from distributedvectordatabase_spark.sources.tables import load_table
@@ -820,6 +882,9 @@ def build_catalog() -> dict[str, Query]:
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
         _sql_query("embedding_neardup", _q_embedding_neardup),
+        # multimodal binary-column plumbing (north star)
+        Query("multimodal_decode_stats", _run_multimodal_stats, _multimodal_stats_oracle()),
+        Query("multimodal_frame_sample", _run_frame_sample, _frame_sample_oracle()),
         # vector analytics (X5)
         _sql_query("label_centroids", _q_label_centroids),
         _sql_query("label_dispersion", _q_label_dispersion),

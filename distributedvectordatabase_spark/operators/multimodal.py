@@ -1,0 +1,178 @@
+"""Multimodal column operators (north-star surface; absent in the
+reference, whose media path is the offline ResNet embedding script,
+generate_coco_embeddings.py:27-103).
+
+Design for 100 TB of media: images/audio/video are opaque ``binary``
+columns plus a typed metadata struct; all per-item compute (decode,
+feature extraction, resize, frame sampling) runs as Arrow-batched
+``mapInPandas`` — one Python worker call per batch, zero driver
+involvement, embarrassingly parallel per input split. No shuffle
+anywhere in the decode path; downstream aggregations shuffle only the
+small feature rows, never the payload bytes.
+
+The container has no image/audio codecs, so the ``"real"`` decoder is a
+clearly-marked stub (NotImplementedError behind an import-try); the
+``"fake"`` decoder is a deterministic md5-based transform, which keeps
+the whole pipeline — schema, batching, UDF signatures — real, tested,
+and DuckDB-oracle-checkable (md5 agrees across engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FORMATS = ("jpeg", "png", "webp")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("brightness", DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def as_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media table from a text corpus: payload =
+    utf-8 bytes, format/dims derived from the id. This is the fixture
+    generator (the driver testdata ships no binary columns); production
+    input is any DataFrame matching MEDIA_SCHEMA."""
+    return docs.select(
+        F.col(id_col).alias("item_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (F.col(id_col) % 3 + 1).cast("int")).alias("format"),
+        (64 + (F.col(id_col) % 8) * 16).cast("int").alias("width"),
+        (64 + (F.col(id_col) % 5) * 32).cast("int").alias("height"),
+    )
+
+
+def _fake_decode(payload: bytes) -> float:
+    """Deterministic stand-in for pixel decoding: md5-derived mean
+    'brightness' in [0, 1). Matches the SQL expression
+    ('0x' || substr(md5(payload),1,8))::BIGINT / 2^32 in the oracle."""
+    return int(hashlib.md5(payload).hexdigest()[:8], 16) / 2**32
+
+
+def _real_decode(payload: bytes) -> float:
+    """STUB — the container ships no codecs. With PIL installed this
+    would be np.asarray(Image.open(BytesIO(payload))).mean()/255."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires PIL/pillow, not present in this environment"
+        ) from e
+    raise NotImplementedError("real decode path not wired; use decoder='fake'")
+
+
+_DECODERS = {"fake": _fake_decode, "real": _real_decode}
+
+
+def decode_stats(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Per-item decode + feature extraction over Arrow batches.
+
+    The hot loop touches only the payload bytes of one batch at a time
+    (bounded memory per task); output rows are tiny feature tuples, so
+    the payload column dies with this stage — at scale that means the
+    decode is scan-bound, not shuffle-bound.
+    """
+    fn = _DECODERS[decoder]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "format": pdf["format"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "brightness": payloads.map(fn),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def format_stats(decoded: DataFrame) -> DataFrame:
+    """Aggregate decoded features per format (the catalog's checkable
+    roll-up: shuffles feature rows only)."""
+    return decoded.groupBy("format").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("brightness"), 6).alias("avg_brightness"),
+        F.round(F.avg(F.col("width") * F.col("height")), 6).alias("avg_pixels"),
+    )
+
+
+def resize_metadata(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: recompute metadata + scale factors Spark-side;
+    the pixel resample itself is the stubbed decode path. Keeps the
+    schema contract (payload passes through untouched)."""
+    return media.withColumns(
+        {
+            "scale_x": F.round(F.lit(target_w) / F.col("width"), 6),
+            "scale_y": F.round(F.lit(target_h) / F.col("height"), 6),
+            "width": F.lit(target_w).cast("int"),
+            "height": F.lit(target_h).cast("int"),
+        }
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling over Arrow batches: emit up to
+    ``max_frames`` fixed-stride byte windows per payload (deterministic
+    fake frames; a real build would seek keyframes via a codec). One
+    input row fans out to ≤ max_frames rows — the expansion happens
+    inside the task, never through the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    ids.append(item_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"item_id": ids, "frame_idx": idxs, "frame_payload": frames})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

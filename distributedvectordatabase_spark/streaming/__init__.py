@@ -1,0 +1,9 @@
+"""Structured Streaming surface (SURVEY §2.2: absent in the reference —
+"integration with real-time data streams" is its future work,
+generate_report.py:299 — built here as the Spark-native extension)."""
+
+from distributedvectordatabase_spark.streaming.ingest import (  # noqa: F401
+    stream_ingest_vectors,
+    windowed_event_counts,
+    sessionize_events,
+)

@@ -1,0 +1,79 @@
+"""Multimodal binary-column operators: schema contract, Arrow-batch
+decode plumbing, frame fan-out, and the stubbed real-decoder gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.multimodal import (
+    DECODE_SCHEMA,
+    MEDIA_SCHEMA,
+    as_media_table,
+    decode_stats,
+    resize_metadata,
+    sample_frames,
+)
+from distributedvectordatabase_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return as_media_table(load_table(spark, "documents", SF_SMALL))
+
+
+def test_media_table_schema(media):
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in MEDIA_SCHEMA.fields
+    ]
+    row = media.first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.format in ("jpeg", "png", "webp")
+
+
+def test_decode_stats_deterministic_and_typed(media):
+    out = decode_stats(media, decoder="fake")
+    assert out.schema == DECODE_SCHEMA
+    a = {r.item_id: r.brightness for r in out.collect()}
+    b = {r.item_id: r.brightness for r in decode_stats(media, decoder="fake").collect()}
+    assert a == b
+    assert all(0.0 <= v < 1.0 for v in a.values())
+
+
+def test_decode_matches_payload_bytes(media):
+    """n_bytes from the Python batch loop equals Spark-side byte length
+    (proves the payload actually crossed the Arrow boundary intact)."""
+    got = decode_stats(media, decoder="fake").select("item_id", "n_bytes")
+    want = media.select("item_id", F.length("payload").cast("long").alias("n_bytes"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_real_decoder_is_stubbed(spark, media):
+    with pytest.raises(Exception) as ei:
+        decode_stats(media.limit(1), decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_resize_metadata(media):
+    out = resize_metadata(media, 224, 224)
+    row = out.filter(F.col("item_id") == 1).first()
+    assert row.width == 224 and row.height == 224
+    assert row.scale_x == round(224 / (64 + (1 % 8) * 16), 6)
+    # payload untouched
+    orig = media.filter(F.col("item_id") == 1).first().payload
+    assert row.payload == orig
+
+
+def test_sample_frames_fanout_bounds(media):
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    per_item = frames.groupBy("item_id").agg(
+        F.count("*").alias("n"), F.max("frame_idx").alias("max_idx")
+    )
+    bad = per_item.filter((F.col("n") < 1) | (F.col("n") > 8) | (F.col("max_idx") != F.col("n") - 1))
+    assert bad.count() == 0
+    # frames reassemble to a prefix of the payload
+    one = frames.filter(F.col("item_id") == 0).orderBy("frame_idx").collect()
+    reassembled = b"".join(bytes(r.frame_payload) for r in one)
+    payload = bytes(media.filter(F.col("item_id") == 0).first().payload)
+    assert payload.startswith(reassembled) and len(reassembled) >= min(64, len(payload))

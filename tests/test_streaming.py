@@ -1,0 +1,155 @@
+"""Structured Streaming tests: exactly-once bucketed ingest, watermarked
+windowed aggregation (oracle-checked in batch mode), and the custom
+stateful sessionization operator (applyInPandasWithState), checked
+against the window-function sessionization the DuckDB oracle runs."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.sources.tables import load_table
+from distributedvectordatabase_spark.sources.vector_store import VectorStore
+from distributedvectordatabase_spark.streaming import (
+    sessionize_events,
+    stream_ingest_vectors,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMALL, assert_matches_oracle
+
+
+def test_stream_ingest_matches_batch_write(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    shutil.copy(
+        os.path.join(SF_SMALL, "embeddings.parquet"), src / "batch0.parquet"
+    )
+    store = VectorStore(str(tmp_path / "stream_store"))
+    q = stream_ingest_vectors(spark, str(src), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    batch_store = VectorStore(str(tmp_path / "batch_store"))
+    batch_store.write(load_table(spark, "embeddings", SF_SMALL))
+
+    got = {
+        (r.shard_id, r.n) for r in
+        store.read(spark).groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        (r.shard_id, r.n) for r in
+        batch_store.read(spark).groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and sum(n for _, n in got) == 500
+
+
+def test_stream_ingest_appends_incrementally(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    emb = load_table(spark, "embeddings", SF_SMALL)
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    land(emb.filter(F.col("vec_id") < 100), "f0")
+    store = VectorStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest_vectors(spark, str(src), store, ckpt)
+    q.awaitTermination(120)
+    assert store.read(spark).count() == 100
+
+    # second file lands; restart drains only the new data (checkpointed)
+    land(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)), "f1")
+    q = stream_ingest_vectors(spark, str(src), store, ckpt)
+    q.awaitTermination(120)
+    assert store.read(spark).count() == 150
+
+
+def test_windowed_event_counts_matches_oracle(spark, oracle):
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    got = windowed_event_counts(ev, window="1 hour")
+    assert_matches_oracle(
+        got,
+        oracle,
+        """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type, count(*) AS n_events,
+               round((sum(value::DECIMAL(18,4)))::DOUBLE, 6) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+    )
+
+
+def test_windowed_event_counts_streaming_mode(spark, tmp_path):
+    ev = load_table(spark, "events", SF_SMALL)
+    evs = str(tmp_path / "ev")
+    ev.write.parquet(evs)
+    stream = spark.readStream.schema(ev.schema).parquet(evs)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.sql("select sum(n_events) from win_stream").first()[0]
+    assert got == ev.count()
+
+
+@pytest.fixture(scope="module")
+def closed_sessions(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sess")
+    ev = load_table(spark, "events", SF_SMALL)
+    evs = str(tmp / "ev")
+    ev.write.parquet(evs)
+    stream = spark.readStream.schema(ev.schema).parquet(evs)
+    q = (
+        sessionize_events(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    return spark.sql("select * from sessions_out").toPandas()
+
+
+def test_sessionize_closed_count_matches_window_sessionization(spark, closed_sessions):
+    """In a single micro-batch every session except each user's last is
+    closed by the gap rule, so closed = total_sessions - n_users where
+    total_sessions comes from the lag-based window sessionization (the
+    same 30-min gap semantics as catalog events_sessions)."""
+    ev = load_table(spark, "events", SF_SMALL)
+    gap_us = 30 * 60 * 1_000_000
+    lagged = ev.withColumn(
+        "prev",
+        F.lag(F.unix_micros("ts")).over(
+            __import__("pyspark").sql.Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    total_sessions = lagged.filter(
+        F.col("prev").isNull() | (F.unix_micros("ts") - F.col("prev") > gap_us)
+    ).count()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(closed_sessions) == total_sessions - n_users
+
+
+def test_sessionize_session_invariants(closed_sessions):
+    pdf = closed_sessions
+    assert (pdf["session_end"] >= pdf["session_start"]).all()
+    assert (pdf["n_events"] >= 1).all()
+    # sessions of one user never overlap
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("session_start")
+        assert (g["session_start"].iloc[1:].values > g["session_end"].iloc[:-1].values).all()
