@@ -1,0 +1,101 @@
+"""Physical-plan shape tests — the scale guardrails.
+
+Correctness tests can stay green while a plan regresses into a
+100×-slower shape (full sort instead of top-k heap, shuffle join
+instead of broadcast, full scan instead of pruned partitions). These
+tests pin the shapes that make the engine viable at 100 TB.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributedvectordatabase_spark.operators.knn import knn, knn_single
+from distributedvectordatabase_spark.plans import (
+    codegen_stage_count,
+    has_broadcast,
+    has_take_ordered,
+    scan_partition_filters,
+    scan_pushed_filters,
+    scan_read_schema,
+)
+from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+from distributedvectordatabase_spark.sources.vector_store import VectorStore
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, "embeddings", SF_SMALL)
+
+
+@pytest.fixture(scope="module")
+def qs(spark):
+    return queries_fixture(spark, SF_SMALL, n=3)
+
+
+def test_knn_single_is_take_ordered_not_full_sort(spark, corpus):
+    df = knn_single(corpus, corpus.first().embedding, k=5)
+    assert has_take_ordered(df)
+
+
+def test_knn_scans_prune_columns(spark, corpus, qs):
+    """Both kNN impls must read only (id, vector) — label and any other
+    payload columns stay unread at the Parquet reader."""
+    for impl in ("arrow", "expr"):
+        schemas = scan_read_schema(knn(corpus, qs, k=5, impl=impl))
+        assert schemas, "no parquet scan found"
+        for s in schemas:
+            assert "label" not in s, f"{impl}: label column not pruned: {s}"
+
+
+def test_knn_expr_broadcasts_query_side(spark, corpus, qs):
+    assert has_broadcast(knn(corpus, qs, k=5, impl="expr"))
+
+
+def test_pruned_knn_has_partition_filters(spark, corpus, qs, tmp_path):
+    store = VectorStore(str(tmp_path / "store"))
+    store.write(corpus)
+    df = store.knn(spark, qs, k=5)
+    pf = scan_partition_filters(df)
+    assert pf and any("shard_id" in f for f in pf), pf
+    assert has_broadcast(df)
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    df = (
+        load_table(spark, "documents", SF_SMALL)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    pushed = scan_pushed_filters(df)
+    assert pushed and any("LessThan(doc_id,100)" in p for p in pushed), pushed
+    schemas = scan_read_schema(df)
+    assert schemas == ["doc_id:bigint"], schemas
+
+
+def test_aggregation_has_map_side_combine(spark):
+    """groupBy must plan partial (map-side) aggregation before the
+    exchange — the shuffle then moves one row per (task, key), not one
+    per input row. (Whole-stage codegen ids only appear in AQE's final
+    plan, so the combine is the pre-execution guardrail.)"""
+    from distributedvectordatabase_spark.plans import physical_plan
+
+    df = (
+        load_table(spark, "lineitem", SF_SMALL)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = physical_plan(df)
+    assert "partial_sum" in plan, plan
+
+
+def test_codegen_visible_after_execution(spark):
+    """After an action, AQE's final plan exposes whole-stage codegen
+    spans; the scan→partial-agg pipeline must be inside one."""
+    df = (
+        load_table(spark, "lineitem", SF_SMALL)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    df.collect()
+    assert codegen_stage_count(df) >= 1
