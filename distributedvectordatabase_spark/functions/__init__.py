@@ -1,3 +1,4 @@
+from distributedvectordatabase_spark.functions.register import register_sql_functions
 from distributedvectordatabase_spark.functions.vector import (
     cosine_dist,
     cosine_sim,
@@ -9,6 +10,7 @@ from distributedvectordatabase_spark.functions.vector import (
 )
 
 __all__ = [
+    "register_sql_functions",
     "cosine_dist",
     "cosine_sim",
     "dot",

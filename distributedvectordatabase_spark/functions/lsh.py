@@ -136,6 +136,21 @@ class SignLSH:
             acc = acc + F.when(d > 0, F.lit(int(2**j))).otherwise(F.lit(0))
         return (acc % self.num_tables).cast("int")
 
+    def bucket_sql_spark(self, vec_expr: str = "embedding") -> str:
+        """The bucket computation as a Spark SQL expression string with
+        the seeded projection constants inlined — used to register the
+        ``lsh_bucket`` SQL scalar function (functions/register.py), so
+        SQL callers bucket identically to the DataFrame API."""
+        terms = []
+        for j in range(self.num_bits):
+            consts = ", ".join(repr(float(x)) for x in self.projections[:, j])
+            dot = (
+                f"aggregate(zip_with(cast({vec_expr} as array<double>), array({consts}), "
+                f"(x, y) -> x * y), cast(0.0 as double), (s, x) -> s + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {2**j}L ELSE 0L END)")
+        return f"cast((({' + '.join(terms)}) % {self.num_tables}) as int)"
+
     # -- DuckDB oracle dialect ---------------------------------------------
 
     def bucket_sql_duckdb(self, vec_expr: str = "embedding") -> str:

@@ -1,3 +1,5 @@
+from distributedvectordatabase_spark.sources.npz import read_npz, write_npz
 from distributedvectordatabase_spark.sources.tables import TABLES, load_table, load_tables
+from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "load_table", "load_tables", "read_npz", "write_npz", "VectorStore"]
