@@ -508,6 +508,53 @@ def _q_vector_norms(d: str) -> str:
     """
 
 
+def _q_embedding_neardup_lsh(d: str) -> str:
+    """LSH-bucketed near-dup: candidate pairs restricted to the same
+    sign-LSH bucket (the 100 TB path — the self-join shuffles per
+    bucket, never the full cross product). Both dialects compute the
+    identical seeded buckets, so results are deterministic even though
+    bucketing can drop cross-bucket pairs the brute-force query finds."""
+    bucket = (
+        _LSH.bucket_sql_spark("embedding") if d == SPARK else _LSH.bucket_sql_duckdb("embedding")
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+    FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sim('a.embedding', 'b.embedding', d)} AS cosine_sim
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) p
+    WHERE cosine_sim >= {NEARDUP_COS}
+    """
+
+
+def _q_events_windowed(d: str) -> str:
+    """Batch form of streaming.windowed_event_counts — same plan shape
+    the streaming query runs, so the oracle checks the streaming agg."""
+    return f"""
+    SELECT {_hour('ts', d)} AS window_start, event_type,
+           count(*) AS n_events,
+           round(cast(sum({_dec('value')}) as double), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def _q_tpch_q17_small_qty(d: str) -> str:
+    """Correlated-scalar-subquery query (TPC-H Q17 shape): revenue of
+    line items whose quantity is under 20% of their part's average."""
+    return f"""
+    SELECT round(cast(sum({_dec('l.l_extendedprice', '14,4')}) as double) / 7.0, 6)
+             AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    """
+
+
 def _q_embedding_neardup(d: str) -> str:
     return f"""
     SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
@@ -772,6 +819,16 @@ def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the Structured Streaming windowed aggregation in batch mode
+    (identical plan minus the watermark), making the streaming operator
+    oracle-checkable."""
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(load_table(spark, "events", sf_dir), window="1 hour")
+
+
 def _run_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents → media table (payload bytes +
     typed metadata) → Arrow-batched mapInPandas decode (deterministic
@@ -882,6 +939,7 @@ def build_catalog() -> dict[str, Query]:
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
         _sql_query("embedding_neardup", _q_embedding_neardup),
+        _sql_query("embedding_neardup_lsh", _q_embedding_neardup_lsh),
         # multimodal binary-column plumbing (north star)
         Query("multimodal_decode_stats", _run_multimodal_stats, _multimodal_stats_oracle()),
         Query("multimodal_frame_sample", _run_frame_sample, _frame_sample_oracle()),
@@ -894,6 +952,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("events_json_extract", _q_events_json),
         _sql_query("events_sessions", _q_events_sessions),
         _sql_query("events_daily_active", _q_events_daily),
+        Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         # relational star schema (X8)
         _sql_query("tpch_q1_pricing", _q_tpch_q1),
         _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),
@@ -903,5 +962,6 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("part_type_revenue", _q_part_type_revenue),
         _sql_query("customers_without_orders", _q_customers_without_orders),
+        _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
     ]
     return {q.name: q for q in qs}
