@@ -35,6 +35,9 @@ HEADLINE = [
     "store_shard_counts",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "embedding_neardup_lsh",
+    "multimodal_decode_stats",
     "doc_token_stats",
     "doc_quality",
     "events_sessions",
@@ -42,6 +45,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_topk_revenue",
     "tpch_q5_nation_revenue",
+    "tpch_q17_small_qty",
     "top_customers_per_nation",
 ]
 

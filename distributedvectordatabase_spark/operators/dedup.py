@@ -101,18 +101,94 @@ def minhash_neardup_pairs(
     toks = tokenized(docs, text_col, id_col).cache()
     sigs = minhash_signatures(toks, bands * rows).cache()
     cand = minhash_band_pairs(sigs, bands, rows)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"),
+        F.size("toks").alias("sz_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
+        F.size("toks").alias("sz_b"),
+    )
     jac = F.expr(
         "cast(size(array_intersect(toks_a, toks_b)) as double)"
         " / nullif(size(array_union(toks_a, toks_b)), 0)"
     )
+    # Size prefilter (results-preserving): J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
+    # so any pair whose size ratio is under the threshold cannot pass it —
+    # drop those before the expensive array_intersect verification.
+    size_ok = F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b") * threshold
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(size_ok)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+def lsh_cosine_neardup_pairs(
+    corpus: DataFrame,
+    lsh,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """Embedding near-dup pairs within the same sign-LSH bucket, scored
+    by cosine similarity with one BLAS matrix product per bucket.
+
+    Scale shape: bucketing is a projection (pandas_udf), the only
+    shuffle groups rows by bucket, and the pairwise scoring runs inside
+    ``applyInPandas`` as float64 BLAS over row chunks of ``chunk`` rows
+    (memory per task is O(chunk × bucket), never O(bucket²) floats at
+    once). Cross-bucket pairs are dropped by construction — that IS the
+    LSH-near-dup semantics (same as catalog's oracle, which replicates
+    the seeded buckets in SQL). For very large buckets, raise the LSH
+    table count or pre-split buckets; the math is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bucketed = lsh.assign(corpus, vec_col=vec_col, out="_bucket")
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        safe = np.where(norms == 0.0, 1.0, norms)
+        Xn = X / safe[:, None]
+        Xn[norms == 0.0] = 0.0  # zero-norm rows: cosine defined as 0
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        n = len(ids)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            S = Xn[lo:hi] @ Xn.T  # (chunk, n)
+            for i in range(lo, hi):
+                row = S[i - lo, i + 1 :]  # only j > i (id-ascending pairs)
+                hits = np.nonzero(row >= threshold)[0] + i + 1
+                if len(hits):
+                    out_a.append(np.full(len(hits), ids[i]))
+                    out_b.append(ids[hits])
+                    out_s.append(row[hits - i - 1])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.round(np.concatenate(out_s), 6),
+            }
+        )
+
+    return bucketed.groupBy("_bucket").applyInPandas(
+        per_bucket, schema="id_a long, id_b long, cosine_sim double"
     )
 
 
