@@ -605,6 +605,19 @@ def knn_single_oracle_sql(k: int = KNN_K) -> str:
     """
 
 
+def pruned_recall_oracle_sql(lsh: SignLSH) -> str:
+    """recall@k of the 2-of-3 pruned search vs exact, as one row —
+    both sides are the existing oracle queries, joined on hits."""
+    exact = knn_oracle_sql("l2sq")
+    approx = pruned_knn_oracle_sql(lsh)
+    return f"""
+    SELECT round(
+        cast((SELECT count(*) FROM ({exact}) e JOIN ({approx}) a
+              USING (qid, neighbor_id)) as double)
+        / (SELECT count(*) FROM ({exact})), 6) AS recall_at_k
+    """
+
+
 def lsh_bucket_oracle_sql(lsh: SignLSH) -> str:
     return f"SELECT vec_id, {lsh.bucket_sql_duckdb('embedding')} AS shard_id FROM embeddings"
 
@@ -743,6 +756,28 @@ def _run_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
     return knn_pruned(corpus, queries, _LSH, k=KNN_K, num_candidates=2).withColumn(
         "dist", F.round("dist", 6)
+    )
+
+
+def _run_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared recall@k measurement of the pruned search (the quality
+    metric the reference never reports, SURVEY §5.3) — exact and pruned
+    results joined on hits, one row out."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn, knn_pruned
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    exact = knn(corpus, queries, k=KNN_K).select("qid", "neighbor_id")
+    approx = knn_pruned(
+        _LSH.assign(corpus), queries, _LSH, k=KNN_K, num_candidates=2
+    ).select("qid", "neighbor_id")
+    hits = exact.join(approx, ["qid", "neighbor_id"]).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(round(hits / total, 6),)], schema="recall_at_k double"
     )
 
 
@@ -931,6 +966,7 @@ def build_catalog() -> dict[str, Query]:
         Query("knn_cosine", _run_knn("cosine"), knn_oracle_sql("cosine")),
         Query("knn_single_topk", _run_knn_single, knn_single_oracle_sql()),
         Query("knn_pruned_2of3", _run_knn_pruned, pruned_knn_oracle_sql(_LSH)),
+        Query("knn_pruned_recall", _run_pruned_recall, pruned_recall_oracle_sql(_LSH)),
         # LSH sharding (O4-O6) + stats (O14/O15)
         Query("lsh_buckets", _run_lsh_buckets, lsh_bucket_oracle_sql(_LSH)),
         Query("lsh_shard_distribution", _run_lsh_distribution, lsh_distribution_oracle_sql(_LSH)),
