@@ -1,0 +1,134 @@
+"""IVF (inverted-file) vector store — build-once / query-many ANN.
+
+``operators/ann.py.ivf_knn`` fits KMeans per call, which is the honest
+cold-start cost but not how an index is used. This store separates the
+phases the way the reference separates index build from search
+(shard/shard_node.py:51-99 build vs :101-133 search):
+
+- **build**: distributed KMeans over the corpus → per-row cell
+  assignment → Parquet ``partitionBy("cell_id")``; the tiny centroid
+  matrix is persisted next to the data as JSON. At 100 TB the KMeans
+  pass and the partitioned write are the only full scans.
+- **query**: load centroids (KBs), rank cells per query driver-side,
+  then ``cell_id IN (...)`` + per-query equi-join — Catalyst partition
+  pruning skips the unprobed cells' files entirely, so query cost is
+  ~n_probe/n_cells of a full scan, same shape as the LSH-pruned path.
+
+Append ingest assigns new rows to the *existing* centroids (no refit),
+matching standard IVF semantics; periodic rebuild is a caller policy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.knn import _dist_expr, _final_topk
+
+
+class IVFStore:
+    def __init__(
+        self,
+        path: str,
+        n_cells: int = 16,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.path = path
+        self.n_cells = n_cells
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def _centroid_path(self) -> str:
+        return os.path.join(self.path, "_centroids.json")
+
+    # -- build ---------------------------------------------------------------
+
+    def build(self, df: DataFrame) -> None:
+        """Fit KMeans cells and write the cell-partitioned table."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(
+            self.id_col, self.vec_col, array_to_vector(F.col(self.vec_col)).alias("_f")
+        )
+        model = KMeans(
+            k=self.n_cells, seed=self.seed, featuresCol="_f", predictionCol="cell_id"
+        ).fit(feats)
+        assigned = model.transform(feats).select(self.id_col, self.vec_col, "cell_id")
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(self.path)
+        centers = [list(map(float, np.asarray(c))) for c in model.clusterCenters()]
+        with open(self._centroid_path, "w") as f:
+            json.dump({"n_cells": self.n_cells, "seed": self.seed, "centers": centers}, f)
+
+    def centroids(self) -> np.ndarray:
+        with open(self._centroid_path) as f:
+            return np.array(json.load(f)["centers"], dtype=np.float64)
+
+    # -- ingest --------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> None:
+        """Assign new rows to the existing centroids (no refit) and
+        append — the nearest-centroid math runs as a pandas_udf batch
+        matmul, no shuffle beyond the partitioned write."""
+        from pyspark.sql.functions import pandas_udf
+
+        C = self.centroids()
+
+        @pandas_udf("int")
+        def nearest_cell(vecs: pd.Series) -> pd.Series:
+            X = np.array(list(vecs.values), dtype=np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1), dtype="int32")
+
+        out = df.select(self.id_col, self.vec_col).withColumn(
+            "cell_id", nearest_cell(F.col(self.vec_col))
+        )
+        out.write.mode("append").partitionBy("cell_id").parquet(self.path)
+
+    # -- query ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def knn(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        metric: str = "l2sq",
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Probe the ``n_probe`` nearest cells per query; partition
+        pruning limits the scan to probed cells' directories."""
+        C = self.centroids()
+        qrows = queries.select(qid_col, qvec_col).collect()
+        probe_pairs = []
+        for r in qrows:
+            qv = np.asarray(list(r[qvec_col]), dtype=np.float64)
+            order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
+            probe_pairs.extend((int(r[qid_col]), int(c)) for c in order)
+        probe_df = spark.createDataFrame(probe_pairs, schema=f"{qid_col} long, cell_id int")
+        probed_cells = sorted({c for _, c in probe_pairs})
+
+        corpus = self.read(spark).filter(F.col("cell_id").isin(probed_cells))
+        pairs = corpus.join(
+            F.broadcast(queries.select(qid_col, qvec_col).join(probe_df, qid_col)),
+            on="cell_id",
+        )
+        scored = pairs.select(
+            F.col(qid_col).alias("qid"),
+            F.col(self.id_col).alias("neighbor_id"),
+            _dist_expr(metric, qvec_col, self.vec_col).alias("dist"),
+        )
+        return _final_topk(scored, max(int(k), 1))

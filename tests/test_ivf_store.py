@@ -1,0 +1,70 @@
+"""IVFStore: build/query separation, partition pruning, append-to-
+existing-centroids ingest, recall vs exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.knn import knn, recall_at_k
+from distributedvectordatabase_spark.plans import scan_partition_filters
+from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+from tests.conftest import SF_SMALL
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    store = IVFStore(str(tmp_path_factory.mktemp("ivf") / "idx"), n_cells=8)
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    return store
+
+
+def test_build_partitions_by_cell(spark, built):
+    df = built.read(spark)
+    assert df.count() == 500
+    cells = {r.cell_id for r in df.select("cell_id").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
+    assert built.centroids().shape == (8, 64)
+
+
+def test_knn_prunes_partitions_and_ranks(spark, built):
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    res = built.knn(spark, qs, k=K, n_probe=2)
+    pf = scan_partition_filters(res)
+    assert pf and any("cell_id" in f for f in pf), pf
+    rows = res.collect()
+    assert len(rows) == 5 * K
+    # self-query: own cell is always the nearest-probed → perfect self hit
+    by_q = {r.qid: r for r in rows if r.rnk == 1}
+    assert all(r.neighbor_id == qid and r.dist <= 1e-6 for qid, r in by_q.items())
+
+
+def test_recall_vs_exact_reasonable(spark, built):
+    qs = queries_fixture(spark, SF_SMALL, n=20)
+    exact = knn(load_table(spark, "embeddings", SF_SMALL), qs, k=K)
+    approx = built.knn(spark, qs, k=K, n_probe=4)
+    r = recall_at_k(exact, approx, K)
+    assert r >= 0.6, f"recall@{K} too low: {r}"
+    # probing all cells must be exact
+    full = built.knn(spark, qs, k=K, n_probe=8)
+    assert recall_at_k(exact, full, K) == 1.0
+
+
+def test_append_assigns_existing_centroids(spark, built, tmp_path):
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    extra = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ).limit(50)
+    before = built.read(spark).count()
+    built.append(extra)
+    after_df = built.read(spark)
+    assert after_df.count() == before + 50
+    # appended copies of existing vectors land in the same cell as the original
+    orig = {r.vec_id: r.cell_id for r in built.read(spark).filter(F.col("vec_id") < 50).collect()}
+    dup = {
+        r.vec_id - 10_000: r.cell_id
+        for r in built.read(spark).filter(F.col("vec_id") >= 10_000).collect()
+    }
+    shared = orig.keys() & dup.keys()
+    assert shared and all(orig[k] == dup[k] for k in shared)
