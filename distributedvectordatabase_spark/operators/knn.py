@@ -103,18 +103,25 @@ def _arrow_partial_topk(
     vec_col: str,
     qid_col: str,
     qvec_col: str,
+    shard_col: str | None = None,
+    cand_map: dict[int, frozenset] | None = None,
 ) -> DataFrame:
     """mapInPandas partial top-k: per Arrow batch, a (nq × batch) BLAS
-    distance matrix; emit the k best (with 2k tie slack) per query."""
+    distance matrix; emit the k best (with 2k tie slack) per query.
+
+    With ``shard_col``/``cand_map``, rows outside a query's candidate
+    shards are masked to +inf before the top-k — the pruned search then
+    runs on the same BLAS path as the exact one instead of interpreted
+    per-pair expressions (10× at 500k rows; see bench_scale.py)."""
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((qids, Q))
+    bc = spark.sparkContext.broadcast((qids, Q, cand_map))
     take = 2 * k  # slack so dist-ties at the k boundary survive to the merge
 
     def scan(batches):
-        qids, Q = bc.value
+        qids, Q, cand = bc.value
         qn = np.einsum("ij,ij->i", Q, Q)
         qnorm = np.sqrt(qn)
         for pdf in batches:
@@ -130,6 +137,12 @@ def _arrow_partial_topk(
                 denom = qnorm[:, None] * xnorm[None, :]
                 sim = np.divide(Q @ X.T, denom, out=np.zeros((len(Q), len(X))), where=denom != 0)
                 D = 1.0 - sim
+            if cand is not None:
+                shards = pdf[shard_col].values.astype(np.int64)
+                for i in range(len(Q)):
+                    allowed = cand.get(int(qids[i]))
+                    mask = ~np.isin(shards, list(allowed)) if allowed else np.ones(len(shards), bool)
+                    D[i, mask] = np.inf
             t = min(take, D.shape[1])
             if t < D.shape[1]:
                 part = np.argpartition(D, t - 1, axis=1)[:, :t]
@@ -141,6 +154,7 @@ def _arrow_partial_topk(
                 d = D[i, cols]
                 order = np.lexsort((ids[cols], d))[: min(k, len(cols))]
                 sel = cols[order]
+                sel = sel[np.isfinite(D[i, sel])]  # drop shard-masked rows
                 out_qid.append(np.full(len(sel), qids[i], dtype=np.int64))
                 out_id.append(ids[sel])
                 out_d.append(D[i, sel])
@@ -152,7 +166,8 @@ def _arrow_partial_topk(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    cols = [id_col, vec_col] + ([shard_col] if cand_map is not None else [])
+    return corpus.select(*cols).mapInPandas(
         scan, schema="qid long, neighbor_id long, dist double"
     )
 
@@ -191,6 +206,7 @@ def knn_pruned(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     shard_col: str = "shard_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """LSH-pruned approximate kNN (the reference's 2-of-3 shard probe:
     coordinator/coordinator.py:150-175, sharding/lsh_sharding.py:98-161,
@@ -205,7 +221,11 @@ def knn_pruned(
        Catalyst turns into Parquet **partition pruning** — pruned
        shards are never read from disk;
     2. an equi-join on (qid ↔ candidate shard) so each query pairs
-       only with rows of its own candidate shards.
+       only with rows of its own candidate shards — or, with
+       ``impl="arrow"`` (default), per-batch shard masking inside the
+       same Arrow/BLAS partial top-k scan the exact path uses; the
+       expression-join form (``impl="expr"``) scores pairs with
+       interpreted lambdas and is ~10× slower at 500k rows.
     """
     k = max(int(k), 1)
     qrows = queries.select(qid_col, qvec_col).collect()
@@ -215,10 +235,21 @@ def knn_pruned(
         for s in lsh.candidate_shards(list(r[qvec_col]), num_candidates=num_candidates)
     ]
     spark = corpus_bucketed.sparkSession
-    cand_df = spark.createDataFrame(cand_pairs, schema=f"{qid_col} long, {shard_col} int")
     all_shards = sorted({s for _, s in cand_pairs})
-
     pruned = corpus_bucketed.filter(F.col(shard_col).isin(all_shards))
+
+    if impl == "arrow":
+        cand_map = {}
+        for qid, s in cand_pairs:
+            cand_map.setdefault(qid, set()).add(s)
+        cand_map = {q: frozenset(s) for q, s in cand_map.items()}
+        partial = _arrow_partial_topk(
+            pruned, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
+            shard_col=shard_col, cand_map=cand_map,
+        )
+        return _final_topk(partial, k)
+
+    cand_df = spark.createDataFrame(cand_pairs, schema=f"{qid_col} long, {shard_col} int")
     pairs = pruned.join(
         F.broadcast(queries.select(qid_col, qvec_col).join(cand_df, qid_col)),
         on=shard_col,
