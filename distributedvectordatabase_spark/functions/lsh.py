@@ -115,6 +115,12 @@ class SignLSH:
 
         @pandas_udf("int")
         def lsh_bucket(vecs: pd.Series) -> pd.Series:
+            lens = vecs.map(len)
+            if (lens != P.shape[0]).any():
+                bad = sorted(set(lens[lens != P.shape[0]]))
+                raise ValueError(
+                    f"vector dimension mismatch: expected {P.shape[0]}, got {bad}"
+                )
             X = np.array(list(vecs.values), dtype=np.float64)
             bits = (X @ P) > 0
             return pd.Series((bits.astype(np.int64) @ W) % T, dtype="int32")

@@ -60,12 +60,12 @@ class VectorStore:
     # -- ingest -------------------------------------------------------------
 
     def _prepare(self, df: DataFrame, validate_dim: bool) -> DataFrame:
-        if validate_dim:
-            bad = df.filter(F.size(self.vec_col) != self.lsh.dim).limit(1).count()
-            if bad:
-                raise DimensionMismatchError(
-                    f"vector dimension mismatch: expected {self.lsh.dim}"
-                )
+        """``validate_dim`` is free: the bucketing pandas_udf checks the
+        vector length in-flight (SignLSH.bucket_udf), so validation
+        costs zero extra scans — the old eager form pre-scanned the
+        whole input once before writing. ``validate_dim=True`` only
+        controls whether the worker error is surfaced as
+        DimensionMismatchError by write()/append()."""
         if self.id_col not in df.columns:
             df = df.withColumn(self.id_col, F.monotonically_increasing_id())
         out = self.lsh.assign(df, vec_col=self.vec_col, out="shard_id")
@@ -76,9 +76,19 @@ class VectorStore:
             self.lsh.num_tables * self.files_per_shard, F.col("shard_id"), spread
         )
 
+    def _write(self, df: DataFrame, mode: str, validate_dim: bool) -> None:
+        try:
+            self._prepare(df, validate_dim).write.mode(mode).partitionBy("shard_id").parquet(self.path)
+        except Exception as e:  # surface the in-flight dim check typed
+            if validate_dim and "dimension mismatch" in str(e):
+                raise DimensionMismatchError(
+                    f"vector dimension mismatch: expected {self.lsh.dim}"
+                ) from e
+            raise
+
     def write(self, df: DataFrame, mode: str = "overwrite", validate_dim: bool = True) -> None:
         """Build (or rebuild) the index: bucket + partitioned write."""
-        self._prepare(df, validate_dim).write.mode(mode).partitionBy("shard_id").parquet(self.path)
+        self._write(df, mode, validate_dim)
 
     def append(self, df: DataFrame, validate_dim: bool = True) -> None:
         """Append ingest (reference add_vectors); auto-IDs continue past
@@ -89,7 +99,7 @@ class VectorStore:
             df = df.withColumn(
                 self.id_col, F.monotonically_increasing_id() + F.lit(start + 1)
             )
-        self._prepare(df, validate_dim).write.mode("append").partitionBy("shard_id").parquet(self.path)
+        self._write(df, "append", validate_dim)
 
     # -- read / query -------------------------------------------------------
 
