@@ -1,3 +1,43 @@
-from distributedvectordatabase_spark.operators.knn import knn, knn_single
+from distributedvectordatabase_spark.operators.ann import ivf_knn
+from distributedvectordatabase_spark.operators.dedup import (
+    lsh_cosine_neardup_pairs,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from distributedvectordatabase_spark.operators.knn import (
+    knn,
+    knn_pruned,
+    knn_single,
+    recall_at_k,
+)
+from distributedvectordatabase_spark.operators.multimodal import (
+    as_media_table,
+    decode_stats,
+    resize_metadata,
+    sample_frames,
+)
+from distributedvectordatabase_spark.operators.pca import pca_reduce
+from distributedvectordatabase_spark.operators.skew import salted_aggregate
+from distributedvectordatabase_spark.operators.stats import (
+    distribution_metrics,
+    shard_distribution,
+)
 
-__all__ = ["knn", "knn_single"]
+__all__ = [
+    "ivf_knn",
+    "knn",
+    "knn_pruned",
+    "knn_single",
+    "recall_at_k",
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
+    "lsh_cosine_neardup_pairs",
+    "as_media_table",
+    "decode_stats",
+    "resize_metadata",
+    "sample_frames",
+    "pca_reduce",
+    "salted_aggregate",
+    "shard_distribution",
+    "distribution_metrics",
+]
