@@ -877,6 +877,52 @@ def _run_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load_table(spark, "events", sf_dir), window="1 hour")
 
 
+def _run_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-purchase event picks up the value of the
+    same user's latest purchase at-or-before it (window-function impl;
+    oracle is DuckDB's native ASOF JOIN)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.asof import asof_join
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast("decimal(18,4)")).alias("purchase_value"))
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(
+        others, purchases, on=["user_id"], value_cols=["purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("purchase_value").cast("double"), 6).alias("last_purchase_value"),
+    )
+
+
+def _events_asof_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT user_id, ts, max(value::DECIMAL(18,4)) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    o AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'
+    )
+    SELECT o.event_id, o.user_id, o.event_type,
+           round((p.purchase_value)::DOUBLE, 6) AS last_purchase_value
+    FROM o ASOF LEFT JOIN p
+      ON o.user_id = p.user_id AND o.ts >= p.ts
+    """
+
+
 def _run_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents → media table (payload bytes +
     typed metadata) → Arrow-batched mapInPandas decode (deterministic
@@ -1059,6 +1105,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("events_daily_active", _q_events_daily),
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
+        Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
         # relational star schema (X8)
         _sql_query("tpch_q1_pricing", _q_tpch_q1),
         _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),

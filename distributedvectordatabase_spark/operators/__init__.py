@@ -1,4 +1,5 @@
 from distributedvectordatabase_spark.operators.ann import ivf_knn
+from distributedvectordatabase_spark.operators.asof import asof_join
 from distributedvectordatabase_spark.operators.dedup import (
     lsh_cosine_neardup_pairs,
     minhash_neardup_pairs,
@@ -25,6 +26,7 @@ from distributedvectordatabase_spark.operators.stats import (
 
 __all__ = [
     "ivf_knn",
+    "asof_join",
     "knn",
     "knn_pruned",
     "knn_single",
