@@ -1011,11 +1011,13 @@ def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (salting) over the events table;
     results provably identical to the plain group-by the oracle runs."""
+    from pyspark.sql import functions as F
+
     from distributedvectordatabase_spark.operators.skew import salted_aggregate
     from distributedvectordatabase_spark.sources.tables import load_table
 
     ev = load_table(spark, "events", sf_dir).withColumn(
-        "value_dec", F_col_cast_decimal("value")
+        "value_dec", F.col("value").cast("decimal(18,4)")
     )
     out = salted_aggregate(
         ev,
@@ -1027,20 +1029,12 @@ def _run_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     )
-    from pyspark.sql import functions as F
-
     return out.select(
         "event_type",
         "n_events",
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
         F.round(F.col("max_value").cast("double"), 6).alias("max_value"),
     )
-
-
-def F_col_cast_decimal(col: str):
-    from pyspark.sql import functions as F
-
-    return F.col(col).cast("decimal(18,4)")
 
 
 def _salted_event_counts_oracle() -> str:
