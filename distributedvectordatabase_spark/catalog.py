@@ -208,6 +208,44 @@ def _q_doc_fingerprint(d: str) -> str:
     return f"SELECT doc_id, {T.fingerprint('text', d)} AS fp FROM documents"
 
 
+def _q_curation_pipeline(d: str) -> str:
+    """The north-star end-to-end: a training-data curation pass over
+    the documents table — quality gate (length + stopword + alpha
+    ratios), language filter, exact-dedup keep-first — reporting what
+    survives each stage per language. One declarative plan: Catalyst
+    fuses the gates into the scan and the dedup into one shuffle."""
+    toks = T.tokens("text", d)
+    n = f"{_asize(d)}({toks})"
+    stop = T.marker_score(toks, T.STOPWORDS_EN, d)
+    stop_ratio = f"(cast({stop} as double) / nullif({n}, 0))"
+    strip = (
+        "regexp_replace(text, '[^A-Za-z]', '')"
+        if d == SPARK
+        else "regexp_replace(text, '[^A-Za-z]', '', 'g')"
+    )
+    alpha_ratio = f"(cast(length({strip}) as double) / nullif(length(text), 0))"
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, lang, md5(text) AS content_hash
+      FROM documents
+      WHERE {n} >= 10
+        AND {alpha_ratio} >= 0.5
+        AND ({T.lang_id_expr('text', d)} <> 'en' OR {stop_ratio} > 0)
+    ),
+    kept AS (
+      SELECT lang, content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      FROM gated
+      GROUP BY lang, content_hash
+    )
+    SELECT lang,
+           count(*) AS docs_kept,
+           sum(n_copies) AS docs_after_gates,
+           sum(n_copies) - count(*) AS dups_removed
+    FROM kept
+    GROUP BY lang
+    """
+
+
 def _q_dedup_exact(d: str) -> str:
     return """
     SELECT md5(text) AS content_hash,
@@ -1076,6 +1114,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("doc_fingerprint", _q_doc_fingerprint),
         # dedup family (X2/X3 + north star)
         _sql_query("dedup_exact", _q_dedup_exact),
+        _sql_query("curation_pipeline", _q_curation_pipeline),
         Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
