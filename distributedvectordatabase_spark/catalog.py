@@ -466,6 +466,19 @@ def _q_sales_rollup(d: str) -> str:
     """
 
 
+def _q_sales_grouping_sets(d: str) -> str:
+    """GROUPING SETS: three aggregation grains in one pass (per flag,
+    per status, grand total) — one scan, one expanded shuffle."""
+    return f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           round(cast({_rev(d)} as double), 6) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+
 def _q_priority_stats(d: str) -> str:
     return f"""
     SELECT o_orderpriority,
@@ -1145,6 +1158,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
         _sql_query("top_customers_per_nation", _q_top_customers),
         _sql_query("sales_rollup", _q_sales_rollup),
+        _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("part_type_revenue", _q_part_type_revenue),
         _sql_query("customers_without_orders", _q_customers_without_orders),
