@@ -34,6 +34,7 @@ HEADLINE = [
     "lsh_shard_distribution",
     "store_shard_counts",
     "dedup_exact",
+    "curation_pipeline",
     "dedup_minhash",
     "dedup_simhash",
     "embedding_neardup_lsh",
@@ -42,6 +43,8 @@ HEADLINE = [
     "doc_quality",
     "events_sessions",
     "events_hourly",
+    "events_asof_purchase",
+    "events_salted_agg",
     "tpch_q1_pricing",
     "tpch_q3_topk_revenue",
     "tpch_q5_nation_revenue",
