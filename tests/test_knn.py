@@ -79,3 +79,27 @@ def test_knn_single_topk_plan_and_result(spark, oracle):
                ORDER BY {duckdb_l2sq('q.qv', 'e.embedding')}, e.vec_id LIMIT 5"""
         ).fetchall()
     ]
+
+
+def test_large_query_batch_matches_oracle(spark, oracle):
+    """200-query batch (10× the catalog fixture): the per-batch partial
+    top-k and the tie slack must hold at larger fan-in, both impls."""
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=200)
+    want = oracle.sql(
+        f"""
+        WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings ORDER BY vec_id LIMIT 200),
+        ranked AS (
+          SELECT q.qid, e.vec_id nid,
+                 row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {duckdb_l2sq('q.qv', 'e.embedding')}, e.vec_id) rnk
+          FROM q CROSS JOIN embeddings e
+        )
+        SELECT qid, nid, rnk FROM ranked WHERE rnk <= 5
+        """
+    ).fetchall()
+    want_set = {(r[0], r[1], r[2]) for r in want}
+    for impl in ("arrow", "expr"):
+        got = knn(corpus, queries, k=5, metric="l2sq", impl=impl)
+        got_set = {(r.qid, r.neighbor_id, r.rnk) for r in got.collect()}
+        assert got_set == want_set, f"{impl}: {len(got_set ^ want_set)} mismatches"
