@@ -479,6 +479,42 @@ def _q_sales_grouping_sets(d: str) -> str:
     """
 
 
+def _q_order_quantiles(d: str) -> str:
+    """Exact continuous quantiles (median/p90) per order priority —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition, so values match bit-for-bit after
+    rounding."""
+    if d == SPARK:
+        med = "percentile(o_totalprice, 0.5)"
+        p90 = "percentile(o_totalprice, 0.9)"
+    else:
+        med = "quantile_cont(o_totalprice, 0.5)"
+        p90 = "quantile_cont(o_totalprice, 0.9)"
+    return f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round({med}, 6) AS median_price,
+           round({p90}, 6) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """
+
+
+def _q_customer_running_revenue(d: str) -> str:
+    """Cumulative window frame: each order carries the customer's
+    running total to date (rows unbounded-preceding..current, ordered
+    by date then key for determinism)."""
+    return f"""
+    SELECT o_custkey, o_orderkey,
+           round(cast(sum({_dec('o_totalprice', '16,4')}) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) as double), 6) AS running_revenue
+    FROM orders
+    """
+
+
 def _q_priority_stats(d: str) -> str:
     return f"""
     SELECT o_orderpriority,
@@ -1160,6 +1196,8 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("sales_rollup", _q_sales_rollup),
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
+        _sql_query("order_quantiles", _q_order_quantiles),
+        _sql_query("customer_running_revenue", _q_customer_running_revenue),
         _sql_query("part_type_revenue", _q_part_type_revenue),
         _sql_query("customers_without_orders", _q_customers_without_orders),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
