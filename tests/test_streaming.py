@@ -153,3 +153,69 @@ def test_sessionize_session_invariants(closed_sessions):
     for _, g in pdf.groupby("user_id"):
         g = g.sort_values("session_start")
         assert (g["session_start"].iloc[1:].values > g["session_end"].iloc[:-1].values).all()
+
+
+def test_watermark_append_mode_finalizes_windows(spark, tmp_path):
+    """Append-mode windowed agg across two micro-batches: after the
+    watermark passes a window's end, the window emits exactly once and
+    a late row for it is dropped rather than re-emitted."""
+    import datetime as dt
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
+            str(tmp_path / "stage" / name)
+        )
+        part = next(
+            p
+            for p in (tmp_path / "stage" / name).iterdir()
+            if p.name.endswith(".parquet")
+        )
+        (tmp_path / "src").mkdir(exist_ok=True)
+        shutil.move(str(part), tmp_path / "src" / f"{name}.parquet")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    late = dt.datetime(2024, 1, 1, 0, 45)  # falls in the 00:00 window
+    ahead = dt.datetime(2024, 1, 1, 6, 0)  # advances the watermark far past it
+    mk([(1, 1, t0, "click", 1.0, "{}")], "b0")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(tmp_path / "src")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "src"))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    first = spark.sql("select * from wm_append").collect()
+    # watermark hasn't passed 01:00 yet → nothing finalized
+    assert len(first) == 0
+
+    # batch 2: an event far in the future (advances watermark past 00:00
+    # window) plus a late row for the already-watermarked window
+    mk([(2, 1, ahead, "click", 1.0, "{}"), (3, 1, late, "click", 1.0, "{}")], "b1")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    rows = {
+        (r.window_start, r.n_events)
+        for r in spark.sql("select * from wm_append2").collect()
+    }
+    # the 00:00 window finalized counting the on-time + late-but-within-
+    # watermark rows available when it closed; the 06:00 window is still
+    # open (watermark hasn't passed it) so it must NOT appear
+    assert ("2024-01-01 00:00", 2) in rows
+    assert all(ws != "2024-01-01 06:00" for ws, _ in rows)
