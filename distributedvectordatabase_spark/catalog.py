@@ -1010,6 +1010,35 @@ def _events_asof_oracle() -> str:
     """
 
 
+def _run_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucket expansion: per user, how many ordered event
+    pairs fall within 5 minutes of each other. Oracle is the naive
+    inequality self-join — identical result, different join strategy."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.range_join import time_range_join
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts")
+    pairs = time_range_join(ev, ev, on=["user_id"], gap_seconds=300)
+    return (
+        pairs.filter(F.col("event_id") < F.col("event_id_r"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_close_pairs"))
+    )
+
+
+def _events_range_join_oracle() -> str:
+    return """
+    SELECT a.user_id, count(*) AS n_close_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300 * 1000000
+    GROUP BY a.user_id
+    """
+
+
 def _run_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents → media table (payload bytes +
     typed metadata) → Arrow-batched mapInPandas decode (deterministic
@@ -1188,6 +1217,7 @@ def build_catalog() -> dict[str, Query]:
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
+        Query("events_range_join", _run_events_range_join, _events_range_join_oracle()),
         # relational star schema (X8)
         _sql_query("tpch_q1_pricing", _q_tpch_q1),
         _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),

@@ -18,6 +18,7 @@ from distributedvectordatabase_spark.operators.multimodal import (
     sample_frames,
 )
 from distributedvectordatabase_spark.operators.pca import pca_reduce
+from distributedvectordatabase_spark.operators.range_join import time_range_join
 from distributedvectordatabase_spark.operators.skew import salted_aggregate
 from distributedvectordatabase_spark.operators.stats import (
     distribution_metrics,
@@ -39,6 +40,7 @@ __all__ = [
     "resize_metadata",
     "sample_frames",
     "pca_reduce",
+    "time_range_join",
     "salted_aggregate",
     "shard_distribution",
     "distribution_metrics",
