@@ -42,6 +42,11 @@ MINHASH_JACCARD = 0.9
 MINHASH_BANDS = 2
 MINHASH_ROWS = 6
 SIMHASH_MAX_HAMMING = 2
+# 32 bits (not the textbook-toy 16): on this small-vocab corpus a 16-bit
+# simhash marks most pairs as dups and the pigeonhole chunks degenerate
+# into ~64-value buckets; 32 bits keeps hamming<=2 meaningful and the
+# candidate join selective.
+SIMHASH_BITS = 32
 
 _LSH = SignLSH()  # dim=64, 4 fns × 3 tables, seed 42 — the engine default
 
@@ -298,7 +303,7 @@ def _q_dedup_minhash(d: str) -> str:
 
 
 def _q_dedup_simhash(d: str) -> str:
-    sh = T.simhash(T.tokens("text", d), d)
+    sh = T.simhash(T.tokens("text", d), d, bits=SIMHASH_BITS)
     return f"""
     WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -937,7 +942,9 @@ def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedvectordatabase_spark.sources.tables import load_table
 
     return simhash_neardup_pairs(
-        load_table(spark, "documents", sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+        load_table(spark, "documents", sf_dir),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bits=SIMHASH_BITS,
     )
 
 
