@@ -117,11 +117,24 @@ def _arrow_partial_topk(
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((qids, Q, cand_map))
     take = 2 * k  # slack so dist-ties at the k boundary survive to the merge
 
+    # Candidate shards as a dense (nq × n_shards) boolean lookup so the
+    # per-batch mask is one fancy-index, not an np.isin per query row.
+    if cand_map is not None:
+        n_shards = max((s for ss in cand_map.values() for s in ss), default=-1) + 1
+        allowed_lut = np.zeros((len(qids), max(n_shards, 1)), dtype=bool)
+        for i, qid in enumerate(qids):
+            for s in cand_map.get(int(qid), ()):
+                allowed_lut[i, s] = True
+        bc_payload = (qids, Q, allowed_lut)
+    else:
+        bc_payload = (qids, Q, None)
+    bc = spark.sparkContext.broadcast(bc_payload)
+
     def scan(batches):
-        qids, Q, cand = bc.value
+        qids, Q, allowed_lut = bc.value
+        nq = len(Q)
         qn = np.einsum("ij,ij->i", Q, Q)
         qnorm = np.sqrt(qn)
         for pdf in batches:
@@ -137,32 +150,33 @@ def _arrow_partial_topk(
                 denom = qnorm[:, None] * xnorm[None, :]
                 sim = np.divide(Q @ X.T, denom, out=np.zeros((len(Q), len(X))), where=denom != 0)
                 D = 1.0 - sim
-            if cand is not None:
+            if allowed_lut is not None:
                 shards = pdf[shard_col].values.astype(np.int64)
-                for i in range(len(Q)):
-                    allowed = cand.get(int(qids[i]))
-                    mask = ~np.isin(shards, list(allowed)) if allowed else np.ones(len(shards), bool)
-                    D[i, mask] = np.inf
+                in_range = (shards >= 0) & (shards < allowed_lut.shape[1])
+                ok = np.zeros((nq, len(shards)), dtype=bool)
+                ok[:, in_range] = allowed_lut[:, shards[in_range]]
+                D[~ok] = np.inf
             t = min(take, D.shape[1])
             if t < D.shape[1]:
                 part = np.argpartition(D, t - 1, axis=1)[:, :t]
             else:
-                part = np.broadcast_to(np.arange(D.shape[1]), (len(Q), D.shape[1]))
-            out_qid, out_id, out_d = [], [], []
-            for i in range(len(Q)):
-                cols = part[i]
-                d = D[i, cols]
-                order = np.lexsort((ids[cols], d))[: min(k, len(cols))]
-                sel = cols[order]
-                sel = sel[np.isfinite(D[i, sel])]  # drop shard-masked rows
-                out_qid.append(np.full(len(sel), qids[i], dtype=np.int64))
-                out_id.append(ids[sel])
-                out_d.append(D[i, sel])
+                part = np.broadcast_to(np.arange(D.shape[1]), (nq, D.shape[1]))
+            d_part = np.take_along_axis(D, part, axis=1)
+            ids_part = ids[part]
+            # Row-wise lexsort by (dist, id): stable sort by id, then a
+            # stable re-sort by dist — two vectorized argsorts instead of
+            # a Python-level np.lexsort per query row.
+            o1 = np.argsort(ids_part, axis=1, kind="stable")
+            o2 = np.argsort(np.take_along_axis(d_part, o1, axis=1), axis=1, kind="stable")
+            order = np.take_along_axis(o1, o2, axis=1)[:, :k]
+            sel_d = np.take_along_axis(d_part, order, axis=1)
+            sel_id = np.take_along_axis(ids_part, order, axis=1)
+            keep = np.isfinite(sel_d).ravel()  # drop shard-masked rows
             yield pd.DataFrame(
                 {
-                    "qid": np.concatenate(out_qid),
-                    "neighbor_id": np.concatenate(out_id),
-                    "dist": np.concatenate(out_d),
+                    "qid": np.repeat(qids, order.shape[1])[keep],
+                    "neighbor_id": sel_id.ravel()[keep],
+                    "dist": sel_d.ravel()[keep],
                 }
             )
 
