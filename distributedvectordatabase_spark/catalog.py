@@ -549,6 +549,55 @@ def _q_customers_without_orders(d: str) -> str:
     """
 
 
+def _q_repeat_customers(d: str) -> str:
+    """INTERSECT set-op (SURVEY §2.2 set-ops row, alongside the EXCEPT
+    of customers_without_orders): customers who ordered in both halves
+    of the data's date range. Catalyst plans INTERSECT as a left-semi
+    aggregate join — no full materialization of either side."""
+    return """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < DATE '1998-01-01'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= DATE '1998-01-01'
+    """
+
+
+def _returnflag_pivot_oracle() -> str:
+    """Conditional-aggregation form of the pivot — the portable SQL
+    equivalent of RelationalGroupedDataset.pivot."""
+    rev = f"{_dec('l_extendedprice', '14,4')} * {_dec('1 - l_discount', '8,4')}"
+    return f"""
+    SELECT l_returnflag,
+           round(cast(sum(CASE WHEN l_linestatus = 'O' THEN {rev} END) as double), 6) AS rev_open,
+           round(cast(sum(CASE WHEN l_linestatus = 'F' THEN {rev} END) as double), 6) AS rev_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """
+
+
+def _run_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT via the native DataFrame operator. Explicit value list
+    ['O','F'] so Spark skips the extra distinct-values collect job —
+    at 100 TB an implicit pivot would scan the table twice. Decimal
+    sum keeps the result engine-exact (see module docstring)."""
+    from pyspark.sql import functions as F
+
+    _register(spark, sf_dir)
+    rev = F.expr(f"{_dec('l_extendedprice', '14,4')} * {_dec('1 - l_discount', '8,4')}")
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(rev))
+        .select(
+            "l_returnflag",
+            F.round(F.col("O").cast("double"), 6).alias("rev_open"),
+            F.round(F.col("F").cast("double"), 6).alias("rev_finished"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # vector analytics (X5 centroids, norms, near-dup)
 # ---------------------------------------------------------------------------
@@ -1237,6 +1286,8 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("customer_running_revenue", _q_customer_running_revenue),
         _sql_query("part_type_revenue", _q_part_type_revenue),
         _sql_query("customers_without_orders", _q_customers_without_orders),
+        _sql_query("repeat_customers_intersect", _q_repeat_customers),
+        Query("returnflag_pivot", _run_returnflag_pivot, _returnflag_pivot_oracle()),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
     ]
     return {q.name: q for q in qs}
