@@ -303,9 +303,13 @@ def _q_dedup_minhash(d: str) -> str:
 
 
 def _q_dedup_simhash(d: str) -> str:
-    sh = T.simhash(T.tokens("text", d), d, bits=SIMHASH_BITS)
+    # md5 digests hoisted into their own CTE so each token is hashed
+    # once, not once per signature bit (32x fewer md5 calls).
+    hs = T.token_hashes(T.tokens("text", d), d)
+    sh = T.simhash_from_hashes("hs", d, bits=SIMHASH_BITS)
     return f"""
-    WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
+    WITH h AS (SELECT doc_id, {hs} AS hs FROM documents),
+         s AS (SELECT doc_id, {sh} AS sh FROM h)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            {_xor_popcount('a.sh', 'b.sh', d)} AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -112,6 +112,33 @@ def minhash_sig(toks_expr: str, salt: int, dialect: str) -> str:
     return f"{d['amin']}({d['transform']}({toks_expr}, t -> md5('{salt}|' || t)))"
 
 
+def token_hashes(toks_expr: str, dialect: str) -> str:
+    """md5 hex digest per token — materialize this ONCE (as its own
+    projection/CTE) before computing per-bit simhash terms, so the
+    digest isn't recomputed inside every bit's lambda."""
+    d = _d(dialect)
+    return f"{d['transform']}({toks_expr}, t -> md5(t))"
+
+
+def simhash_from_hashes(hs_expr: str, dialect: str, bits: int = 16) -> str:
+    """SimHash from a precomputed md5-hex array (see token_hashes).
+    Bit j is set iff strictly more than half the hashes have the high
+    bit of hex nibble j set (nibble in '89abcdef'). ``hs_expr`` should
+    be a plain column reference: it appears once per bit, and both
+    Spark (CollapseProject keeps non-cheap multi-use aliases) and
+    DuckDB materialize the projection instead of re-hashing."""
+    d = _d(dialect)
+    total = f"{d['asize']}({hs_expr})"
+    terms = []
+    for j in range(bits):
+        m = (
+            f"{d['asize']}({d['filter']}({hs_expr}, "
+            f"h -> substring(h, {j + 1}, 1) in ('8','9','a','b','c','d','e','f')))"
+        )
+        terms.append(f"(case when 2 * {m} > {total} then {2**j} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def simhash(toks_expr: str, dialect: str, bits: int = 16) -> str:
     """SimHash over token multiset. Bit j is set iff strictly more than
     half the tokens have the high bit of md5 hex nibble j set (nibble

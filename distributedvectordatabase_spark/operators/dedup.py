@@ -208,8 +208,19 @@ def simhash_neardup_pairs(
     bit_count verification keeps results identical to a full self-join
     (catalog._q_dedup_simhash).
     """
-    sh = F.expr(T.simhash(T.tokens(text_col, T.SPARK), T.SPARK, bits=bits))
-    s = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+    # md5 per token exactly once (token_hashes in its own projection —
+    # the 32 per-bit filters then index into the materialized digests),
+    # and cache the tiny (doc_id, sh) frame: the chunk self-join below
+    # consumes it twice and would otherwise recompute every signature.
+    hs = F.expr(T.token_hashes(T.tokens(text_col, T.SPARK), T.SPARK))
+    s = (
+        docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.expr(T.simhash_from_hashes("hs", T.SPARK, bits=bits)).alias("sh"),
+        )
+        .cache()
+    )
 
     n_chunks = max_hamming + 1
     base = bits // n_chunks
