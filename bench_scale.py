@@ -93,6 +93,16 @@ def main() -> None:
     exact = knn(loaded, queries, k=10, impl="arrow")
     timings["knn_exact_arrow_20q"] = timed_min(lambda: exact.count())
 
+    big_queries = (
+        loaded.orderBy("vec_id")
+        .limit(200)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+    big_queries.count()
+    exact_big = knn(loaded, big_queries, k=10, impl="arrow")
+    timings["knn_exact_arrow_200q"] = timed_min(lambda: exact_big.count())
+
     approx = store.knn(spark, queries, k=10, pruned=True, num_candidates=2)
     timings["knn_pruned_2of3_20q"] = timed_min(lambda: approx.count())
 

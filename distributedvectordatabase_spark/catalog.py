@@ -567,6 +567,26 @@ def _q_repeat_customers(d: str) -> str:
     """
 
 
+def _run_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count (SURVEY §2.2 approximate-ops row
+    beyond LSH): HyperLogLog++ per-group user cardinality. The
+    groupBy is a two-phase partial+final HLL merge — each executor
+    ships a fixed-size sketch, not its user_ids, so the shuffle is
+    O(groups), not O(rows), at any scale. Rows-only for the driver
+    (DuckDB's HLL estimates differ); tests assert <=5% relative error
+    vs the exact count."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               approx_count_distinct(user_id) AS approx_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        """
+    )
+
+
 def _returnflag_pivot_oracle() -> str:
     """Conditional-aggregation form of the pivot — the portable SQL
     equivalent of RelationalGroupedDataset.pivot."""
@@ -1277,6 +1297,8 @@ def build_catalog() -> dict[str, Query]:
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
+        # approximate ops (§2.2) — HLL estimates are engine-specific; rows-only
+        Query("events_approx_distinct", _run_events_approx_distinct, None),
         Query("events_range_join", _run_events_range_join, _events_range_join_oracle()),
         # relational star schema (X8)
         _sql_query("tpch_q1_pricing", _q_tpch_q1),

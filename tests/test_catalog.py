@@ -26,6 +26,24 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_approx_distinct_within_tolerance(spark, oracle):
+    """HLL++ estimate per event_type within 5% of the exact distinct
+    count (rows-only for the driver, so accuracy is asserted here)."""
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in CATALOG["events_approx_distinct"].run(spark, SF_DIR).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in oracle.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(0.05 * n, 1), (et, got[et], n)
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
