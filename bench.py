@@ -71,8 +71,10 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup (the reference's latency plots likewise
-    # exclude server startup).
+    # exclude server startup), and one no-op mapInPandas so Python-worker
+    # launch isn't billed to the first Arrow-path query.
     catalog["lsh_buckets"].run(spark, sf_dir).count()
+    spark.range(int(cpus)).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
