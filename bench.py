@@ -50,6 +50,9 @@ HEADLINE = [
     "tpch_q5_nation_revenue",
     "tpch_q17_small_qty",
     "top_customers_per_nation",
+    "repeat_customers_intersect",
+    "returnflag_pivot",
+    "events_approx_distinct",
 ]
 
 

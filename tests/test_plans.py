@@ -95,6 +95,34 @@ def test_aggregation_has_map_side_combine(spark):
     assert "partial_sum" in plan, plan
 
 
+def test_intersect_plans_as_broadcast_semi_join_with_pushdown(spark):
+    """INTERSECT must become a left-semi join (broadcast at this size)
+    with both date predicates pushed to the Parquet scans — not a
+    materialize-both-sides set difference."""
+    from distributedvectordatabase_spark.catalog import build_catalog
+    from distributedvectordatabase_spark.plans import physical_plan
+
+    df = build_catalog()["repeat_customers_intersect"].run(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_broadcast(df)
+    pushed = scan_pushed_filters(df)
+    assert any("LessThan(o_orderdate" in p for p in pushed), pushed
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), pushed
+
+
+def test_pivot_is_single_pruned_scan(spark):
+    """The explicit-value pivot must read lineitem exactly once, pruned
+    to the four referenced columns — no second distinct-values scan."""
+    from distributedvectordatabase_spark.catalog import build_catalog
+
+    df = build_catalog()["returnflag_pivot"].run(spark, SF_SMALL)
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"l_extendedprice", "l_discount", "l_returnflag", "l_linestatus"}, cols
+
+
 def test_codegen_visible_after_execution(spark):
     """After an action, AQE's final plan exposes whole-stage codegen
     spans; the scan→partial-agg pipeline must be inside one."""
