@@ -66,6 +66,10 @@ def main() -> None:
     store = VectorStore(os.path.join(tmp, "store"))
     corpus = synth_corpus(spark, n_rows, partitions=int(cpus))
 
+    # absorb Python-worker launch so the ingest number measures
+    # generate+assign+shuffle+write, not process startup
+    spark.range(int(cpus)).mapInPandas(lambda it: it, schema="id long").count()
+
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
     store.write(corpus, validate_dim=False)

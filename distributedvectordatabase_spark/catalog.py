@@ -509,6 +509,30 @@ def _q_order_quantiles(d: str) -> str:
     """
 
 
+def _q_customer_revenue_deciles(d: str) -> str:
+    """ntile ranking window: customers bucketed into spend deciles.
+    Both engines define ntile identically (equal-height buckets, earlier
+    buckets take the remainder), so values match exactly given the
+    deterministic (revenue, custkey) order.
+
+    Scale note: an un-partitioned OVER (ORDER BY ...) funnels the whole
+    input through ONE window task. Acceptable here because the window
+    input is the per-customer aggregate (orders of magnitude smaller
+    than the fact table after the group-by); for decile-bucketing a
+    full-size table, use approx percentile cut-points + a broadcast
+    range join instead of ntile."""
+    return f"""
+    WITH spend AS (
+      SELECT o_custkey, sum({_dec('o_totalprice', '16,4')}) AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           round(cast(revenue as double), 6) AS revenue,
+           ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+    FROM spend
+    """
+
+
 def _q_customer_running_revenue(d: str) -> str:
     """Cumulative window frame: each order carries the customer's
     running total to date (rows unbounded-preceding..current, ordered
@@ -1310,6 +1334,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("order_quantiles", _q_order_quantiles),
         _sql_query("customer_running_revenue", _q_customer_running_revenue),
+        _sql_query("customer_revenue_deciles", _q_customer_revenue_deciles),
         _sql_query("part_type_revenue", _q_part_type_revenue),
         _sql_query("customers_without_orders", _q_customers_without_orders),
         _sql_query("repeat_customers_intersect", _q_repeat_customers),
