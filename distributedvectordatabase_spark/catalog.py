@@ -569,6 +569,34 @@ def _q_part_type_revenue(d: str) -> str:
     """
 
 
+def _q_top_suppliers_per_region(d: str) -> str:
+    """TPC-H Q15-flavored: top-3 suppliers by lineitem revenue within
+    each region — a 4-table join chain (lineitem→supplier→nation→
+    region) feeding a per-group window top-k. The three dimension
+    joins are all broadcastable; the only shuffle is the supplier
+    aggregation."""
+    return f"""
+    WITH srev AS (
+      SELECT r.r_name AS region, s.s_suppkey, s.s_name,
+             {_rev(d)} AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, s.s_suppkey, s.s_name
+    )
+    SELECT region, s_suppkey, s_name,
+           round(cast(revenue as double), 6) AS revenue, rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY region ORDER BY revenue DESC, s_suppkey
+      ) AS rnk
+      FROM srev
+    ) t
+    WHERE rnk <= 3
+    """
+
+
 def _q_customers_without_orders(d: str) -> str:
     return """
     SELECT c_custkey FROM customer
@@ -1329,6 +1357,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
         _sql_query("top_customers_per_nation", _q_top_customers),
+        _sql_query("top_suppliers_per_region", _q_top_suppliers_per_region),
         _sql_query("sales_rollup", _q_sales_rollup),
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
