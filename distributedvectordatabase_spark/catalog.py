@@ -952,6 +952,60 @@ def _run_knn(metric: str):
     return run
 
 
+def _run_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic search: Arrow kNN over embeddings, then the
+    neighbor ids broadcast-join back to the documents table for the
+    human-facing payload (lang, source, length). At scale the join
+    side is O(n_queries * k) rows — always tiny, always broadcastable
+    — while documents stays a pruned column scan."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    hits = knn(corpus, queries, k=KNN_K, metric="cosine")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return (
+        docs.join(F.broadcast(hits), docs.doc_id == hits.neighbor_id)
+        .select(
+            "qid",
+            "rnk",
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+def semantic_search_oracle_sql(n_queries: int = N_QUERIES, k: int = KNN_K) -> str:
+    mexpr = _cos_dist("q.qvec", "e.embedding", DUCKDB)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id, {mexpr} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT r.qid, r.rnk, d.doc_id, d.lang, d.source, d.n_chars,
+           round(r.dist, 6) AS dist
+    FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+    WHERE r.rnk <= {k}
+    """
+
+
 def _run_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1305,6 +1359,7 @@ def build_catalog() -> dict[str, Query]:
         Query("knn_l2", _run_knn("l2sq"), knn_oracle_sql("l2sq")),
         Query("knn_cosine", _run_knn("cosine"), knn_oracle_sql("cosine")),
         Query("knn_single_topk", _run_knn_single, knn_single_oracle_sql()),
+        Query("semantic_search_topk", _run_semantic_search, semantic_search_oracle_sql()),
         Query("knn_pruned_2of3", _run_knn_pruned, pruned_knn_oracle_sql(_LSH)),
         Query("knn_pruned_recall", _run_pruned_recall, pruned_recall_oracle_sql(_LSH)),
         # LSH sharding (O4-O6) + stats (O14/O15)
