@@ -98,6 +98,55 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_documents(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact dedup: content-hash keep-first across the whole
+    stream's history, exactly-once into a Parquet sink.
+
+    ``dropDuplicates`` on a stream is state-backed — the hash set
+    persists across micro-batches in the checkpoint, so a document seen
+    in batch 0 is still suppressed in batch 400. Without a timestamp
+    column the state grows with distinct content (the correct semantics
+    for corpus dedup, where "seen once, ever" is the contract); when
+    ``ts_col``/``watermark`` are given, dropDuplicatesWithinWatermark
+    bounds state for feeds where only near-in-time repeats matter.
+    Batch-equivalence (and hence the oracle form) is a plain group-by
+    keep-first on md5(text) — tests assert the streamed sink matches.
+    """
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None and watermark is not None:
+        deduped = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    else:
+        deduped = hashed.dropDuplicates(["content_hash"])
+
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_events(
     events: DataFrame,
     *,

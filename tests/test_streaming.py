@@ -70,6 +70,47 @@ def test_stream_ingest_appends_incrementally(spark, tmp_path):
     assert store.read(spark).count() == 150
 
 
+def test_stream_dedup_matches_batch_keep_first(spark, tmp_path):
+    """Streamed content-hash dedup must equal the batch distinct-hash
+    set, with suppression working ACROSS micro-batches (state in the
+    checkpoint, not per-batch dropDuplicates)."""
+    from distributedvectordatabase_spark.streaming import stream_dedup_documents
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    # two files with overlapping content: f1 re-ships docs 0..19
+    land(docs.filter(F.col("doc_id") < 40), "f0")
+    land(docs.filter(F.col("doc_id") < 20), "f1")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = stream_dedup_documents(
+        spark, str(src), sink, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got = spark.read.parquet(sink)
+    n_hashes = (
+        docs.filter(F.col("doc_id") < 40)
+        .select(F.md5("text").alias("h")).distinct().count()
+    )
+    assert got.count() == n_hashes
+    assert got.select("content_hash").distinct().count() == n_hashes
+
+    # exactly-once: re-running against the same checkpoint adds nothing
+    q = stream_dedup_documents(spark, str(src), sink, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n_hashes
+
+
 def test_windowed_event_counts_matches_oracle(spark, oracle):
     ev = load_table(spark, "events", "/root/testdata/sf0.01")
     got = windowed_event_counts(ev, window="1 hour")
