@@ -53,6 +53,9 @@ HEADLINE = [
     "repeat_customers_intersect",
     "returnflag_pivot",
     "events_approx_distinct",
+    "semantic_search_topk",
+    "customer_revenue_deciles",
+    "top_suppliers_per_region",
 ]
 
 

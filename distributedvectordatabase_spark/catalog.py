@@ -569,6 +569,23 @@ def _q_part_type_revenue(d: str) -> str:
     """
 
 
+def _q_order_part_lists(d: str) -> str:
+    """Array aggregation: per-order sorted part-key list (emitted as a
+    joined string so the cross-engine value compare stays scalar).
+    Spark's collect_list is order-nondeterministic under parallelism —
+    the sort_array makes the result well-defined, the rule for ANY
+    array_agg at scale."""
+    if d == SPARK:
+        lst = "array_join(sort_array(collect_list(l_partkey)), ',')"
+    else:
+        lst = "array_to_string(list_sort(list(l_partkey)), ',')"
+    return f"""
+    SELECT l_orderkey, count(*) AS n_items, {lst} AS part_keys
+    FROM lineitem
+    GROUP BY l_orderkey
+    """
+
+
 def _q_top_suppliers_per_region(d: str) -> str:
     """TPC-H Q15-flavored: top-3 suppliers by lineitem revenue within
     each region — a 4-table join chain (lineitem→supplier→nation→
@@ -1413,6 +1430,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
         _sql_query("top_customers_per_nation", _q_top_customers),
         _sql_query("top_suppliers_per_region", _q_top_suppliers_per_region),
+        _sql_query("order_part_lists", _q_order_part_lists),
         _sql_query("sales_rollup", _q_sales_rollup),
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
