@@ -52,6 +52,51 @@ def _dist_expr(metric: str, a, b) -> Column:
     raise ValueError(f"unknown metric {metric!r}; use one of {sorted(_METRICS)}")
 
 
+def batch_topk(D: np.ndarray, ids: np.ndarray, k: int, take: int):
+    """Vectorized per-row top-k by (value, id) over a distance matrix.
+
+    Returns (sel_id, sel_d) of shape (nq, min(k, ncols)), each row
+    ordered by (distance, id) ascending — the whole batch is ranked
+    with two stable argsorts (sort by id, then stable re-sort by dist
+    = a row-wise lexsort) after an argpartition prefilter to ``take``
+    columns.
+
+    Exact under arbitrary ties: argpartition selects by distance only,
+    so a tie group straddling the ``take`` boundary could hide an
+    equal-distance neighbor with a smaller id. Rows where the k-th
+    selected distance still has unselected duplicates are detected and
+    re-ranked over all columns — the fallback costs a full row sort but
+    only fires on pathological tie widths (e.g. > take duplicates of
+    one vector), keeping the hot path at O(nc + take log take).
+    """
+    nq, nc = D.shape
+    t = min(take, nc)
+    if t < nc:
+        part = np.argpartition(D, t - 1, axis=1)[:, :t]
+    else:
+        part = np.broadcast_to(np.arange(nc), (nq, nc))
+    d_part = np.take_along_axis(D, part, axis=1)
+    ids_part = ids[part]
+    o1 = np.argsort(ids_part, axis=1, kind="stable")
+    o2 = np.argsort(np.take_along_axis(d_part, o1, axis=1), axis=1, kind="stable")
+    order = np.take_along_axis(o1, o2, axis=1)[:, :k]
+    sel_id = np.take_along_axis(ids_part, order, axis=1)
+    sel_d = np.take_along_axis(d_part, order, axis=1)
+    if t < nc and sel_d.shape[1] > 0:
+        # boundary-tie guard: the k-th kept distance must not have more
+        # duplicates in the full row than made it into the prefilter
+        kth = sel_d[:, -1]
+        n_total = (D == kth[:, None]).sum(axis=1)
+        n_in_take = (d_part == kth[:, None]).sum(axis=1)
+        # kth == inf means every finite entry was already selected
+        # (inf marks masked rows; their identity never matters)
+        bad = np.flatnonzero((n_total > n_in_take) & np.isfinite(kth))
+        if len(bad):
+            fix_id, fix_d = batch_topk(D[bad], ids, k, take=nc)
+            sel_id[bad], sel_d[bad] = fix_id, fix_d
+    return sel_id, sel_d
+
+
 def _final_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
     return (
@@ -156,25 +201,11 @@ def _arrow_partial_topk(
                 ok = np.zeros((nq, len(shards)), dtype=bool)
                 ok[:, in_range] = allowed_lut[:, shards[in_range]]
                 D[~ok] = np.inf
-            t = min(take, D.shape[1])
-            if t < D.shape[1]:
-                part = np.argpartition(D, t - 1, axis=1)[:, :t]
-            else:
-                part = np.broadcast_to(np.arange(D.shape[1]), (nq, D.shape[1]))
-            d_part = np.take_along_axis(D, part, axis=1)
-            ids_part = ids[part]
-            # Row-wise lexsort by (dist, id): stable sort by id, then a
-            # stable re-sort by dist — two vectorized argsorts instead of
-            # a Python-level np.lexsort per query row.
-            o1 = np.argsort(ids_part, axis=1, kind="stable")
-            o2 = np.argsort(np.take_along_axis(d_part, o1, axis=1), axis=1, kind="stable")
-            order = np.take_along_axis(o1, o2, axis=1)[:, :k]
-            sel_d = np.take_along_axis(d_part, order, axis=1)
-            sel_id = np.take_along_axis(ids_part, order, axis=1)
+            sel_id, sel_d = batch_topk(D, ids, k, take)
             keep = np.isfinite(sel_d).ravel()  # drop shard-masked rows
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(qids, order.shape[1])[keep],
+                    "qid": np.repeat(qids, sel_d.shape[1])[keep],
                     "neighbor_id": sel_id.ravel()[keep],
                     "dist": sel_d.ravel()[keep],
                 }

@@ -11,6 +11,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.operators.knn import batch_topk
 
 LSH = SignLSH()  # engine default: dim 64, 4 fns × 3 tables, seed 42
 
@@ -81,3 +82,47 @@ def test_all_bucket_impls_agree(spark):
     assert udf_ids == list(want)
     assert expr_ids == list(want)
     assert sql_ids == list(want)
+
+
+# -- batch_topk: the vectorized kNN inner kernel --------------------------
+
+topk_case = st.tuples(
+    st.integers(min_value=1, max_value=8),    # nq
+    st.integers(min_value=1, max_value=40),   # ncols
+    st.integers(min_value=1, max_value=15),   # k
+    st.integers(min_value=0, max_value=2**31),  # seed
+)
+
+
+@given(topk_case)
+@settings(max_examples=200, deadline=None)
+def test_batch_topk_matches_per_row_lexsort(case):
+    """The whole-matrix two-argsort ranking must equal the obvious
+    per-row np.lexsort oracle for every (dist, id) tie pattern —
+    including duplicated distances (quantized values force ties) and
+    k > ncols."""
+    nq, nc, k, seed = case
+    rng = np.random.RandomState(seed)
+    # quantize to force distance ties; shuffled non-contiguous ids
+    D = np.round(rng.rand(nq, nc) * 5) / 5.0
+    ids = rng.permutation(nc * 7)[:nc].astype(np.int64)
+
+    sel_id, sel_d = batch_topk(D, ids, k, take=2 * k)
+
+    kk = min(k, nc)
+    assert sel_id.shape == (nq, kk) and sel_d.shape == (nq, kk)
+    for i in range(nq):
+        order = np.lexsort((ids, D[i]))[:kk]
+        assert list(sel_id[i]) == list(ids[order]), (i, seed)
+        assert list(sel_d[i]) == list(D[i][order]), (i, seed)
+
+
+def test_batch_topk_boundary_tie_regression():
+    """50 equidistant neighbors, k=10, take=20: the prefilter can keep
+    an arbitrary 20 of the tie group, but the result must still be the
+    10 smallest ids (the fallback re-rank)."""
+    D = np.full((1, 50), 0.25)
+    ids = np.arange(50, 0, -1).astype(np.int64)  # 50..1 reversed
+    sel_id, sel_d = batch_topk(D, ids, k=10, take=20)
+    assert list(sel_id[0]) == list(range(1, 11))
+    assert (sel_d == 0.25).all()
