@@ -636,6 +636,44 @@ def _q_repeat_customers(d: str) -> str:
     """
 
 
+def _run_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (DataFrame.unpivot/melt): the pivot result folded back to
+    long form — reshaping both ways is a projection-only operation, no
+    extra shuffle beyond the pivot's aggregation."""
+    wide = _run_returnflag_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["rev_open", "rev_finished"],
+        variableColumnName="status",
+        valueColumnName="revenue",
+    )
+
+
+def _returnflag_unpivot_oracle() -> str:
+    pivot = _returnflag_pivot_oracle()
+    return f"""
+    WITH wide AS ({pivot})
+    SELECT l_returnflag, 'rev_open' AS status, rev_open AS revenue FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'rev_finished' AS status, rev_finished AS revenue FROM wide
+    """
+
+
+def _q_source_regex_stats(d: str) -> str:
+    """Regex scalar functions (string-function family): extract the
+    numeric id from the source tag, bucket sources mod 4, aggregate.
+    regexp_extract shares capture-group semantics across engines;
+    the pattern uses [0-9] instead of \\d because string-literal escape
+    rules differ (Spark eats the backslash, DuckDB keeps it)."""
+    return """
+    SELECT cast(regexp_extract(source, 'src([0-9]+)', 1) as int) % 4 AS source_bucket,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY cast(regexp_extract(source, 'src([0-9]+)', 1) as int) % 4
+    """
+
+
 def _run_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-count (SURVEY §2.2 approximate-ops row
     beyond LSH): HyperLogLog++ per-group user cardinality. The
@@ -1441,6 +1479,8 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("customers_without_orders", _q_customers_without_orders),
         _sql_query("repeat_customers_intersect", _q_repeat_customers),
         Query("returnflag_pivot", _run_returnflag_pivot, _returnflag_pivot_oracle()),
+        Query("returnflag_unpivot", _run_returnflag_unpivot, _returnflag_unpivot_oracle()),
+        _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
     ]
     return {q.name: q for q in qs}
