@@ -251,6 +251,50 @@ def _q_curation_pipeline(d: str) -> str:
     """
 
 
+def _q_doc_tfidf_top3(d: str) -> str:
+    """TF-IDF feature extraction: top-3 terms per document by
+    tf * ln(N/df), ties broken by term. Ranking happens on the
+    1e-6-rounded score so both engines rank identical keys. At scale
+    this is two shuffles (doc-term TF, term DF) plus a broadcast of
+    the tiny DF side — the standard two-pass formulation."""
+    toks = T.tokens("text", d)
+    if d == SPARK:
+        ex = f"ex AS (SELECT doc_id, term FROM documents LATERAL VIEW explode({toks}) e AS term)"
+    else:
+        ex = f"ex AS (SELECT doc_id, unnest({toks}) AS term FROM documents)"
+    return f"""
+    WITH {ex},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+    idf AS (SELECT term, count(distinct doc_id) AS df FROM ex GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(cast(n.n_docs as double) / idf.df), 6) AS tfidf
+      FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) ranked
+    WHERE rnk <= 3
+    """
+
+
+def _q_doc_sample_hash(d: str) -> str:
+    """Deterministic ~1/8 sample via content-independent hashing of the
+    key — reproducible across engines, runs, and cluster sizes, unlike
+    TABLESAMPLE/rand(seed) whose streams are engine-specific. The
+    portable trick for train/test splits and sampled profiling at
+    100 TB: the predicate is a cheap scan filter, no shuffle."""
+    s = "string" if d == SPARK else "varchar"
+    return f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(cast(doc_id as {s})), 1, 1) IN ('0', '1')
+    """
+
+
 def _q_dedup_exact(d: str) -> str:
     return """
     SELECT md5(text) AS content_hash,
@@ -1432,6 +1476,8 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("doc_quality", _q_doc_quality),
         _sql_query("doc_lang_id", _q_doc_lang_id),
         _sql_query("doc_fingerprint", _q_doc_fingerprint),
+        _sql_query("doc_tfidf_top3", _q_doc_tfidf_top3),
+        _sql_query("doc_sample_hash", _q_doc_sample_hash),
         # dedup family (X2/X3 + north star)
         _sql_query("dedup_exact", _q_dedup_exact),
         _sql_query("curation_pipeline", _q_curation_pipeline),
