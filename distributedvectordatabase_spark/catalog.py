@@ -613,6 +613,23 @@ def _q_part_type_revenue(d: str) -> str:
     """
 
 
+def _q_lineitem_price_stats(d: str) -> str:
+    """Statistical aggregates: Pearson correlation, sample covariance
+    and stddev of (quantity, extendedprice) per return flag. Both
+    engines use the same textbook definitions; results are normalized
+    ratios, so double accumulation-order drift stays far below the
+    1e-6 canonical rounding. One scan, partial+final aggregation."""
+    return """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """
+
+
 def _q_order_part_lists(d: str) -> str:
     """Array aggregation: per-order sorted part-key list (emitted as a
     joined string so the cross-engine value compare stays scalar).
@@ -1515,6 +1532,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("top_customers_per_nation", _q_top_customers),
         _sql_query("top_suppliers_per_region", _q_top_suppliers_per_region),
         _sql_query("order_part_lists", _q_order_part_lists),
+        _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
         _sql_query("sales_rollup", _q_sales_rollup),
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
