@@ -101,6 +101,30 @@ class VectorStore:
             )
         self._write(df, "append", validate_dim)
 
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite the store into ``files_per_shard`` files per shard.
+
+        Streaming / repeated append ingest leaves one file per
+        (micro-batch, writer task) — at 100 TB that means millions of
+        small files, and open/footer overhead starts to dominate scan
+        time. Compaction restores the build-time layout: read,
+        repartition on (shard_id, spread), rewrite. The new copy is
+        fully materialized in a sibling directory before the old one is
+        removed, so a failed compaction never loses the store."""
+        import shutil
+
+        tmp = self.path.rstrip("/") + "__compacting"
+        spread = (F.abs(F.hash(self.id_col)) % self.files_per_shard).alias("_spread")
+        (
+            self.read(spark)
+            .repartition(self.lsh.num_tables * self.files_per_shard, F.col("shard_id"), spread)
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
     # -- read / query -------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:

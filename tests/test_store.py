@@ -81,3 +81,33 @@ def test_stats_and_distribution(spark, store):
     assert m.min_count <= m.avg_count <= m.max_count
     assert m.distribution_quality in {"excellent", "good", "acceptable", "uneven"}
     assert abs(m.imbalance_factor - (m.max_count - m.min_count) / m.avg_count) < 1e-4
+
+
+def test_compact_shrinks_files_preserves_content(spark, tmp_path):
+    """Five small appends fragment the store; compact() must restore
+    <= files_per_shard files per shard with identical content."""
+    import glob
+    import os
+
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    s = VectorStore(str(tmp_path / "frag"))
+    s.write(emb.filter(F.col("vec_id") < 100))
+    for lo in range(100, 500, 100):
+        s.append(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+        )
+
+    def files():
+        return glob.glob(os.path.join(s.path, "shard_id=*", "*.parquet"))
+
+    before_rows = {(r.vec_id,) for r in s.read(spark).select("vec_id").collect()}
+    n_before = len(files())
+    s.compact(spark)
+    n_after = len(files())
+    assert n_after < n_before
+    assert n_after <= s.lsh.num_tables * s.files_per_shard
+    after_rows = {(r.vec_id,) for r in s.read(spark).select("vec_id").collect()}
+    assert after_rows == before_rows and len(after_rows) == 500
