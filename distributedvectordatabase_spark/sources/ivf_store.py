@@ -94,6 +94,29 @@ class IVFStore:
         )
         out.write.mode("append").partitionBy("cell_id").parquet(self.path)
 
+    def compact(self, spark: SparkSession, files_per_cell: int = 1) -> None:
+        """Rewrite each cell into ``files_per_cell`` files. Appends leave
+        one file per (batch, writer task); compaction restores the
+        build-time layout. Same crash-safety as VectorStore.compact:
+        the new copy is complete before the old one is removed."""
+        import shutil
+
+        tmp = self.path.rstrip("/") + "__compacting"
+        spread = (F.abs(F.hash(self.id_col)) % files_per_cell).alias("_spread")
+        (
+            self.read(spark)
+            .repartition(self.n_cells * files_per_cell, F.col("cell_id"), spread)
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(tmp)
+        )
+        # the centroid sidecar lives inside the store dir — carry it over
+        shutil.copy(
+            self._centroid_path, os.path.join(tmp, os.path.basename(self._centroid_path))
+        )
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
     # -- query ---------------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -68,3 +68,29 @@ def test_append_assigns_existing_centroids(spark, built, tmp_path):
     }
     shared = orig.keys() & dup.keys()
     assert shared and all(orig[k] == dup[k] for k in shared)
+
+
+def test_compact_restores_layout_preserves_results(spark, tmp_path):
+    """Appends fragment cell dirs; compact() must reduce to
+    files_per_cell files per cell with identical content and identical
+    pruned-search results."""
+    import glob
+    import os
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    s = IVFStore(str(tmp_path / "idx"), n_cells=8)
+    s.build(emb.filter(F.col("vec_id") < 300))
+    s.append(emb.filter(F.col("vec_id") >= 300))
+    qs = queries_fixture(spark, SF_SMALL, n=3)
+
+    def files():
+        return glob.glob(os.path.join(s.path, "cell_id=*", "*.parquet"))
+
+    before = sorted(map(tuple, s.knn(spark, qs, k=K, n_probe=4).collect()))
+    n_before = len(files())
+    s.compact(spark)
+    n_after = len(files())
+    assert n_after < n_before and n_after <= 8
+    assert s.read(spark).count() == 500
+    after = sorted(map(tuple, s.knn(spark, qs, k=K, n_probe=4).collect()))
+    assert after == before
