@@ -735,6 +735,20 @@ def _q_source_regex_stats(d: str) -> str:
     """
 
 
+def _q_events_value_histogram(d: str) -> str:
+    """Fixed-width histogram of the event value distribution — binning
+    as arithmetic (floor(v/width)) instead of engine-specific
+    width_bucket, so both dialects share one expression. One scan,
+    partial+final aggregation; bins, not rows, cross the shuffle."""
+    return """
+    SELECT cast(floor(value / 10.0) as int) AS bin,
+           count(*) AS n_events,
+           round(cast(sum(cast(value as decimal(18,4))) as double), 6) AS bin_sum
+    FROM events
+    GROUP BY cast(floor(value / 10.0) as int)
+    """
+
+
 def _run_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-count (SURVEY §2.2 approximate-ops row
     beyond LSH): HyperLogLog++ per-group user cardinality. The
@@ -1524,6 +1538,7 @@ def build_catalog() -> dict[str, Query]:
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
         # approximate ops (§2.2) — HLL estimates are engine-specific; rows-only
         Query("events_approx_distinct", _run_events_approx_distinct, None),
+        _sql_query("events_value_histogram", _q_events_value_histogram),
         Query("events_range_join", _run_events_range_join, _events_range_join_oracle()),
         # relational star schema (X8)
         _sql_query("tpch_q1_pricing", _q_tpch_q1),
