@@ -56,6 +56,12 @@ HEADLINE = [
     "semantic_search_topk",
     "customer_revenue_deciles",
     "top_suppliers_per_region",
+    "order_part_lists",
+    "lineitem_price_stats",
+    "events_value_histogram",
+    "doc_tfidf_top3",
+    "doc_sample_hash",
+    "embedding_neardup",
 ]
 
 

@@ -281,6 +281,39 @@ def _q_doc_tfidf_top3(d: str) -> str:
     """
 
 
+def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form of _q_doc_tfidf_top3 with the exploded (doc,
+    term) frame cached — the SQL template's `ex` CTE feeds both TF and
+    DF aggregations, and Catalyst inlines CTEs, so the template
+    tokenizes the corpus twice. Caching halves the work; every
+    expression mirrors the template so values stay oracle-identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(T.tokens("text", SPARK))).alias("term")
+    ).cache()
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 def _q_doc_sample_hash(d: str) -> str:
     """Deterministic ~1/8 sample via content-independent hashing of the
     key — reproducible across engines, runs, and cluster sizes, unlike
@@ -1520,7 +1553,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("doc_quality", _q_doc_quality),
         _sql_query("doc_lang_id", _q_doc_lang_id),
         _sql_query("doc_fingerprint", _q_doc_fingerprint),
-        _sql_query("doc_tfidf_top3", _q_doc_tfidf_top3),
+        Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
         _sql_query("doc_sample_hash", _q_doc_sample_hash),
         # dedup family (X2/X3 + north star)
         _sql_query("dedup_exact", _q_dedup_exact),
