@@ -62,6 +62,8 @@ HEADLINE = [
     "doc_tfidf_top3",
     "doc_sample_hash",
     "embedding_neardup",
+    "setsim_pairs",
+    "dedup_clusters",
 ]
 
 

@@ -410,6 +410,112 @@ def _q_ngram_sim_topk(d: str) -> str:
     """
 
 
+# Exact set-similarity join + dup clustering. θ chosen for the driver
+# corpus's bimodal 3-shingle Jaccard (true dups ≥0.9, everything else
+# ≈0); the exact prefix-filter join is recall-1 at θ by construction,
+# which is what lets the Spark runner match a brute-force O(n²) oracle.
+SETSIM_JACCARD = 0.9
+
+
+def _shingle_sets(d: str) -> str:
+    """(doc_id, distinct 3-shingle set) with empty sets dropped."""
+    ln = "size" if d == SPARK else "len"
+    sh = f"{_adistinct(d)}({T.word_shingles(T.tokens('text', d), 3, d)})"
+    return (
+        f"(SELECT doc_id, sh FROM (SELECT doc_id, {sh} AS sh FROM documents) "
+        f"WHERE {ln}(sh) > 0)"
+    )
+
+
+def _setsim_edges(d: str) -> str:
+    j = _jaccard("a.sh", "b.sh", d)
+    return f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {j} AS jaccard
+      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id
+      WHERE {j} >= {SETSIM_JACCARD}
+    """
+
+
+def _q_setsim_pairs(d: str) -> str:
+    """Oracle: brute-force O(n²) all-pairs Jaccard over 3-shingles.
+    The Spark runner computes the SAME pairs with the prefix-filtered
+    AllPairs join (operators/setsim.py) — exact, so the outputs are
+    identical, but sub-quadratic: only pairs sharing a rare-prefix
+    shingle are ever scored."""
+    return f"""
+    WITH sh_sets AS {_shingle_sets(d)}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM ({_setsim_edges(d)}) e
+    """
+
+
+def _run_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.setsim import similarity_join
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    sets = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct({T.word_shingles(T.tokens('text', SPARK), 3, SPARK)})"
+        ).alias("sh"),
+    )
+    pairs = similarity_join(sets, "doc_id", "sh", SETSIM_JACCARD)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_dedup_clusters(d: str) -> str:
+    """Oracle: transitive closure of the ≥θ near-dup graph via a
+    recursive CTE (label propagation to fixpoint), min label = cluster
+    id. The Spark runner is the scale path: exact prefix-filter edges →
+    large-star/small-star connected components (operators/components.py),
+    O(log n) shuffle rounds instead of O(n²) memory."""
+    return f"""
+    WITH RECURSIVE sh_sets AS {_shingle_sets(d)},
+    edges AS ({_setsim_edges(d)}),
+    bidir AS (
+      SELECT doc_a AS x, doc_b AS y FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, comp) AS (
+      SELECT x, x FROM bidir
+      UNION
+      SELECT b.y, r.comp FROM reach r JOIN bidir b ON b.x = r.node
+    ),
+    assign AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign
+    """
+
+
+def _run_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = _run_setsim_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    assignments = connected_components(edges)
+    w = Window.partitionBy("component")
+    return assignments.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # event queries (X6 time buckets, X7 JSON, sessionization)
 # ---------------------------------------------------------------------------
@@ -1561,6 +1667,8 @@ def build_catalog() -> dict[str, Query]:
         Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
+        Query("setsim_pairs", _run_setsim_pairs, _q_setsim_pairs(DUCKDB)),
+        Query("dedup_clusters", _run_dedup_clusters, _q_dedup_clusters(DUCKDB)),
         Query("embedding_neardup", _run_embedding_neardup, _q_embedding_neardup(DUCKDB)),
         Query(
             "embedding_neardup_lsh",

@@ -1,0 +1,108 @@
+"""Connected components over a pair graph (dedup clustering).
+
+The dedup operators (MinHash/SimHash/cosine, operators/dedup.py) emit
+*pairs*; a curation pipeline needs *clusters* — near-duplication is not
+transitive, so A~B and B~C must collapse into one group {A,B,C} before
+picking a survivor per group. The reference has no analog (its dedup
+surface is empty, SURVEY §2.2); this is north-star pipeline territory.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), the canonical
+shuffle-based CC. Each round is two groupBy-shuffles on node id; the
+edge set converges to a star forest (every node → its component's
+minimum id) in O(log n) rounds — unlike naive min-label propagation,
+which needs O(diameter) rounds and dies on chain-shaped graphs at
+scale. Per-node state is a single window MIN (no collect_set arrays),
+so a million-member component never materializes one node's neighbor
+list in an executor. Each iteration ends in ``localCheckpoint`` to
+truncate lineage (iterative plans otherwise grow without bound) and a
+convergence check on the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "cluster_survivors"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to the minimum of
+    u's neighborhood (including u itself)."""
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = Window.partitionBy("src")
+    with_mn = nbrs.withColumn(
+        "mn", F.least(F.min("dst").over(w), F.col("src"))
+    )
+    return (
+        with_mn.where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges larger→smaller, then connect each node's smaller
+    neighbors (and the node itself) to the minimum of that set."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    w = Window.partitionBy("src")
+    with_mn = directed.withColumn("mn", F.min("dst").over(w))
+    members = with_mn.select(F.col("dst").alias("v"), "mn").union(
+        with_mn.select(F.col("src").alias("v"), "mn")
+    )
+    return (
+        members.where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    the component id is the minimum node id in the component.
+
+    ``edges`` is undirected (each pair listed once, either order);
+    self-loops are dropped. Returns one row per distinct node.
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # both sides are distinct sets: equal count + empty difference
+        # ⇒ equal sets ⇒ star-forest fixpoint reached.
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # cur is a star forest: every non-root points at its component min.
+    assignments = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = (
+        cur.select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return assignments.unionByName(roots).distinct()
+
+
+def cluster_survivors(assignments: DataFrame) -> DataFrame:
+    """One survivor (minimum node id) per cluster with the cluster
+    size — the keep-one policy a dedup pipeline applies downstream."""
+    return assignments.groupBy("component").agg(
+        F.min("node").alias("survivor"), F.count("*").alias("cluster_size")
+    )
