@@ -328,6 +328,22 @@ def _q_doc_sample_hash(d: str) -> str:
     """
 
 
+def _q_doc_repetition(d: str) -> str:
+    """Repetition detection (Gopher-style quality signal): the fraction
+    of a document's word 2-grams that are duplicates. High values flag
+    boilerplate/spam for training-data filtering. Pure per-row array
+    arithmetic — embarrassingly parallel, no shuffle at any scale."""
+    sh = T.word_shingles(T.tokens("text", d), 2, d)
+    n = f"{_asize(d)}(sh)"
+    nd = f"{_asize(d)}({_adistinct(d)}(sh))"
+    return f"""
+    SELECT doc_id, {n} AS n_2grams,
+           round(CASE WHEN {n} = 0 THEN 0.0
+                 ELSE 1.0 - cast({nd} as double) / {n} END, 6) AS dup_2gram_frac
+    FROM (SELECT doc_id, {sh} AS sh FROM documents) t
+    """
+
+
 def _q_dedup_exact(d: str) -> str:
     return """
     SELECT md5(text) AS content_hash,
@@ -560,6 +576,28 @@ def _q_events_sessions(d: str) -> str:
     """
 
 
+def _q_events_next_gap(d: str) -> str:
+    """lead() window: per-user gap to the next event, rolled up per
+    event type. Gap sums stay integer micros (exact, engine-independent)
+    and only convert to seconds at the end. One shuffle on user_id for
+    the window, one tiny aggregation."""
+    m = _micros("ts", d)
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+             lead({m}) OVER (PARTITION BY user_id ORDER BY ts, event_id) - {m} AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(cast(sum(gap_us) as double) / count(*) / 1e6, 6) AS avg_gap_s,
+           round(max(gap_us) / 1e6, 6) AS max_gap_s
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """
+
+
 def _q_events_daily(d: str) -> str:
     return f"""
     SELECT {_day('ts', d)} AS day,
@@ -727,6 +765,20 @@ def _q_customer_running_revenue(d: str) -> str:
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) as double), 6) AS running_revenue
+    FROM orders
+    """
+
+
+def _q_order_percent_rank(d: str) -> str:
+    """percent_rank + cume_dist ranking windows (the remaining members
+    of the ranking-function family alongside row_number/ntile). The
+    ORDER BY includes the key, so ranks are tie-free and deterministic
+    across engines."""
+    w = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"
+    return f"""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() {w}, 6) AS price_pct_rank,
+           round(cume_dist() {w}, 6) AS price_cume_dist
     FROM orders
     """
 
@@ -979,6 +1031,63 @@ def _q_label_dispersion(d: str) -> str:
     )
     SELECT label, count(*) AS n_vectors, round(avg(sq), 6) AS avg_sq_dist_to_centroid
     FROM per_vec
+    GROUP BY label
+    """
+
+
+def _q_centroid_assign(d: str) -> str:
+    """Nearest-centroid classification: assign each embedding to the
+    closest per-label mean vector and report the confusion counts vs
+    the true label. Distances are ranked on the 1e-6-rounded value
+    (like doc_tfidf_top3) so both engines rank identical keys. At
+    scale: the centroid side is O(labels × dims) — always broadcast —
+    and the per-vector argmin is a window over labels-per-vector rows."""
+    return f"""
+    WITH {_flat_cte(d)},
+    cent AS (
+      SELECT label AS c_label, dim_idx, avg(val) AS m
+      FROM flat GROUP BY label, dim_idx
+    ),
+    dist AS (
+      SELECT f.vec_id, f.label AS true_label, c.c_label,
+             round(sum((f.val - c.m) * (f.val - c.m)), 6) AS d2
+      FROM flat f JOIN cent c ON f.dim_idx = c.dim_idx
+      GROUP BY f.vec_id, f.label, c.c_label
+    ),
+    best AS (
+      SELECT vec_id, true_label, c_label AS assigned_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM dist
+    )
+    SELECT true_label, assigned_label, count(*) AS n_vectors
+    FROM best WHERE rn = 1
+    GROUP BY true_label, assigned_label
+    """
+
+
+def _q_embedding_quantize_error(d: str) -> str:
+    """Int8 scalar quantization (the standard vector-compression step
+    before ANN at scale: 4× smaller than float32): per-dimension
+    max-abs scale, symmetric round-to-127 quantize, and the resulting
+    reconstruction error per label. Per-row math is IEEE-identical in
+    both engines; only exact aggregates (max) feed the scale, so the
+    quantized values match bit-for-bit."""
+    qv = "round(f.val / nullif(s.s, 0) * 127)"
+    recon = f"{qv} * s.s / 127"
+    return f"""
+    WITH {_flat_cte(d)},
+    scale AS (SELECT dim_idx, max(abs(val)) AS s FROM flat GROUP BY dim_idx),
+    err AS (
+      SELECT f.vec_id, f.label,
+             sum(CASE WHEN s.s = 0 OR s.s IS NULL THEN 0.0
+                 ELSE (f.val - {recon}) * (f.val - {recon}) END) AS sq_err
+      FROM flat f JOIN scale s ON f.dim_idx = s.dim_idx
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(avg(sq_err), 6) AS mean_sq_err,
+           round(max(sq_err), 6) AS max_sq_err
+    FROM err
     GROUP BY label
     """
 
@@ -1661,6 +1770,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("doc_fingerprint", _q_doc_fingerprint),
         Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
         _sql_query("doc_sample_hash", _q_doc_sample_hash),
+        _sql_query("doc_repetition", _q_doc_repetition),
         # dedup family (X2/X3 + north star)
         _sql_query("dedup_exact", _q_dedup_exact),
         _sql_query("curation_pipeline", _q_curation_pipeline),
@@ -1682,11 +1792,14 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("label_centroids", _q_label_centroids),
         _sql_query("label_dispersion", _q_label_dispersion),
         _sql_query("vector_norms", _q_vector_norms),
+        _sql_query("centroid_assign", _q_centroid_assign),
+        _sql_query("embedding_quantize_error", _q_embedding_quantize_error),
         # events (X6/X7)
         _sql_query("events_hourly", _q_events_hourly),
         _sql_query("events_json_extract", _q_events_json),
         _sql_query("events_sessions", _q_events_sessions),
         _sql_query("events_daily_active", _q_events_daily),
+        _sql_query("events_next_gap", _q_events_next_gap),
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
@@ -1706,6 +1819,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("order_quantiles", _q_order_quantiles),
+        _sql_query("order_percent_rank", _q_order_percent_rank),
         _sql_query("customer_running_revenue", _q_customer_running_revenue),
         _sql_query("customer_revenue_deciles", _q_customer_revenue_deciles),
         _sql_query("part_type_revenue", _q_part_type_revenue),
