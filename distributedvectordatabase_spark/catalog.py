@@ -164,23 +164,15 @@ def _elem(arr: str, i0: int, d: str) -> str:
 # text / document queries (SURVEY §2.3 X3, X4 + north-star text analysis)
 # ---------------------------------------------------------------------------
 
-def _q_doc_token_stats(d: str) -> str:
-    toks = T.tokens("text", d)
-    return f"""
-    SELECT doc_id,
-           {_asize(d)}({toks}) AS n_ws_tokens,
-           {_asize(d)}({T.regex_tokens('text', d)}) AS n_bpe_tokens,
-           length(text) AS text_len,
-           round(cast({T.sum_token_lengths(toks, d)} as double)
-                 / nullif({_asize(d)}({toks}), 0), 6) AS avg_token_len
-    FROM documents
-    """
-
-
 def _q_doc_quality(d: str) -> str:
+    """Merged per-document text-analysis profile (token stats + quality
+    gates + Gopher-style repetition) — one scan, all per-row scalar
+    arithmetic, embarrassingly parallel at any scale. Tokenization and
+    shingling are materialized once in the inner projection; both
+    engines keep multi-use non-trivial aliases single-evaluated."""
     toks = T.tokens("text", d)
-    stop = T.marker_score(toks, T.STOPWORDS_EN, d)
-    n = f"{_asize(d)}({toks})"
+    stop = "marker_hits"
+    n = "n_ws_tokens"
     stop_ratio = f"(cast({stop} as double) / nullif({n}, 0))"
     # DuckDB regexp_replace is first-match-only without the 'g' flag
     strip = (
@@ -188,17 +180,35 @@ def _q_doc_quality(d: str) -> str:
         if d == SPARK
         else "regexp_replace(text, '[^A-Za-z]', '', 'g')"
     )
-    alpha_ratio = f"(cast(length({strip}) as double) / nullif(length(text), 0))"
+    alpha_ratio = "(cast(alpha_len as double) / nullif(text_len, 0))"
     score = (
         f"least(1.0, cast({n} as double) / 100.0) * 0.4"
         f" + least({stop_ratio} * 5.0, 1.0) * 0.3 + {alpha_ratio} * 0.3"
     )
+    n2, nd2 = f"{_asize(d)}(sh2)", f"{_asize(d)}({_adistinct(d)}(sh2))"
     return f"""
     SELECT doc_id,
+           n_ws_tokens,
+           n_bpe_tokens,
+           text_len,
+           round(cast(sum_tok_len as double) / nullif(n_ws_tokens, 0), 6) AS avg_token_len,
            round({stop_ratio}, 6) AS stopword_ratio,
            round({alpha_ratio}, 6) AS alpha_ratio,
-           round({score}, 6) AS quality_score
-    FROM documents
+           round({score}, 6) AS quality_score,
+           {n2} AS n_2grams,
+           round(CASE WHEN {n2} = 0 THEN 0.0
+                 ELSE 1.0 - cast({nd2} as double) / {n2} END, 6) AS dup_2gram_frac
+    FROM (
+      SELECT doc_id,
+             {_asize(d)}({toks}) AS n_ws_tokens,
+             {_asize(d)}({T.regex_tokens('text', d)}) AS n_bpe_tokens,
+             length(text) AS text_len,
+             {T.sum_token_lengths(toks, d)} AS sum_tok_len,
+             {T.marker_score(toks, T.STOPWORDS_EN, d)} AS marker_hits,
+             length({strip}) AS alpha_len,
+             {T.word_shingles(toks, 2, d)} AS sh2
+      FROM documents
+    ) t
     """
 
 
@@ -207,10 +217,6 @@ def _q_doc_lang_id(d: str) -> str:
     SELECT doc_id, lang, {T.lang_id_expr('text', d)} AS pred_lang
     FROM documents
     """
-
-
-def _q_doc_fingerprint(d: str) -> str:
-    return f"SELECT doc_id, {T.fingerprint('text', d)} AS fp FROM documents"
 
 
 def _q_curation_pipeline(d: str) -> str:
@@ -244,8 +250,8 @@ def _q_curation_pipeline(d: str) -> str:
     )
     SELECT lang,
            count(*) AS docs_kept,
-           sum(n_copies) AS docs_after_gates,
-           sum(n_copies) - count(*) AS dups_removed
+           cast(sum(n_copies) as bigint) AS docs_after_gates,
+           cast(sum(n_copies) - count(*) as bigint) AS dups_removed
     FROM kept
     GROUP BY lang
     """
@@ -314,33 +320,18 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_doc_sample_hash(d: str) -> str:
+def _q_doc_sample_fingerprint(d: str) -> str:
     """Deterministic ~1/8 sample via content-independent hashing of the
     key — reproducible across engines, runs, and cluster sizes, unlike
-    TABLESAMPLE/rand(seed) whose streams are engine-specific. The
+    TABLESAMPLE/rand(seed) whose streams are engine-specific (the
     portable trick for train/test splits and sampled profiling at
-    100 TB: the predicate is a cheap scan filter, no shuffle."""
+    100 TB: the predicate is a cheap scan filter, no shuffle) — plus
+    the rolling-hash document fingerprint of each sampled doc."""
     s = "string" if d == SPARK else "varchar"
     return f"""
-    SELECT doc_id, lang, n_chars
+    SELECT doc_id, lang, n_chars, {T.fingerprint('text', d)} AS fp
     FROM documents
     WHERE substring(md5(cast(doc_id as {s})), 1, 1) IN ('0', '1')
-    """
-
-
-def _q_doc_repetition(d: str) -> str:
-    """Repetition detection (Gopher-style quality signal): the fraction
-    of a document's word 2-grams that are duplicates. High values flag
-    boilerplate/spam for training-data filtering. Pure per-row array
-    arithmetic — embarrassingly parallel, no shuffle at any scale."""
-    sh = T.word_shingles(T.tokens("text", d), 2, d)
-    n = f"{_asize(d)}(sh)"
-    nd = f"{_asize(d)}({_adistinct(d)}(sh))"
-    return f"""
-    SELECT doc_id, {n} AS n_2grams,
-           round(CASE WHEN {n} = 0 THEN 0.0
-                 ELSE 1.0 - cast({nd} as double) / {n} END, 6) AS dup_2gram_frac
-    FROM (SELECT doc_id, {sh} AS sh FROM documents) t
     """
 
 
@@ -354,23 +345,27 @@ def _q_dedup_exact(d: str) -> str:
     """
 
 
-def _minhash_cte(d: str) -> str:
-    toks = f"{_adistinct(d)}({T.tokens('text', d)})"
+def _minhash_cte(
+    d: str,
+    toks_expr: str | None = None,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> str:
+    toks = toks_expr or f"{_adistinct(d)}({T.tokens('text', d)})"
     sigs = ", ".join(
-        f"{T.minhash_sig('toks', j, d)} AS h{j}"
-        for j in range(MINHASH_BANDS * MINHASH_ROWS)
+        f"{T.minhash_sig('toks', j, d)} AS h{j}" for j in range(bands * rows)
     )
-    bands = "\n      UNION ALL\n".join(
+    band_sql = "\n      UNION ALL\n".join(
         "SELECT doc_id, {b} AS band, concat({hs}) AS band_key FROM sig".format(
             b=b,
-            hs=", ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+            hs=", ".join(f"h{b * rows + r}" for r in range(rows)),
         )
-        for b in range(MINHASH_BANDS)
+        for b in range(bands)
     )
     return f"""
     WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
     sig AS (SELECT doc_id, toks, {sigs} FROM t),
-    bands AS ({bands}),
+    bands AS ({band_sql}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -379,10 +374,8 @@ def _minhash_cte(d: str) -> str:
     """
 
 
-def _q_dedup_minhash(d: str) -> str:
-    return (
-        _minhash_cte(d)
-        + f"""
+def _minhash_verify_sql(d: str, threshold: float) -> str:
+    return f"""
     SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
     FROM (
       SELECT c.doc_a, c.doc_b, {_jaccard('ta.toks', 'tb.toks', d)} AS jaccard
@@ -390,8 +383,33 @@ def _q_dedup_minhash(d: str) -> str:
       JOIN t ta ON ta.doc_id = c.doc_a
       JOIN t tb ON tb.doc_id = c.doc_b
     ) v
-    WHERE jaccard >= {MINHASH_JACCARD}
+    WHERE jaccard >= {threshold}
     """
+
+
+def _q_dedup_minhash(d: str) -> str:
+    return _minhash_cte(d) + _minhash_verify_sql(d, MINHASH_JACCARD)
+
+
+# Shingle-input MinHash: on low-vocab corpora (this testdata: ~40-word
+# vocabulary, median unigram Jaccard 0.63) unigram token sets saturate
+# and banding goes near-quadratic; 3-word shingles restore a bimodal
+# similarity distribution (true dups ≥0.9, everything else ≈0), so the
+# band join touches only real candidates — the recommended MinHash
+# input on any real corpus.
+SHINGLE_BANDS = 4
+SHINGLE_ROWS = 3
+SHINGLE_JACCARD = 0.9
+
+
+def _shingle_toks(d: str) -> str:
+    return f"{_adistinct(d)}({T.word_shingles(T.tokens('text', d), 3, d)})"
+
+
+def _q_dedup_minhash_shingle(d: str) -> str:
+    return (
+        _minhash_cte(d, toks_expr=_shingle_toks(d), bands=SHINGLE_BANDS, rows=SHINGLE_ROWS)
+        + _minhash_verify_sql(d, SHINGLE_JACCARD)
     )
 
 
@@ -560,41 +578,29 @@ def _q_events_json(d: str) -> str:
 
 
 def _q_events_sessions(d: str) -> str:
+    """Sessionization (lag: 30-min-gap session starts) merged with
+    next-event gap analytics (lead) — one user_id window shuffle feeds
+    both. Gap sums stay integer micros (exact, engine-independent) and
+    only convert to seconds at the end."""
     gap_us = 30 * 60 * 1_000_000
     m = _micros("ts", d)
+    w = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     return f"""
     WITH o AS (
       SELECT user_id,
-             CASE WHEN lag({m}) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR {m} - lag({m}) OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
-                  THEN 1 ELSE 0 END AS new_sess
+             CASE WHEN lag({m}) {w} IS NULL
+                       OR {m} - lag({m}) {w} > {gap_us}
+                  THEN 1 ELSE 0 END AS new_sess,
+             lead({m}) {w} - {m} AS gap_us
       FROM events
     )
-    SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+    SELECT user_id,
+           cast(sum(new_sess) as bigint) AS n_sessions,
+           count(*) AS n_events,
+           round(cast(sum(gap_us) as double) / nullif(count(gap_us), 0) / 1e6, 6) AS avg_gap_s,
+           round(max(gap_us) / 1e6, 6) AS max_gap_s
     FROM o
     GROUP BY user_id
-    """
-
-
-def _q_events_next_gap(d: str) -> str:
-    """lead() window: per-user gap to the next event, rolled up per
-    event type. Gap sums stay integer micros (exact, engine-independent)
-    and only convert to seconds at the end. One shuffle on user_id for
-    the window, one tiny aggregation."""
-    m = _micros("ts", d)
-    return f"""
-    WITH g AS (
-      SELECT event_type,
-             lead({m}) OVER (PARTITION BY user_id ORDER BY ts, event_id) - {m} AS gap_us
-      FROM events
-    )
-    SELECT event_type,
-           count(*) AS n_gaps,
-           round(cast(sum(gap_us) as double) / count(*) / 1e6, 6) AS avg_gap_s,
-           round(max(gap_us) / 1e6, 6) AS max_gap_s
-    FROM g
-    WHERE gap_us IS NOT NULL
-    GROUP BY event_type
     """
 
 
@@ -685,27 +691,19 @@ def _q_top_customers(d: str) -> str:
     """
 
 
-def _q_sales_rollup(d: str) -> str:
-    return f"""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS n_items,
-           round(cast(sum({_dec('l_quantity', '14,4')}) as double), 6) AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """
-
-
 def _q_sales_grouping_sets(d: str) -> str:
-    """GROUPING SETS: three aggregation grains in one pass (per flag,
-    per status, grand total) — one scan, one expanded shuffle."""
+    """GROUPING SETS superset of ROLLUP(l_returnflag, l_linestatus):
+    four aggregation grains — (flag, status), (flag), (status), grand
+    total — in one scan with one expanded shuffle. Covers the rollup
+    hierarchy plus the cross grain the rollup can't express."""
     return f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_items,
+           round(cast(sum({_dec('l_quantity', '14,4')}) as double), 6) AS sum_qty,
            round(cast({_rev(d)} as double), 6) AS revenue
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
     """
 
 
@@ -1011,16 +1009,12 @@ def _flat_cte(d: str) -> str:
     )
 
 
-def _q_label_centroids(d: str) -> str:
-    return f"""
-    WITH {_flat_cte(d)}
-    SELECT label, dim_idx, round(avg(val), 6) AS mean_val
-    FROM flat
-    GROUP BY label, dim_idx
-    """
-
-
-def _q_label_dispersion(d: str) -> str:
+def _q_label_centroid_dispersion(d: str) -> str:
+    """Per-label centroid (X5) merged with per-label dispersion: each
+    (label, dim) centroid row also carries the label's vector count and
+    mean squared distance to its centroid. The flat explode shuffles
+    once on (label, dim); the dispersion side re-joins the tiny centroid
+    frame (labels × dims rows — always broadcastable)."""
     return f"""
     WITH {_flat_cte(d)},
     cent AS (SELECT label, dim_idx, avg(val) AS m FROM flat GROUP BY label, dim_idx),
@@ -1028,10 +1022,14 @@ def _q_label_dispersion(d: str) -> str:
       SELECT f.vec_id, f.label, sum((f.val - c.m) * (f.val - c.m)) AS sq
       FROM flat f JOIN cent c ON f.label = c.label AND f.dim_idx = c.dim_idx
       GROUP BY f.vec_id, f.label
+    ),
+    disp AS (
+      SELECT label, count(*) AS n_vectors, avg(sq) AS avg_sq
+      FROM per_vec GROUP BY label
     )
-    SELECT label, count(*) AS n_vectors, round(avg(sq), 6) AS avg_sq_dist_to_centroid
-    FROM per_vec
-    GROUP BY label
+    SELECT c.label, c.dim_idx, round(c.m, 6) AS mean_val,
+           d2.n_vectors, round(d2.avg_sq, 6) AS avg_sq_dist_to_centroid
+    FROM cent c JOIN disp d2 ON c.label = d2.label
     """
 
 
@@ -1679,10 +1677,21 @@ def _frame_sample_oracle() -> str:
 
 
 def _run_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-query form of pca_reduce: posexploded to scalar rows
+    (vec_id, dim_idx, component value, explained sum) — list columns
+    must never reach a declared query's output (the driver canonicalizer
+    sorts rows and cannot hash Python lists)."""
+    from pyspark.sql import functions as F
+
     from distributedvectordatabase_spark.operators.pca import pca_reduce
     from distributedvectordatabase_spark.sources.tables import load_table
 
-    return pca_reduce(load_table(spark, "embeddings", sf_dir), k=16)
+    reduced = pca_reduce(load_table(spark, "embeddings", sf_dir), k=16)
+    return reduced.select(
+        "vec_id",
+        F.posexplode("pca").alias("dim_idx", "value"),
+        "explained_variance_sum",
+    ).select("vec_id", "dim_idx", F.round("value", 6).alias("value"), "explained_variance_sum")
 
 
 def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,9 +28,23 @@ from pyspark.sql import functions as F
 from distributedvectordatabase_spark.functions import text as T
 
 
-def tokenized(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, distinct whitespace tokens) — the MinHash input form."""
-    toks = F.expr(f"array_distinct({T.tokens(text_col, T.SPARK)})")
+def tokenized(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """(id, distinct token set) — the MinHash input form.
+
+    ``shingle_n`` switches the set elements from unigram tokens to
+    n-word shingles: on low-vocab corpora unigram sets saturate (median
+    pairwise Jaccard 0.63 on the driver testdata) and banding goes
+    near-quadratic; shingles restore a bimodal similarity distribution,
+    which is the recommended MinHash input on real corpora."""
+    base = T.tokens(text_col, T.SPARK)
+    if shingle_n is not None:
+        base = T.word_shingles(base, shingle_n, T.SPARK)
+    toks = F.expr(f"array_distinct({base})")
     return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
 
 
@@ -92,13 +106,14 @@ def minhash_neardup_pairs(
     rows: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
     Columns: (doc_a, doc_b, jaccard) with jaccard rounded to 1e-6,
-    filtered to >= threshold. Mirrors catalog._q_dedup_minhash exactly.
-    """
-    toks = tokenized(docs, text_col, id_col).cache()
+    filtered to >= threshold. Mirrors catalog._q_dedup_minhash exactly
+    (catalog._q_dedup_minhash_shingle with ``shingle_n``)."""
+    toks = tokenized(docs, text_col, id_col, shingle_n=shingle_n).cache()
     sigs = minhash_signatures(toks, bands * rows).cache()
     cand = minhash_band_pairs(sigs, bands, rows)
     ta = toks.select(

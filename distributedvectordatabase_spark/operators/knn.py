@@ -106,6 +106,40 @@ def _final_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _rescored_topk(
+    partial: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Deterministic final top-k over an Arrow partial that carries the
+    neighbor vectors (``nvec``).
+
+    The BLAS distance matrix sums in batch order, so its float64 values
+    can land on either side of a rounding boundary depending on
+    parallelism — the oracle's sequential sum is one fixed order. BLAS
+    distances are therefore used only to *select* a 2k candidate slate
+    per query; the reported ``dist`` (and the final (dist, id) ordering)
+    is recomputed with the same sequential ``aggregate(zip_with(...))``
+    expression the SQL oracle uses, making the output independent of
+    partition count and batch split."""
+    w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+    slate = (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2 * k)
+        .select("qid", "neighbor_id", "nvec")
+    )
+    q = F.broadcast(
+        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec"))
+    )
+    rescored = slate.join(q, "qid").select(
+        "qid", "neighbor_id", _dist_expr(metric, "_qvec", "nvec").alias("dist")
+    )
+    return _final_topk(rescored, k)
+
+
 def knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,7 +161,7 @@ def knn(
         raise ValueError(f"unknown metric {metric!r}")
     if impl == "arrow":
         partial = _arrow_partial_topk(corpus, queries, k, metric, id_col, vec_col, qid_col, qvec_col)
-        return _final_topk(partial, k)
+        return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
     if impl == "expr":
         pairs = corpus.join(F.broadcast(queries.select(qid_col, qvec_col)))
         scored = pairs.select(
@@ -203,17 +237,23 @@ def _arrow_partial_topk(
                 D[~ok] = np.inf
             sel_id, sel_d = batch_topk(D, ids, k, take)
             keep = np.isfinite(sel_d).ravel()  # drop shard-masked rows
+            # carry the winners' vectors so the merge can re-score with
+            # the deterministic sequential expression (no second scan):
+            # map selected ids back to batch row positions
+            sorter = np.argsort(ids, kind="stable")
+            pos = sorter[np.searchsorted(ids, sel_id.ravel()[keep], sorter=sorter)]
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(qids, sel_d.shape[1])[keep],
                     "neighbor_id": sel_id.ravel()[keep],
                     "dist": sel_d.ravel()[keep],
+                    "nvec": list(X[pos]),
                 }
             )
 
     cols = [id_col, vec_col] + ([shard_col] if cand_map is not None else [])
     return corpus.select(*cols).mapInPandas(
-        scan, schema="qid long, neighbor_id long, dist double"
+        scan, schema="qid long, neighbor_id long, dist double, nvec array<double>"
     )
 
 
@@ -292,7 +332,7 @@ def knn_pruned(
             pruned, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
             shard_col=shard_col, cand_map=cand_map,
         )
-        return _final_topk(partial, k)
+        return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
 
     cand_df = spark.createDataFrame(cand_pairs, schema=f"{qid_col} long, {shard_col} int")
     pairs = pruned.join(

@@ -141,6 +141,51 @@ def format_stats(decoded: DataFrame) -> DataFrame:
     )
 
 
+EMBED_DIM = 16
+
+
+def _fake_model(payloads, dim: int):
+    """Deterministic stand-in for a vision model: component i of the
+    embedding is md5(payload || '|' || i) → first 8 hex chars → a
+    float in [-1, 1). Exact in float64 (division by 2^32, ×2, −1 are
+    all exact), so the DuckDB oracle reproduces it bit-for-bit:
+    ('0x' || substr(md5(text || '|' || i), 1, 8))::BIGINT
+      / 4294967296.0 * 2 - 1."""
+    import numpy as np
+
+    out = np.empty((len(payloads), dim), dtype=np.float64)
+    for r, payload in enumerate(payloads):
+        b = bytes(payload)
+        for i in range(dim):
+            h = hashlib.md5(b + b"|" + str(i).encode()).hexdigest()[:8]
+            out[r, i] = int(h, 16) / 2**32 * 2 - 1
+    return out
+
+
+def infer_embeddings(media: DataFrame, model_fn=None, dim: int = EMBED_DIM) -> DataFrame:
+    """Batched media→embedding inference (reference O2: the offline
+    ResNet embedding pass, generate_coco_embeddings.py:27-83) as an
+    Arrow-batched ``mapInPandas`` skeleton with an injectable model.
+
+    ``model_fn(payloads: pd.Series, dim) -> np.ndarray (n, dim)`` is
+    called once per Arrow batch — exactly where a real build would run
+    ONNX/torch batch inference (load the model once per worker via a
+    module-level cache, feed the whole batch). The default is the
+    deterministic fake model, which keeps the operator oracle-checkable
+    end-to-end: schema, batching, and the downstream kNN round-trip are
+    all real; only the matrix math inside the model is fake. Payload
+    bytes die in this stage — only (item_id, embedding) rows continue,
+    so at 100 TB the stage is scan-bound with no payload shuffle."""
+    fn = model_fn or _fake_model
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            E = fn(pdf["payload"], dim)
+            yield pd.DataFrame({"item_id": pdf["item_id"], "embedding": list(E)})
+
+    return media.mapInPandas(batches, schema="item_id long, embedding array<double>")
+
+
 def resize_metadata(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize plumbing: recompute metadata + scale factors Spark-side;
     the pixel resample itself is the stubbed decode path. Keeps the

@@ -28,7 +28,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributedvectordatabase_spark.operators.knn import _dist_expr, _final_topk
+from distributedvectordatabase_spark.operators.knn import (
+    _arrow_partial_topk,
+    _dist_expr,
+    _final_topk,
+    _rescored_topk,
+)
 
 
 class IVFStore:
@@ -131,20 +136,38 @@ class IVFStore:
         metric: str = "l2sq",
         qid_col: str = "qid",
         qvec_col: str = "qvec",
+        impl: str = "arrow",
     ) -> DataFrame:
         """Probe the ``n_probe`` nearest cells per query; partition
-        pruning limits the scan to probed cells' directories."""
+        pruning limits the scan to probed cells' directories.
+
+        ``impl="arrow"`` (default) scores the probed rows on the same
+        BLAS partial-top-k scan as exact/pruned kNN with a per-query
+        cell mask — the interpreted ``aggregate/zip_with`` expression
+        path (``impl="expr"``) is ~25× slower per pair at 500k rows
+        (BASELINE.md scale probe) and kept only as the plan-shape
+        reference."""
         C = self.centroids()
         qrows = queries.select(qid_col, qvec_col).collect()
         probe_pairs = []
+        cand_map: dict[int, frozenset] = {}
         for r in qrows:
             qv = np.asarray(list(r[qvec_col]), dtype=np.float64)
             order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
             probe_pairs.extend((int(r[qid_col]), int(c)) for c in order)
-        probe_df = spark.createDataFrame(probe_pairs, schema=f"{qid_col} long, cell_id int")
+            cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
         probed_cells = sorted({c for _, c in probe_pairs})
+        k = max(int(k), 1)
 
         corpus = self.read(spark).filter(F.col("cell_id").isin(probed_cells))
+        if impl == "arrow":
+            partial = _arrow_partial_topk(
+                corpus, queries, k, metric, self.id_col, self.vec_col,
+                qid_col, qvec_col, shard_col="cell_id", cand_map=cand_map,
+            )
+            return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
+
+        probe_df = spark.createDataFrame(probe_pairs, schema=f"{qid_col} long, cell_id int")
         pairs = corpus.join(
             F.broadcast(queries.select(qid_col, qvec_col).join(probe_df, qid_col)),
             on="cell_id",
@@ -154,4 +177,4 @@ class IVFStore:
             F.col(self.id_col).alias("neighbor_id"),
             _dist_expr(metric, qvec_col, self.vec_col).alias("dist"),
         )
-        return _final_topk(scored, max(int(k), 1))
+        return _final_topk(scored, k)

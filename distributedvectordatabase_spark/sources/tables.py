@@ -38,7 +38,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division: `/` on a long yields double, and at ~1.8e18 ns
+        # the double ulp is 256 ns, shifting the rebuilt µs by ±1 vs
+        # DuckDB's exact truncation (observed as a real wrong answer in
+        # events_next_gap). `div` stays in long arithmetic.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
