@@ -1490,6 +1490,22 @@ def _run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_dedup_minhash_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-input MinHash-LSH — the registered scale path. 3-word
+    shingles keep the similarity distribution bimodal so banding stays
+    sub-quadratic on low-vocab corpora (see SHINGLE_* constants)."""
+    from distributedvectordatabase_spark.operators.dedup import minhash_neardup_pairs
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return minhash_neardup_pairs(
+        load_table(spark, "documents", sf_dir),
+        threshold=SHINGLE_JACCARD,
+        bands=SHINGLE_BANDS,
+        rows=SHINGLE_ROWS,
+        shingle_n=3,
+    )
+
+
 def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pigeonhole-banded SimHash join (scale path: no O(n²) cross join);
     identical results to the oracle's self-join by construction."""
@@ -1710,6 +1726,65 @@ def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.knn(spark, queries, k=KNN_K, n_probe=4)
 
 
+def _run_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF(n_probe=4) vs exact kNN — quantifies the
+    accuracy/latency trade the ANN path makes, mirroring
+    knn_pruned_recall for the LSH path (reference semantics:
+    sharding/lsh_sharding.py:98-161 trades recall for probe count but
+    never measures it; we do for both pruned paths)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    path = os.path.join(tempfile.gettempdir(), "dvdb_ivf_gate", os.path.basename(sf_dir))
+    store = IVFStore(path, n_cells=16, seed=42)
+    corpus = load_table(spark, "embeddings", sf_dir)
+    if not os.path.exists(store._centroid_path):
+        store.build(corpus)
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    exact = knn(corpus, queries, k=KNN_K).select("qid", "neighbor_id")
+    approx = store.knn(spark, queries, k=KNN_K, n_probe=4).select("qid", "neighbor_id")
+    hits = exact.join(approx, ["qid", "neighbor_id"]).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(round(hits / total, 6),)], schema="recall_at_k double"
+    )
+
+
+def _run_media_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 media→embedding inference declared end-to-end (reference
+    generate_coco_embeddings.py:27-83): documents → media fixture →
+    Arrow-batched fake-model inference → embeddings exploded to scalar
+    rows so the value-hash gate checks every component."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.multimodal import (
+        as_media_table,
+        infer_embeddings,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    media = as_media_table(load_table(spark, "documents", sf_dir))
+    emb = infer_embeddings(media)
+    return emb.select(
+        "item_id", F.posexplode("embedding").alias("dim_idx", "value")
+    ).select("item_id", "dim_idx", F.round("value", 6).alias("value"))
+
+
+def _media_infer_oracle(dim: int = 16) -> str:
+    """The fake model is md5-derived, so DuckDB reproduces it exactly:
+    component i = ('0x'||substr(md5(text || '|' || i),1,8))::BIGINT
+    / 2^32 * 2 - 1 (all float64-exact operations)."""
+    return f"""
+    SELECT d.doc_id AS item_id, t.i AS dim_idx,
+           round(('0x' || substr(md5(d.text || '|' || t.i), 1, 8))::BIGINT
+                 / 4294967296.0 * 2 - 1, 6) AS value
+    FROM documents d, generate_series(0, {dim - 1}) t(i)
+    """
+
+
 def _run_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (salting) over the events table;
     results provably identical to the plain group-by the oracle runs."""
@@ -1770,20 +1845,29 @@ def build_catalog() -> dict[str, Query]:
         Query("store_shard_counts", _run_store_counts, _store_counts_oracle(_LSH)),
         # PCA (O3) — no SQL oracle (sign/rotation indeterminacy); rows-only
         Query("pca_project_16", _run_pca, None),
-        # ANN scale path — rows-only (centroid init not SQL-expressible)
+        # ANN scale path — rows-only (centroid init not SQL-expressible);
+        # the recall gate quantifies the n_probe accuracy trade
         Query("ann_ivf_topk", _run_ann_ivf, None),
-        # text analysis (X4 + north star)
-        _sql_query("doc_token_stats", _q_doc_token_stats),
+        Query("ann_ivf_recall", _run_ann_ivf_recall, None),
+        # O2 media→embedding inference (md5 fake model = exact oracle)
+        Query("media_infer_embeddings", _run_media_infer, _media_infer_oracle()),
+        # text analysis (X4 + north star; doc_quality absorbs the old
+        # token-stats/repetition queries, doc_sample_fingerprint the old
+        # fingerprint/sample-hash ones)
         _sql_query("doc_quality", _q_doc_quality),
         _sql_query("doc_lang_id", _q_doc_lang_id),
-        _sql_query("doc_fingerprint", _q_doc_fingerprint),
         Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
-        _sql_query("doc_sample_hash", _q_doc_sample_hash),
-        _sql_query("doc_repetition", _q_doc_repetition),
-        # dedup family (X2/X3 + north star)
+        _sql_query("doc_sample_fingerprint", _q_doc_sample_fingerprint),
+        # dedup family (X2/X3 + north star); shingle MinHash is the
+        # headline scale path (unigram form stays bench-only — see bench.py)
         _sql_query("dedup_exact", _q_dedup_exact),
         _sql_query("curation_pipeline", _q_curation_pipeline),
         Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
+        Query(
+            "dedup_minhash_shingle",
+            _run_dedup_minhash_shingle,
+            _q_dedup_minhash_shingle(DUCKDB),
+        ),
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
         _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
         Query("setsim_pairs", _run_setsim_pairs, _q_setsim_pairs(DUCKDB)),
@@ -1797,9 +1881,8 @@ def build_catalog() -> dict[str, Query]:
         # multimodal binary-column plumbing (north star)
         Query("multimodal_decode_stats", _run_multimodal_stats, _multimodal_stats_oracle()),
         Query("multimodal_frame_sample", _run_frame_sample, _frame_sample_oracle()),
-        # vector analytics (X5)
-        _sql_query("label_centroids", _q_label_centroids),
-        _sql_query("label_dispersion", _q_label_dispersion),
+        # vector analytics (X5; centroid+dispersion merged into one gate)
+        _sql_query("label_centroid_dispersion", _q_label_centroid_dispersion),
         _sql_query("vector_norms", _q_vector_norms),
         _sql_query("centroid_assign", _q_centroid_assign),
         _sql_query("embedding_quantize_error", _q_embedding_quantize_error),
@@ -1808,7 +1891,6 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("events_json_extract", _q_events_json),
         _sql_query("events_sessions", _q_events_sessions),
         _sql_query("events_daily_active", _q_events_daily),
-        _sql_query("events_next_gap", _q_events_next_gap),
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
@@ -1824,7 +1906,6 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("top_suppliers_per_region", _q_top_suppliers_per_region),
         _sql_query("order_part_lists", _q_order_part_lists),
         _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
-        _sql_query("sales_rollup", _q_sales_rollup),
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("order_quantiles", _q_order_quantiles),

@@ -50,8 +50,10 @@ def ivf_knn(
     model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feats)
     assigned = model.transform(feats).select(id_col, vec_col, "_cell")
 
+    from distributedvectordatabase_spark.operators.knn import collect_query_batch
+
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])  # (n_cells, d)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     probe_pairs = []
     for r in qrows:
         qv = np.asarray(list(r[qvec_col]), dtype=np.float64)

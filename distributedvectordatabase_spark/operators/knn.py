@@ -43,6 +43,27 @@ from distributedvectordatabase_spark.functions.vector import cosine_dist, l2sq
 
 _METRICS = {"l2sq", "cosine"}
 
+# Driver-side cap on the collected query batch. Every search entry point
+# broadcasts the query set as a numpy matrix (the reference coordinator
+# does the same with its request batch, coordinator/coordinator.py:132),
+# which is only sane for bounded batches — a 10M-row "query set" is a
+# similarity JOIN, not a search, and must go through the join-based
+# impl="expr" path (or setsim/near-dup operators) instead.
+MAX_QUERY_BATCH = 100_000
+
+
+def collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str) -> list:
+    """Collect the query side with an explicit cap (guards the driver
+    against an unbounded collect; see MAX_QUERY_BATCH)."""
+    rows = queries.select(qid_col, qvec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+            "for corpus-scale query sets use the join-based impl='expr' "
+            "path or the near-dup/setsim operators instead of broadcast kNN"
+        )
+    return rows
+
 
 def _dist_expr(metric: str, a, b) -> Column:
     if metric == "l2sq":
@@ -124,11 +145,31 @@ def _rescored_topk(
     per query; the reported ``dist`` (and the final (dist, id) ordering)
     is recomputed with the same sequential ``aggregate(zip_with(...))``
     expression the SQL oracle uses, making the output independent of
-    partition count and batch split."""
+    partition count and batch split.
+
+    Slate sufficiency: this assumes the true sequential-sum top-k lies
+    inside the BLAS-selected slate, which holds while BLAS-vs-sequential
+    divergence (ulp-scale) is smaller than the k→2k distance gap. For
+    duplicate-heavy corpora where many candidates tie near the slate
+    boundary, the epsilon guard below widens the slate to include every
+    candidate within ``eps`` of the 2k-th distance (mirroring the
+    boundary-tie guard in batch_topk).
+
+    Scale note: the slate carries each candidate's full vector (``nvec``)
+    through the merge shuffle — free at 64-D, ~4 KB/row at 512-D. If the
+    merge shuffle ever dominates at high dimension, drop ``nvec`` from
+    the partial and join the ≤ nq·2k winner ids back to the corpus by id
+    (partition-pruned point lookups) before re-scoring."""
+    eps = 1e-9
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+    wq = Window.partitionBy("qid")
     slate = (
         partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 2 * k)
+        .withColumn(
+            "_cut",
+            F.max(F.when(F.col("rnk") <= 2 * k, F.col("dist"))).over(wq),
+        )
+        .filter((F.col("rnk") <= 2 * k) | (F.col("dist") <= F.col("_cut") + eps))
         .select("qid", "neighbor_id", "nvec")
     )
     q = F.broadcast(
@@ -184,6 +225,7 @@ def _arrow_partial_topk(
     qvec_col: str,
     shard_col: str | None = None,
     cand_map: dict[int, frozenset] | None = None,
+    qrows: list | None = None,
 ) -> DataFrame:
     """mapInPandas partial top-k: per Arrow batch, a (nq × batch) BLAS
     distance matrix; emit the k best (with 2k tie slack) per query.
@@ -191,8 +233,11 @@ def _arrow_partial_topk(
     With ``shard_col``/``cand_map``, rows outside a query's candidate
     shards are masked to +inf before the top-k — the pruned search then
     runs on the same BLAS path as the exact one instead of interpreted
-    per-pair expressions (10× at 500k rows; see bench_scale.py)."""
-    qrows = queries.select(qid_col, qvec_col).collect()
+    per-pair expressions (10× at 500k rows; see bench_scale.py).
+    ``qrows`` lets a caller that already collected the query batch (e.g.
+    IVFStore centroid probing) reuse it instead of a second collect."""
+    if qrows is None:
+        qrows = collect_query_batch(queries, qid_col, qvec_col)
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
     spark = corpus.sparkSession
@@ -313,7 +358,7 @@ def knn_pruned(
        interpreted lambdas and is ~10× slower at 500k rows.
     """
     k = max(int(k), 1)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_batch(queries, qid_col, qvec_col)
     cand_pairs = [
         (int(r[qid_col]), int(s))
         for r in qrows
@@ -330,7 +375,7 @@ def knn_pruned(
         cand_map = {q: frozenset(s) for q, s in cand_map.items()}
         partial = _arrow_partial_topk(
             pruned, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
-            shard_col=shard_col, cand_map=cand_map,
+            shard_col=shard_col, cand_map=cand_map, qrows=qrows,
         )
         return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
 

@@ -33,6 +33,7 @@ from distributedvectordatabase_spark.operators.knn import (
     _dist_expr,
     _final_topk,
     _rescored_topk,
+    collect_query_batch,
 )
 
 
@@ -148,7 +149,7 @@ class IVFStore:
         (BASELINE.md scale probe) and kept only as the plan-shape
         reference."""
         C = self.centroids()
-        qrows = queries.select(qid_col, qvec_col).collect()
+        qrows = collect_query_batch(queries, qid_col, qvec_col)
         probe_pairs = []
         cand_map: dict[int, frozenset] = {}
         for r in qrows:
@@ -164,6 +165,7 @@ class IVFStore:
             partial = _arrow_partial_topk(
                 corpus, queries, k, metric, self.id_col, self.vec_col,
                 qid_col, qvec_col, shard_col="cell_id", cand_map=cand_map,
+                qrows=qrows,
             )
             return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
 

@@ -29,20 +29,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    # The driver testdata stores events.ts as TIMESTAMP(NANOS), which
-    # Spark's Parquet reader rejects outright (PARQUET_TYPE_ILLEGAL).
-    # Read nanos as long and rebuild a µs timestamp — DuckDB's native
-    # TIMESTAMP is µs as well, so both engines truncate identically.
+    # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+    # which Spark's Parquet reader rejects outright
+    # (PARQUET_TYPE_ILLEGAL); nanosAsLong reads it as a long instead.
+    # Current testdata is TIMESTAMP(MICROS), which reads natively —
+    # rebuild only when the column actually came back as a long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
 
-        # Integer division: `/` on a long yields double, and at ~1.8e18 ns
-        # the double ulp is 256 ns, shifting the rebuilt µs by ±1 vs
-        # DuckDB's exact truncation (observed as a real wrong answer in
-        # events_next_gap). `div` stays in long arithmetic.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            # Integer division: `/` on a long yields double, and at ~1.8e18 ns
+            # the double ulp is 256 ns, shifting the rebuilt µs by ±1 vs
+            # DuckDB's exact truncation (observed as a real wrong answer in
+            # events_next_gap). `div` stays in long arithmetic.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # µs-parquet reads as TIMESTAMP_NTZ, but unix_micros()/window()
+            # expect TIMESTAMP. The session timezone is pinned to UTC
+            # (session.py), so the NTZ→LTZ cast is value-preserving and
+            # matches DuckDB's naive-timestamp semantics exactly.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

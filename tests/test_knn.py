@@ -103,3 +103,39 @@ def test_large_query_batch_matches_oracle(spark, oracle):
         got = knn(corpus, queries, k=5, metric="l2sq", impl=impl)
         got_set = {(r.qid, r.neighbor_id, r.rnk) for r in got.collect()}
         assert got_set == want_set, f"{impl}: {len(got_set ^ want_set)} mismatches"
+
+
+def test_partition_count_determinism(spark):
+    """The rescored merge makes kNN output independent of partition
+    count and Arrow batch split: identical canonical rows whether the
+    corpus arrives as 1, 7, or default partitions (locks in the
+    _rescored_topk determinism fix structurally)."""
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=20)
+
+    def canon(df):
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect()
+        )
+
+    base = canon(knn(corpus, queries, k=10, metric="l2sq"))
+    for nparts in (1, 7):
+        got = canon(knn(corpus.repartition(nparts), queries, k=10, metric="l2sq"))
+        assert got == base, f"output differs at repartition({nparts})"
+
+
+def test_query_batch_collect_guard(spark, monkeypatch):
+    """The driver-side query collect is capped: an over-size query set
+    raises instead of OOMing the driver (the join-based path is the
+    documented fallback)."""
+    # operators/__init__ re-exports the knn *function* under the same
+    # name, so fetch the module object itself for the monkeypatch
+    import importlib
+
+    knnmod = importlib.import_module("distributedvectordatabase_spark.operators.knn")
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=20)
+    monkeypatch.setattr(knnmod, "MAX_QUERY_BATCH", 5)
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        knn(corpus, queries, k=3)

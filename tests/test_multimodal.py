@@ -77,3 +77,34 @@ def test_sample_frames_fanout_bounds(media):
     reassembled = b"".join(bytes(r.frame_payload) for r in one)
     payload = bytes(media.filter(F.col("item_id") == 0).first().payload)
     assert payload.startswith(reassembled) and len(reassembled) >= min(64, len(payload))
+
+
+def test_infer_embeddings_knn_roundtrip(spark, media):
+    """O2 end-to-end: fake-model inference → exact kNN over the inferred
+    embeddings — every item's nearest neighbor is itself at distance 0
+    (the reference's embed-then-search loop,
+    generate_coco_embeddings.py:27-103 feeding the FAISS index)."""
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.operators.multimodal import infer_embeddings
+
+    emb = infer_embeddings(media).cache()
+    queries = (
+        emb.orderBy("item_id")
+        .limit(10)
+        .select(F.col("item_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    top1 = knn(emb, queries, k=1, id_col="item_id", vec_col="embedding").collect()
+    assert len(top1) == 10
+    assert all(r.neighbor_id == r.qid and r.dist <= 1e-12 for r in top1)
+    emb.unpersist()
+
+
+def test_infer_embeddings_dim_and_range(media):
+    from distributedvectordatabase_spark.operators.multimodal import (
+        EMBED_DIM,
+        infer_embeddings,
+    )
+
+    rows = infer_embeddings(media).limit(50).collect()
+    assert all(len(r.embedding) == EMBED_DIM for r in rows)
+    assert all(-1.0 <= v < 1.0 for r in rows for v in r.embedding)
