@@ -31,31 +31,28 @@ HEADLINE = [
     "knn_cosine",
     "knn_pruned_2of3",
     "ann_ivf_topk",
-    "lsh_shard_distribution",
-    "store_shard_counts",
+    "store_shard_distribution",
     "dedup_exact",
     "curation_pipeline",
     "dedup_minhash",
     "dedup_minhash_shingle",
     "dedup_simhash",
-    "embedding_neardup_lsh",
-    "multimodal_decode_stats",
+    "multimodal_pipeline",
     "doc_quality",
     "events_sessions",
-    "events_hourly",
+    "events_windowed",
     "events_asof_purchase",
     "events_salted_agg",
     "tpch_q1_pricing",
     "tpch_q3_topk_revenue",
     "tpch_q5_nation_revenue",
     "tpch_q17_small_qty",
-    "top_customers_per_nation",
-    "repeat_customers_intersect",
-    "returnflag_pivot",
+    "customer_rank_analytics",
+    "customer_set_ops",
+    "returnflag_pivot_unpivot",
     "events_approx_distinct",
     "semantic_search_topk",
-    "customer_revenue_deciles",
-    "top_suppliers_per_region",
+    "order_window_ranks",
     "order_part_lists",
     "lineitem_price_stats",
     "events_value_histogram",

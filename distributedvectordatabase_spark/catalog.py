@@ -166,7 +166,8 @@ def _elem(arr: str, i0: int, d: str) -> str:
 
 def _q_doc_quality(d: str) -> str:
     """Merged per-document text-analysis profile (token stats + quality
-    gates + Gopher-style repetition) — one scan, all per-row scalar
+    gates + Gopher-style repetition + n-gram language-ID, true vs
+    predicted lang) — one scan, all per-row scalar
     arithmetic, embarrassingly parallel at any scale. Tokenization and
     shingling are materialized once in the inner projection; both
     engines keep multi-use non-trivial aliases single-evaluated."""
@@ -188,6 +189,8 @@ def _q_doc_quality(d: str) -> str:
     n2, nd2 = f"{_asize(d)}(sh2)", f"{_asize(d)}({_adistinct(d)}(sh2))"
     return f"""
     SELECT doc_id,
+           lang,
+           pred_lang,
            n_ws_tokens,
            n_bpe_tokens,
            text_len,
@@ -200,6 +203,8 @@ def _q_doc_quality(d: str) -> str:
                  ELSE 1.0 - cast({nd2} as double) / {n2} END, 6) AS dup_2gram_frac
     FROM (
       SELECT doc_id,
+             lang,
+             {T.lang_id_expr('text', d)} AS pred_lang,
              {_asize(d)}({toks}) AS n_ws_tokens,
              {_asize(d)}({T.regex_tokens('text', d)}) AS n_bpe_tokens,
              length(text) AS text_len,
@@ -209,13 +214,6 @@ def _q_doc_quality(d: str) -> str:
              {T.word_shingles(toks, 2, d)} AS sh2
       FROM documents
     ) t
-    """
-
-
-def _q_doc_lang_id(d: str) -> str:
-    return f"""
-    SELECT doc_id, lang, {T.lang_id_expr('text', d)} AS pred_lang
-    FROM documents
     """
 
 
@@ -428,28 +426,6 @@ def _q_dedup_simhash(d: str) -> str:
     """
 
 
-def _q_ngram_sim_topk(d: str) -> str:
-    sh = f"{_adistinct(d)}({T.word_shingles(T.tokens('text', d), 3, d)})"
-    return f"""
-    WITH t AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 100)
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
-    FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             {_jaccard('a.sh', 'b.sh', d)} AS jaccard
-      FROM t a JOIN t b ON a.doc_id < b.doc_id
-    ) p
-    WHERE jaccard > 0
-    ORDER BY jaccard DESC, doc_a, doc_b
-    LIMIT 20
-    """
-
-
-# Exact set-similarity join + dup clustering. θ chosen for the driver
-# corpus's bimodal 3-shingle Jaccard (true dups ≥0.9, everything else
-# ≈0); the exact prefix-filter join is recall-1 at θ by construction,
-# which is what lets the Spark runner match a brute-force O(n²) oracle.
-SETSIM_JACCARD = 0.9
-
 
 def _shingle_sets(d: str) -> str:
     """(doc_id, distinct 3-shingle set) with empty sets dropped."""
@@ -459,6 +435,13 @@ def _shingle_sets(d: str) -> str:
         f"(SELECT doc_id, sh FROM (SELECT doc_id, {sh} AS sh FROM documents) "
         f"WHERE {ln}(sh) > 0)"
     )
+
+
+# Exact set-similarity join + dup clustering. θ chosen for the driver
+# corpus's bimodal 3-shingle Jaccard (true dups ≥0.9, everything else
+# ≈0); the exact prefix-filter join is recall-1 at θ by construction,
+# which is what lets the Spark runner match a brute-force O(n²) oracle.
+SETSIM_JACCARD = 0.9
 
 
 def _setsim_edges(d: str) -> str:
@@ -553,16 +536,6 @@ def _run_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # event queries (X6 time buckets, X7 JSON, sessionization)
 # ---------------------------------------------------------------------------
-
-def _q_events_hourly(d: str) -> str:
-    return f"""
-    SELECT {_hour('ts', d)} AS hour_bucket, event_type,
-           count(*) AS n_events,
-           round(cast(sum({_dec('value')}) as double), 6) AS sum_value,
-           round(cast(sum({_dec('value')}) as double) / count(*), 6) AS avg_value
-    FROM events
-    GROUP BY 1, 2
-    """
 
 
 def _q_events_json(d: str) -> str:
@@ -678,18 +651,6 @@ def _q_tpch_q5(d: str) -> str:
     """
 
 
-def _q_top_customers(d: str) -> str:
-    return """
-    SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 6) AS acctbal, rn
-    FROM (
-      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
-             row_number() OVER (PARTITION BY c_nationkey
-                                ORDER BY c_acctbal DESC, c_custkey) AS rn
-      FROM customer
-    ) r
-    WHERE rn <= 3
-    """
-
 
 def _q_sales_grouping_sets(d: str) -> str:
     """GROUPING SETS superset of ROLLUP(l_returnflag, l_linestatus):
@@ -707,11 +668,62 @@ def _q_sales_grouping_sets(d: str) -> str:
     """
 
 
-def _q_order_quantiles(d: str) -> str:
-    """Exact continuous quantiles (median/p90) per order priority —
-    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
-    interpolation definition, so values match bit-for-bit after
-    rounding."""
+def _q_customer_rank_analytics(d: str) -> str:
+    """Ranking-window family over per-customer revenue (merged decile +
+    per-nation top-k gates): ntile spend deciles plus row_number rank
+    within the customer's nation, over the orders⋈customer aggregate.
+    Both engines define ntile identically (equal-height buckets,
+    earlier buckets take the remainder) and the (revenue, custkey)
+    order is tie-free, so values match exactly.
+
+    Scale note: the un-partitioned ntile OVER (ORDER BY ...) funnels
+    its input through ONE window task. Acceptable here because the
+    window input is the per-customer aggregate (orders of magnitude
+    smaller than the fact table after the group-by); for
+    decile-bucketing a full-size table, use approx percentile
+    cut-points + a broadcast range join instead of ntile. The customer
+    dimension join is broadcastable."""
+    return f"""
+    WITH spend AS (
+      SELECT o_custkey, sum({_dec('o_totalprice', '16,4')}) AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_nationkey, s.o_custkey,
+           round(cast(s.revenue as double), 6) AS revenue,
+           ntile(10) OVER (ORDER BY s.revenue DESC, s.o_custkey) AS decile,
+           row_number() OVER (PARTITION BY c.c_nationkey
+                              ORDER BY s.revenue DESC, s.o_custkey) AS nation_rank
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    """
+
+
+def _q_order_window_ranks(d: str) -> str:
+    """Per-order window functions in one pass (merged running-revenue +
+    percent-rank gates): a cumulative frame (unbounded-preceding sum
+    per customer) and the percent_rank/cume_dist ranking pair per
+    priority. Every ORDER BY includes the key, so ranks and frames are
+    tie-free and deterministic across engines; Catalyst evaluates the
+    two window specs over one scan with one sort per spec."""
+    wr = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"
+    return f"""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           round(cast(sum({_dec('o_totalprice', '16,4')}) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) as double), 6) AS running_revenue,
+           round(percent_rank() {wr}, 6) AS price_pct_rank,
+           round(cume_dist() {wr}, 6) AS price_cume_dist
+    FROM orders
+    """
+
+
+def _q_priority_stats(d: str) -> str:
+    """Per-priority order profile: counts, distinct customers, exact
+    decimal totals, plus exact continuous quantiles (median/p90 —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so values match bit-for-bit after
+    rounding). One scan, one aggregation shuffle."""
     if d == SPARK:
         med = "percentile(o_totalprice, 0.5)"
         p90 = "percentile(o_totalprice, 0.9)"
@@ -721,85 +733,14 @@ def _q_order_quantiles(d: str) -> str:
     return f"""
     SELECT o_orderpriority,
            count(*) AS n_orders,
+           count(distinct o_custkey) AS n_customers,
+           round(cast(sum({_dec('o_totalprice', '16,4')}) as double), 6) AS total_price,
            round({med}, 6) AS median_price,
            round({p90}, 6) AS p90_price
     FROM orders
     GROUP BY o_orderpriority
     """
 
-
-def _q_customer_revenue_deciles(d: str) -> str:
-    """ntile ranking window: customers bucketed into spend deciles.
-    Both engines define ntile identically (equal-height buckets, earlier
-    buckets take the remainder), so values match exactly given the
-    deterministic (revenue, custkey) order.
-
-    Scale note: an un-partitioned OVER (ORDER BY ...) funnels the whole
-    input through ONE window task. Acceptable here because the window
-    input is the per-customer aggregate (orders of magnitude smaller
-    than the fact table after the group-by); for decile-bucketing a
-    full-size table, use approx percentile cut-points + a broadcast
-    range join instead of ntile."""
-    return f"""
-    WITH spend AS (
-      SELECT o_custkey, sum({_dec('o_totalprice', '16,4')}) AS revenue
-      FROM orders GROUP BY o_custkey
-    )
-    SELECT o_custkey,
-           round(cast(revenue as double), 6) AS revenue,
-           ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
-    FROM spend
-    """
-
-
-def _q_customer_running_revenue(d: str) -> str:
-    """Cumulative window frame: each order carries the customer's
-    running total to date (rows unbounded-preceding..current, ordered
-    by date then key for determinism)."""
-    return f"""
-    SELECT o_custkey, o_orderkey,
-           round(cast(sum({_dec('o_totalprice', '16,4')}) OVER (
-                 PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) as double), 6) AS running_revenue
-    FROM orders
-    """
-
-
-def _q_order_percent_rank(d: str) -> str:
-    """percent_rank + cume_dist ranking windows (the remaining members
-    of the ranking-function family alongside row_number/ntile). The
-    ORDER BY includes the key, so ranks are tie-free and deterministic
-    across engines."""
-    w = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"
-    return f"""
-    SELECT o_orderkey, o_orderpriority,
-           round(percent_rank() {w}, 6) AS price_pct_rank,
-           round(cume_dist() {w}, 6) AS price_cume_dist
-    FROM orders
-    """
-
-
-def _q_priority_stats(d: str) -> str:
-    return f"""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           count(distinct o_custkey) AS n_customers,
-           round(cast(sum({_dec('o_totalprice', '16,4')}) as double), 6) AS total_price
-    FROM orders
-    GROUP BY o_orderpriority
-    """
-
-
-def _q_part_type_revenue(d: str) -> str:
-    return f"""
-    SELECT p.p_type, count(*) AS n_items,
-           round(cast({_rev(d)} as double), 6) AS revenue
-    FROM part p
-    JOIN lineitem l ON p.p_partkey = l.l_partkey
-    GROUP BY p.p_type
-    """
 
 
 def _q_lineitem_price_stats(d: str) -> str:
@@ -836,53 +777,27 @@ def _q_order_part_lists(d: str) -> str:
     """
 
 
-def _q_top_suppliers_per_region(d: str) -> str:
-    """TPC-H Q15-flavored: top-3 suppliers by lineitem revenue within
-    each region — a 4-table join chain (lineitem→supplier→nation→
-    region) feeding a per-group window top-k. The three dimension
-    joins are all broadcastable; the only shuffle is the supplier
-    aggregation."""
-    return f"""
-    WITH srev AS (
-      SELECT r.r_name AS region, s.s_suppkey, s.s_name,
-             {_rev(d)} AS revenue
-      FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-      GROUP BY r.r_name, s.s_suppkey, s.s_name
-    )
-    SELECT region, s_suppkey, s_name,
-           round(cast(revenue as double), 6) AS revenue, rnk
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY region ORDER BY revenue DESC, s_suppkey
-      ) AS rnk
-      FROM srev
-    ) t
-    WHERE rnk <= 3
-    """
 
-
-def _q_customers_without_orders(d: str) -> str:
+def _q_customer_set_ops(d: str) -> str:
+    """Both SQL set-ops in one gate (SURVEY §2.2 set-ops row), tagged:
+    EXCEPT (customers who never ordered) and INTERSECT (customers who
+    ordered in both halves of the date range). Catalyst plans both as
+    aggregate + left-anti/left-semi joins — no full materialization of
+    either side; the tag is a literal projection on top."""
     return """
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders
-    """
-
-
-def _q_repeat_customers(d: str) -> str:
-    """INTERSECT set-op (SURVEY §2.2 set-ops row, alongside the EXCEPT
-    of customers_without_orders): customers who ordered in both halves
-    of the data's date range. Catalyst plans INTERSECT as a left-semi
-    aggregate join — no full materialization of either side."""
-    return """
-    SELECT o_custkey AS custkey FROM orders
-    WHERE o_orderdate < DATE '1998-01-01'
-    INTERSECT
-    SELECT o_custkey AS custkey FROM orders
-    WHERE o_orderdate >= DATE '1998-01-01'
+    SELECT 'never_ordered' AS tag, c_custkey AS custkey FROM (
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
+    ) a
+    UNION ALL
+    SELECT 'repeat_both_halves' AS tag, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate < DATE '1998-01-01'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01'
+    ) b
     """
 
 
@@ -1215,34 +1130,6 @@ def lsh_bucket_oracle_sql(lsh: SignLSH) -> str:
     return f"SELECT vec_id, {lsh.bucket_sql_duckdb('embedding')} AS shard_id FROM embeddings"
 
 
-def lsh_distribution_oracle_sql(lsh: SignLSH) -> str:
-    return f"""
-    WITH b AS ({lsh_bucket_oracle_sql(lsh)})
-    SELECT shard_id, count(*) AS n_vectors,
-           round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
-    FROM b GROUP BY shard_id
-    """
-
-
-def lsh_metrics_oracle_sql(lsh: SignLSH) -> str:
-    return f"""
-    WITH b AS ({lsh_bucket_oracle_sql(lsh)}),
-    c AS (SELECT shard_id, count(*) AS n FROM b GROUP BY shard_id),
-    m AS (
-      SELECT min(n) AS min_count, max(n) AS max_count,
-             avg(n) AS a, coalesce(stddev_pop(n), 0.0) AS s
-      FROM c
-    )
-    SELECT min_count, max_count,
-           round(a, 6) AS avg_count, round(s, 6) AS std_count,
-           round(CASE WHEN a > 0 THEN (max_count - min_count) / a ELSE 0.0 END, 6) AS imbalance_factor,
-           round(CASE WHEN a > 0 THEN s / a ELSE 0.0 END, 6) AS cv,
-           CASE WHEN (CASE WHEN a > 0 THEN s / a ELSE 0.0 END) < 0.1 THEN 'excellent'
-                WHEN (CASE WHEN a > 0 THEN s / a ELSE 0.0 END) < 0.2 THEN 'good'
-                WHEN (CASE WHEN a > 0 THEN s / a ELSE 0.0 END) < 0.3 THEN 'acceptable'
-                ELSE 'uneven' END AS distribution_quality
-    FROM m
-    """
 
 
 def pruned_knn_oracle_sql(
@@ -1434,23 +1321,17 @@ def _run_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LSH.assign(load_table(spark, "embeddings", sf_dir)).select("vec_id", "shard_id")
 
 
-def _run_lsh_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from distributedvectordatabase_spark.operators.stats import shard_distribution
-    from distributedvectordatabase_spark.sources.tables import load_table
-
-    return shard_distribution(_LSH.assign(load_table(spark, "embeddings", sf_dir)))
-
-
-def _run_lsh_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from distributedvectordatabase_spark.operators.stats import distribution_metrics
-    from distributedvectordatabase_spark.sources.tables import load_table
-
-    return distribution_metrics(_LSH.assign(load_table(spark, "embeddings", sf_dir)))
 
 
 def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ingest round-trip: bucketed partitioned write → read back →
-    per-shard counts (exercises O7/O8/O17 through the driver gate)."""
+    """Full ingest round-trip + distribution analytics in one gate
+    (merged O7/O8/O17 store round-trip with the O14 per-shard
+    distribution and O15 imbalance/CV metrics, reference
+    performance_analysis.py:186-237 + generate_report.py:248-270):
+    bucketed partitioned write → read back → per-shard counts with
+    global balance columns via an unpartitioned window (fine: input is
+    one row per shard by then)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from distributedvectordatabase_spark.sources.tables import load_table
@@ -1459,18 +1340,61 @@ def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), "dvdb_store_gate", os.path.basename(sf_dir))
     vs = VectorStore(path, _LSH)
     vs.write(load_table(spark, "embeddings", sf_dir))
-    return (
+    counts = (
         vs.read(spark)
         .groupBy("shard_id")
         .agg(F.count("*").alias("n_vectors"))
         .select(F.col("shard_id").cast("int").alias("shard_id"), "n_vectors")
     )
+    w = Window.partitionBy()
+    avg = F.avg("n_vectors").over(w)
+    std = F.coalesce(F.stddev_pop("n_vectors").over(w), F.lit(0.0))
+    cv = F.when(avg > 0, std / avg).otherwise(F.lit(0.0))
+    imb = F.when(
+        avg > 0, (F.max("n_vectors").over(w) - F.min("n_vectors").over(w)) / avg
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "shard_id",
+        "n_vectors",
+        F.round(F.col("n_vectors") * 100.0 / F.sum("n_vectors").over(w), 6).alias("pct"),
+        F.round(imb, 6).alias("imbalance_factor"),
+        F.round(cv, 6).alias("cv"),
+        F.when(cv < 0.1, F.lit("excellent"))
+        .when(cv < 0.2, F.lit("good"))
+        .when(cv < 0.3, F.lit("acceptable"))
+        .otherwise(F.lit("uneven"))
+        .alias("distribution_quality"),
+    )
 
 
 def _store_counts_oracle(lsh: SignLSH) -> str:
     return f"""
-    WITH b AS ({lsh_bucket_oracle_sql(lsh)})
-    SELECT shard_id, count(*) AS n_vectors FROM b GROUP BY shard_id
+    WITH b AS ({lsh_bucket_oracle_sql(lsh)}),
+    c AS (SELECT shard_id, count(*) AS n_vectors FROM b GROUP BY shard_id)
+    SELECT shard_id, n_vectors,
+           round(n_vectors * 100.0 / sum(n_vectors) OVER (), 6) AS pct,
+           round(CASE WHEN avg(n_vectors) OVER () > 0
+                 THEN (max(n_vectors) OVER () - min(n_vectors) OVER ())
+                      / avg(n_vectors) OVER ()
+                 ELSE 0.0 END, 6) AS imbalance_factor,
+           round(CASE WHEN avg(n_vectors) OVER () > 0
+                 THEN coalesce(stddev_pop(n_vectors) OVER (), 0.0)
+                      / avg(n_vectors) OVER ()
+                 ELSE 0.0 END, 6) AS cv,
+           CASE WHEN (CASE WHEN avg(n_vectors) OVER () > 0
+                      THEN coalesce(stddev_pop(n_vectors) OVER (), 0.0)
+                           / avg(n_vectors) OVER () ELSE 0.0 END) < 0.1
+                THEN 'excellent'
+                WHEN (CASE WHEN avg(n_vectors) OVER () > 0
+                      THEN coalesce(stddev_pop(n_vectors) OVER (), 0.0)
+                           / avg(n_vectors) OVER () ELSE 0.0 END) < 0.2
+                THEN 'good'
+                WHEN (CASE WHEN avg(n_vectors) OVER () > 0
+                      THEN coalesce(stddev_pop(n_vectors) OVER (), 0.0)
+                           / avg(n_vectors) OVER () ELSE 0.0 END) < 0.3
+                THEN 'acceptable'
+                ELSE 'uneven' END AS distribution_quality
+    FROM c
     """
 
 
@@ -1543,6 +1467,28 @@ def _run_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_neardup_pairs(
         load_table(spark, "embeddings", sf_dir), _LSH, threshold=NEARDUP_COS
     )
+
+
+def _run_embedding_neardup_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both embedding near-dup strategies in one tagged gate: the
+    broadcast-corpus brute-force baseline (small-scale reference) and
+    the LSH-bucketed scale path, whose bucketing can drop cross-bucket
+    pairs — surfacing exactly that recall difference in one result."""
+    from pyspark.sql import functions as F
+
+    brute = _run_embedding_neardup(spark, sf_dir)
+    lsh = _run_embedding_neardup_lsh(spark, sf_dir)
+    return brute.select(F.lit("brute").alias("method"), "*").unionByName(
+        lsh.select(F.lit("lsh_bucketed").alias("method"), "*")
+    )
+
+
+def _embedding_neardup_both_oracle() -> str:
+    return f"""
+    SELECT 'brute' AS method, * FROM ({_q_embedding_neardup(DUCKDB)}) a
+    UNION ALL
+    SELECT 'lsh_bucketed' AS method, * FROM ({_q_embedding_neardup_lsh(DUCKDB)}) b
+    """
 
 
 def _run_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,64 +1577,58 @@ def _events_range_join_oracle() -> str:
 
 
 def _run_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: documents → media table (payload bytes +
-    typed metadata) → Arrow-batched mapInPandas decode (deterministic
-    fake decoder) → per-format roll-up. The oracle reproduces the fake
-    decoder arithmetic (md5-derived brightness) in SQL."""
-    from distributedvectordatabase_spark.operators.multimodal import (
-        as_media_table,
-        decode_stats,
-        format_stats,
-    )
-    from distributedvectordatabase_spark.sources.tables import load_table
-
-    media = as_media_table(load_table(spark, "documents", sf_dir))
-    return format_stats(decode_stats(media, decoder="fake"))
-
-
-def _multimodal_stats_oracle() -> str:
-    return """
-    SELECT format, count(*) AS n_items, (sum(n_bytes))::BIGINT AS total_bytes,
-           round(avg(brightness), 6) AS avg_brightness,
-           round(avg(width * height), 6) AS avg_pixels
-    FROM (
-      SELECT ['jpeg','png','webp'][(doc_id % 3) + 1] AS format,
-             64 + (doc_id % 8) * 16 AS width,
-             64 + (doc_id % 5) * 32 AS height,
-             octet_length(text::BLOB)::BIGINT AS n_bytes,
-             ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS brightness
-      FROM documents
-    )
-    GROUP BY format
-    """
-
-
-def _run_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: payload → ≤8 fixed-stride byte frames
-    per item inside mapInPandas; checked via per-item frame counts."""
+    """Binary-column pipeline, merged decode + frame-sampling gate:
+    documents → media table (payload bytes + typed metadata) →
+    Arrow-batched mapInPandas decode (deterministic fake decoder) and
+    fixed-stride frame sampling → one per-format roll-up. The payload
+    column dies inside both mapInPandas stages; only tiny feature rows
+    shuffle. The oracle reproduces the fake decoder arithmetic
+    (md5-derived brightness) and the frame-count function in SQL."""
     from pyspark.sql import functions as F
 
     from distributedvectordatabase_spark.operators.multimodal import (
         as_media_table,
+        decode_stats,
+        format_stats,
         sample_frames,
     )
     from distributedvectordatabase_spark.sources.tables import load_table
 
     media = as_media_table(load_table(spark, "documents", sf_dir))
-    return (
+    fmt = format_stats(decode_stats(media, decoder="fake"))
+    frames = (
         sample_frames(media, every_n_bytes=64, max_frames=8)
-        .groupBy("item_id")
-        .agg(F.count("*").alias("n_frames"), F.sum(F.length("frame_payload")).alias("n_bytes"))
+        .join(media.select("item_id", "format"), "item_id")
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.length("frame_payload")).alias("frame_bytes"),
+        )
     )
+    return fmt.join(frames, "format")
 
 
-def _frame_sample_oracle() -> str:
+def _multimodal_stats_oracle() -> str:
     return """
-    SELECT doc_id AS item_id,
-           least(8, greatest(1, octet_length(text::BLOB) // 64))::BIGINT AS n_frames,
-           least(octet_length(text::BLOB),
-                 least(8, greatest(1, octet_length(text::BLOB) // 64)) * 64)::BIGINT AS n_bytes
-    FROM documents
+    WITH m AS (
+      SELECT ['jpeg','png','webp'][(doc_id % 3) + 1] AS format,
+             64 + (doc_id % 8) * 16 AS width,
+             64 + (doc_id % 5) * 32 AS height,
+             octet_length(text::BLOB)::BIGINT AS n_bytes,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS brightness,
+             least(8, greatest(1, octet_length(text::BLOB) // 64))::BIGINT AS n_frames,
+             least(octet_length(text::BLOB),
+                   least(8, greatest(1, octet_length(text::BLOB) // 64)) * 64)::BIGINT
+               AS frame_bytes
+      FROM documents
+    )
+    SELECT format, count(*) AS n_items, (sum(n_bytes))::BIGINT AS total_bytes,
+           round(avg(brightness), 6) AS avg_brightness,
+           round(avg(width * height), 6) AS avg_pixels,
+           (sum(n_frames))::BIGINT AS n_frames,
+           (sum(frame_bytes))::BIGINT AS frame_bytes
+    FROM m
+    GROUP BY format
     """
 
 
@@ -1837,12 +1777,11 @@ def build_catalog() -> dict[str, Query]:
         Query("semantic_search_topk", _run_semantic_search, semantic_search_oracle_sql()),
         Query("knn_pruned_2of3", _run_knn_pruned, pruned_knn_oracle_sql(_LSH)),
         Query("knn_pruned_recall", _run_pruned_recall, pruned_recall_oracle_sql(_LSH)),
-        # LSH sharding (O4-O6) + stats (O14/O15)
+        # LSH sharding (O4-O6); the store gate below carries the
+        # O14/O15 distribution + imbalance metrics
         Query("lsh_buckets", _run_lsh_buckets, lsh_bucket_oracle_sql(_LSH)),
-        Query("lsh_shard_distribution", _run_lsh_distribution, lsh_distribution_oracle_sql(_LSH)),
-        Query("lsh_distribution_metrics", _run_lsh_metrics, lsh_metrics_oracle_sql(_LSH)),
-        # store round-trip (O7/O8/O17/O18)
-        Query("store_shard_counts", _run_store_counts, _store_counts_oracle(_LSH)),
+        # store round-trip (O7/O8/O17/O18) + distribution stats (O14/O15)
+        Query("store_shard_distribution", _run_store_counts, _store_counts_oracle(_LSH)),
         # PCA (O3) — no SQL oracle (sign/rotation indeterminacy); rows-only
         Query("pca_project_16", _run_pca, None),
         # ANN scale path — rows-only (centroid init not SQL-expressible);
@@ -1855,7 +1794,6 @@ def build_catalog() -> dict[str, Query]:
         # token-stats/repetition queries, doc_sample_fingerprint the old
         # fingerprint/sample-hash ones)
         _sql_query("doc_quality", _q_doc_quality),
-        _sql_query("doc_lang_id", _q_doc_lang_id),
         Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
         _sql_query("doc_sample_fingerprint", _q_doc_sample_fingerprint),
         # dedup family (X2/X3 + north star); shingle MinHash is the
@@ -1869,25 +1807,24 @@ def build_catalog() -> dict[str, Query]:
             _q_dedup_minhash_shingle(DUCKDB),
         ),
         Query("dedup_simhash", _run_dedup_simhash, _q_dedup_simhash(DUCKDB)),
-        _sql_query("ngram_sim_topk", _q_ngram_sim_topk),
         Query("setsim_pairs", _run_setsim_pairs, _q_setsim_pairs(DUCKDB)),
         Query("dedup_clusters", _run_dedup_clusters, _q_dedup_clusters(DUCKDB)),
-        Query("embedding_neardup", _run_embedding_neardup, _q_embedding_neardup(DUCKDB)),
+        # brute baseline + LSH-bucketed scale path, tagged in one gate
         Query(
-            "embedding_neardup_lsh",
-            _run_embedding_neardup_lsh,
-            _q_embedding_neardup_lsh(DUCKDB),
+            "embedding_neardup",
+            _run_embedding_neardup_both,
+            _embedding_neardup_both_oracle(),
         ),
-        # multimodal binary-column plumbing (north star)
-        Query("multimodal_decode_stats", _run_multimodal_stats, _multimodal_stats_oracle()),
-        Query("multimodal_frame_sample", _run_frame_sample, _frame_sample_oracle()),
+        # multimodal binary-column plumbing (north star): decode +
+        # frame-sampling merged per-format roll-up
+        Query("multimodal_pipeline", _run_multimodal_stats, _multimodal_stats_oracle()),
         # vector analytics (X5; centroid+dispersion merged into one gate)
         _sql_query("label_centroid_dispersion", _q_label_centroid_dispersion),
         _sql_query("vector_norms", _q_vector_norms),
         _sql_query("centroid_assign", _q_centroid_assign),
         _sql_query("embedding_quantize_error", _q_embedding_quantize_error),
-        # events (X6/X7)
-        _sql_query("events_hourly", _q_events_hourly),
+        # events (X6/X7); hour-bucket aggregation gates through
+        # events_windowed (same plan the streaming operator runs)
         _sql_query("events_json_extract", _q_events_json),
         _sql_query("events_sessions", _q_events_sessions),
         _sql_query("events_daily_active", _q_events_daily),
@@ -1902,21 +1839,18 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("tpch_q1_pricing", _q_tpch_q1),
         _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
-        _sql_query("top_customers_per_nation", _q_top_customers),
-        _sql_query("top_suppliers_per_region", _q_top_suppliers_per_region),
+        _sql_query("customer_rank_analytics", _q_customer_rank_analytics),
         _sql_query("order_part_lists", _q_order_part_lists),
         _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
-        _sql_query("order_quantiles", _q_order_quantiles),
-        _sql_query("order_percent_rank", _q_order_percent_rank),
-        _sql_query("customer_running_revenue", _q_customer_running_revenue),
-        _sql_query("customer_revenue_deciles", _q_customer_revenue_deciles),
-        _sql_query("part_type_revenue", _q_part_type_revenue),
-        _sql_query("customers_without_orders", _q_customers_without_orders),
-        _sql_query("repeat_customers_intersect", _q_repeat_customers),
-        Query("returnflag_pivot", _run_returnflag_pivot, _returnflag_pivot_oracle()),
-        Query("returnflag_unpivot", _run_returnflag_unpivot, _returnflag_unpivot_oracle()),
+        _sql_query("order_window_ranks", _q_order_window_ranks),
+        _sql_query("customer_set_ops", _q_customer_set_ops),
+        Query(
+            "returnflag_pivot_unpivot",
+            _run_returnflag_unpivot,
+            _returnflag_unpivot_oracle(),
+        ),
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
     ]

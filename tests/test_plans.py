@@ -102,7 +102,7 @@ def test_intersect_plans_as_broadcast_semi_join_with_pushdown(spark):
     from distributedvectordatabase_spark.catalog import build_catalog
     from distributedvectordatabase_spark.plans import physical_plan
 
-    df = build_catalog()["repeat_customers_intersect"].run(spark, SF_SMALL)
+    df = build_catalog()["customer_set_ops"].run(spark, SF_SMALL)
     plan = physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert has_broadcast(df)
@@ -116,7 +116,7 @@ def test_pivot_is_single_pruned_scan(spark):
     to the four referenced columns — no second distinct-values scan."""
     from distributedvectordatabase_spark.catalog import build_catalog
 
-    df = build_catalog()["returnflag_pivot"].run(spark, SF_SMALL)
+    df = build_catalog()["returnflag_pivot_unpivot"].run(spark, SF_SMALL)
     schemas = scan_read_schema(df)
     assert len(schemas) == 1, schemas
     cols = {c.split(":")[0] for c in schemas[0].split(",")}
