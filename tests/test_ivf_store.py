@@ -94,3 +94,20 @@ def test_compact_restores_layout_preserves_results(spark, tmp_path):
     assert s.read(spark).count() == 500
     after = sorted(map(tuple, s.knn(spark, qs, k=K, n_probe=4).collect()))
     assert after == before
+
+
+def test_recall_probe_sweep_invariants(spark):
+    """The catalog's ann_ivf_recall gate: recall@k is nondecreasing in
+    n_probe and exactly 1.0 when every cell is probed (full probe ==
+    exact search by construction)."""
+    from distributedvectordatabase_spark.catalog import build_catalog
+
+    rows = sorted(
+        build_catalog()["ann_ivf_recall"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [4, 8, 16]
+    recalls = [r.recall_at_k for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
+    assert recalls[0] >= 0.5, recalls
