@@ -134,6 +134,9 @@ def _rescored_topk(
     metric: str,
     qid_col: str,
     qvec_col: str,
+    join_corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic final top-k over an Arrow partial that carries the
     neighbor vectors (``nvec``).
@@ -155,14 +158,18 @@ def _rescored_topk(
     candidate within ``eps`` of the 2k-th distance (mirroring the
     boundary-tie guard in batch_topk).
 
-    Scale note: the slate carries each candidate's full vector (``nvec``)
-    through the merge shuffle — free at 64-D, ~4 KB/row at 512-D. If the
-    merge shuffle ever dominates at high dimension, drop ``nvec`` from
-    the partial and join the ≤ nq·2k winner ids back to the corpus by id
-    (partition-pruned point lookups) before re-scoring."""
+    Scale note: the default slate carries each candidate's full vector
+    (``nvec``) through the merge shuffle — free at 64-D, ~4 KB/row at
+    512-D. When ``join_corpus`` is given (knn(..., rescore="joinback")),
+    the partial omits ``nvec`` and the ≤ nq·(2k+ties) winner ids join
+    back to the corpus by id before re-scoring — the merge shuffle then
+    moves only (qid, id, dist) triples, the right trade at high
+    dimension (the join is a hash probe on the id, partition-prunable
+    on a bucketed/sorted corpus)."""
     eps = 1e-9
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
     wq = Window.partitionBy("qid")
+    vec_src = "nvec" if join_corpus is None else []
     slate = (
         partial.withColumn("rnk", F.row_number().over(w))
         .withColumn(
@@ -170,8 +177,15 @@ def _rescored_topk(
             F.max(F.when(F.col("rnk") <= 2 * k, F.col("dist"))).over(wq),
         )
         .filter((F.col("rnk") <= 2 * k) | (F.col("dist") <= F.col("_cut") + eps))
-        .select("qid", "neighbor_id", "nvec")
+        .select("qid", "neighbor_id", *([vec_src] if join_corpus is None else []))
     )
+    if join_corpus is not None:
+        slate = slate.join(
+            join_corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+            ),
+            "neighbor_id",
+        )
     q = F.broadcast(
         queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec"))
     )
@@ -191,18 +205,35 @@ def knn(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     impl: str = "arrow",
+    rescore: str = "carry",
 ) -> DataFrame:
     """Batch exact kNN: for every query row, the k nearest corpus rows.
 
     Returns (qid, neighbor_id, dist, rnk), rnk in 1..k ordered by
     (dist, neighbor_id) ascending.
+
+    ``rescore`` (arrow impl only) picks how the deterministic re-score
+    gets the candidate vectors: ``"carry"`` ships them inside the
+    partial (one scan; +dim×8 bytes per slate row through the merge
+    shuffle), ``"joinback"`` ships only (qid, id, dist) and joins the
+    ≤ nq·2k winners back to the corpus by id — identical results, the
+    better trade at high dimension (512-D+) or huge query batches.
     """
     k = max(int(k), 1)
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}")
+    if rescore not in ("carry", "joinback"):
+        raise ValueError(f"unknown rescore {rescore!r}; use 'carry' or 'joinback'")
     if impl == "arrow":
-        partial = _arrow_partial_topk(corpus, queries, k, metric, id_col, vec_col, qid_col, qvec_col)
-        return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
+        carry = rescore == "carry"
+        partial = _arrow_partial_topk(
+            corpus, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
+            carry_vectors=carry,
+        )
+        return _rescored_topk(
+            partial, queries, k, metric, qid_col, qvec_col,
+            join_corpus=None if carry else corpus, id_col=id_col, vec_col=vec_col,
+        )
     if impl == "expr":
         pairs = corpus.join(F.broadcast(queries.select(qid_col, qvec_col)))
         scored = pairs.select(
@@ -226,6 +257,7 @@ def _arrow_partial_topk(
     shard_col: str | None = None,
     cand_map: dict[int, frozenset] | None = None,
     qrows: list | None = None,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """mapInPandas partial top-k: per Arrow batch, a (nq × batch) BLAS
     distance matrix; emit the k best (with 2k tie slack) per query.
@@ -282,24 +314,25 @@ def _arrow_partial_topk(
                 D[~ok] = np.inf
             sel_id, sel_d = batch_topk(D, ids, k, take)
             keep = np.isfinite(sel_d).ravel()  # drop shard-masked rows
-            # carry the winners' vectors so the merge can re-score with
-            # the deterministic sequential expression (no second scan):
-            # map selected ids back to batch row positions
-            sorter = np.argsort(ids, kind="stable")
-            pos = sorter[np.searchsorted(ids, sel_id.ravel()[keep], sorter=sorter)]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids, sel_d.shape[1])[keep],
-                    "neighbor_id": sel_id.ravel()[keep],
-                    "dist": sel_d.ravel()[keep],
-                    "nvec": list(X[pos]),
-                }
-            )
+            out = {
+                "qid": np.repeat(qids, sel_d.shape[1])[keep],
+                "neighbor_id": sel_id.ravel()[keep],
+                "dist": sel_d.ravel()[keep],
+            }
+            if carry_vectors:
+                # carry the winners' vectors so the merge can re-score
+                # with the deterministic sequential expression (no second
+                # scan): map selected ids back to batch row positions
+                sorter = np.argsort(ids, kind="stable")
+                pos = sorter[np.searchsorted(ids, sel_id.ravel()[keep], sorter=sorter)]
+                out["nvec"] = list(X[pos])
+            yield pd.DataFrame(out)
 
     cols = [id_col, vec_col] + ([shard_col] if cand_map is not None else [])
-    return corpus.select(*cols).mapInPandas(
-        scan, schema="qid long, neighbor_id long, dist double, nvec array<double>"
-    )
+    schema = "qid long, neighbor_id long, dist double"
+    if carry_vectors:
+        schema += ", nvec array<double>"
+    return corpus.select(*cols).mapInPandas(scan, schema=schema)
 
 
 def knn_single(

@@ -139,3 +139,21 @@ def test_query_batch_collect_guard(spark, monkeypatch):
     monkeypatch.setattr(knnmod, "MAX_QUERY_BATCH", 5)
     with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
         knn(corpus, queries, k=3)
+
+
+def test_joinback_rescore_identical_to_carry(spark):
+    """rescore='joinback' (merge shuffle without vectors, corpus
+    point-lookup join) must produce byte-identical results to the
+    default carry path — same slate, same sequential re-score."""
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=20)
+
+    def canon(df):
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect()
+        )
+
+    for metric in ("l2sq", "cosine"):
+        carry = canon(knn(corpus, queries, k=10, metric=metric))
+        joinback = canon(knn(corpus, queries, k=10, metric=metric, rescore="joinback"))
+        assert carry == joinback, metric
