@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from distributedvectordatabase_spark.functions import text as T
 
+# 1M × 64-D float64 ≈ 512 MB normalized matrix — the practical ceiling
+# for shipping the corpus as one broadcast; beyond it the brute-force
+# design (not the constant) is what must change.
+MAX_BRUTE_CORPUS = 1_000_000
+
 
 def tokenized(
     docs: DataFrame,
@@ -300,7 +305,15 @@ def brute_cosine_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
+    # same driver-OOM guard rationale as knn.MAX_QUERY_BATCH: past this,
+    # the broadcast-corpus design itself is the bug — use the LSH path.
+    rows = corpus.select(id_col, vec_col).limit(MAX_BRUTE_CORPUS + 1).collect()
+    if len(rows) > MAX_BRUTE_CORPUS:
+        raise ValueError(
+            f"corpus exceeds MAX_BRUTE_CORPUS={MAX_BRUTE_CORPUS}; "
+            "brute-force all-pairs is the small-scale baseline — use "
+            "lsh_cosine_neardup_pairs for corpora past broadcast size"
+        )
     ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     norms = np.sqrt(np.einsum("ij,ij->i", X, X))

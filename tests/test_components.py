@@ -138,3 +138,21 @@ def test_setsim_no_python_in_hot_path(spark):
     df = spark.createDataFrame([(1, ["a", "b"]), (2, ["a", "c"])], ["sid", "items"])
     plan = similarity_join(df, "sid", "items", 0.3)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_brute_neardup_corpus_guard(spark, monkeypatch):
+    """brute_cosine_neardup_pairs refuses corpora past broadcast size
+    instead of OOMing the driver; the LSH path is the documented out."""
+    import importlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    dedupmod = importlib.import_module("distributedvectordatabase_spark.operators.dedup")
+    corpus = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    monkeypatch.setattr(dedupmod, "MAX_BRUTE_CORPUS", 5)
+    with pytest.raises(ValueError, match="MAX_BRUTE_CORPUS"):
+        dedupmod.brute_cosine_neardup_pairs(corpus, threshold=0.9)
