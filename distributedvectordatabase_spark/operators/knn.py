@@ -370,6 +370,7 @@ def knn_pruned(
     qvec_col: str = "qvec",
     shard_col: str = "shard_id",
     impl: str = "arrow",
+    rescore: str = "carry",
 ) -> DataFrame:
     """LSH-pruned approximate kNN (the reference's 2-of-3 shard probe:
     coordinator/coordinator.py:150-175, sharding/lsh_sharding.py:98-161,
@@ -406,11 +407,16 @@ def knn_pruned(
         for qid, s in cand_pairs:
             cand_map.setdefault(qid, set()).add(s)
         cand_map = {q: frozenset(s) for q, s in cand_map.items()}
+        carry = rescore == "carry"
         partial = _arrow_partial_topk(
             pruned, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
             shard_col=shard_col, cand_map=cand_map, qrows=qrows,
+            carry_vectors=carry,
         )
-        return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
+        return _rescored_topk(
+            partial, queries, k, metric, qid_col, qvec_col,
+            join_corpus=None if carry else pruned, id_col=id_col, vec_col=vec_col,
+        )
 
     cand_df = spark.createDataFrame(cand_pairs, schema=f"{qid_col} long, {shard_col} int")
     pairs = pruned.join(

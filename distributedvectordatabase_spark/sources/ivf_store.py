@@ -138,6 +138,7 @@ class IVFStore:
         qid_col: str = "qid",
         qvec_col: str = "qvec",
         impl: str = "arrow",
+        rescore: str = "carry",
     ) -> DataFrame:
         """Probe the ``n_probe`` nearest cells per query; partition
         pruning limits the scan to probed cells' directories.
@@ -162,12 +163,17 @@ class IVFStore:
 
         corpus = self.read(spark).filter(F.col("cell_id").isin(probed_cells))
         if impl == "arrow":
+            carry = rescore == "carry"
             partial = _arrow_partial_topk(
                 corpus, queries, k, metric, self.id_col, self.vec_col,
                 qid_col, qvec_col, shard_col="cell_id", cand_map=cand_map,
-                qrows=qrows,
+                qrows=qrows, carry_vectors=carry,
             )
-            return _rescored_topk(partial, queries, k, metric, qid_col, qvec_col)
+            return _rescored_topk(
+                partial, queries, k, metric, qid_col, qvec_col,
+                join_corpus=None if carry else corpus,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
 
         probe_df = spark.createDataFrame(probe_pairs, schema=f"{qid_col} long, cell_id int")
         pairs = corpus.join(

@@ -157,3 +157,21 @@ def test_joinback_rescore_identical_to_carry(spark):
         carry = canon(knn(corpus, queries, k=10, metric=metric))
         joinback = canon(knn(corpus, queries, k=10, metric=metric, rescore="joinback"))
         assert carry == joinback, metric
+
+
+def test_pruned_joinback_identical_to_carry(spark):
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.knn import knn_pruned
+
+    lsh = SignLSH()
+    corpus = lsh.assign(load_table(spark, "embeddings", SF_DIR))
+    queries = queries_fixture(spark, SF_DIR, n=20)
+
+    def canon(df):
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect()
+        )
+
+    carry = canon(knn_pruned(corpus, queries, lsh, k=10))
+    joinback = canon(knn_pruned(corpus, queries, lsh, k=10, rescore="joinback"))
+    assert carry == joinback
