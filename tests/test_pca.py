@@ -1,0 +1,58 @@
+"""PCA invariants (reference O3, load_coco_embeddings.py:24-36). The
+declared query is rows-only (eigenvector sign is implementation-
+defined), so the accuracy contract lives here: explained variance
+behavior, orthonormal-projection norm bound, and run-to-run
+determinism."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.pca import pca_reduce
+from distributedvectordatabase_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _explained(df):
+    return df.select("explained_variance_sum").first()[0]
+
+
+def test_output_shape_and_explained_variance_monotone(spark):
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    n = emb.count()
+    r16 = pca_reduce(emb, k=16)
+    assert r16.count() == n
+    assert all(len(r.pca) == 16 for r in r16.limit(20).collect())
+    e4, e16 = _explained(pca_reduce(emb, k=4)), _explained(r16)
+    assert 0.0 < e4 <= e16 <= 1.0 + 1e-9, (e4, e16)
+
+
+def test_projection_norm_bounded_by_input_norm(spark):
+    """Projection onto an orthonormal basis cannot grow the norm:
+    ||P^T x||^2 <= ||x||^2 for every row."""
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    sq = "aggregate(transform({c}, x -> cast(x*x as double)), 0.0D, (s, x) -> s + x)"
+    joined = (
+        pca_reduce(emb, k=16)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.expr(sq.format(c="pca")).alias("proj_sq"),
+            F.expr(sq.format(c="embedding")).alias("in_sq"),
+        )
+    )
+    bad = joined.filter(F.col("proj_sq") > F.col("in_sq") + 1e-6).count()
+    assert bad == 0
+
+
+def test_deterministic_across_runs(spark):
+    emb = load_table(spark, "embeddings", SF_SMALL)
+
+    def canon(df):
+        return sorted(
+            (r.vec_id, tuple(r.pca)) for r in df.limit(50).collect()
+        )
+
+    a, b = canon(pca_reduce(emb, k=8)), canon(pca_reduce(emb, k=8))
+    assert a == b
+    for (_, va), (_, vb) in zip(a, b):
+        assert all(math.isfinite(x) for x in va) and va == vb
