@@ -1,6 +1,8 @@
 from distributedvectordatabase_spark.operators.ann import ivf_knn
 from distributedvectordatabase_spark.operators.asof import asof_join
+from distributedvectordatabase_spark.operators.components import connected_components
 from distributedvectordatabase_spark.operators.dedup import (
+    brute_cosine_neardup_pairs,
     lsh_cosine_neardup_pairs,
     minhash_neardup_pairs,
     simhash_neardup_pairs,
@@ -14,9 +16,11 @@ from distributedvectordatabase_spark.operators.knn import (
 from distributedvectordatabase_spark.operators.multimodal import (
     as_media_table,
     decode_stats,
+    infer_embeddings,
     resize_metadata,
     sample_frames,
 )
+from distributedvectordatabase_spark.operators.setsim import similarity_join
 from distributedvectordatabase_spark.operators.pca import pca_reduce
 from distributedvectordatabase_spark.operators.range_join import time_range_join
 from distributedvectordatabase_spark.operators.skew import salted_aggregate
@@ -35,8 +39,12 @@ __all__ = [
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
     "lsh_cosine_neardup_pairs",
+    "brute_cosine_neardup_pairs",
+    "connected_components",
+    "similarity_join",
     "as_media_table",
     "decode_stats",
+    "infer_embeddings",
     "resize_metadata",
     "sample_frames",
     "pca_reduce",
