@@ -1650,16 +1650,28 @@ def _run_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "dim_idx", F.round("value", 6).alias("value"), "explained_variance_sum")
 
 
+def _ivf_gate_store(sf_dir: str):
+    """Build-once IVF store for the declared queries, keyed by a
+    fingerprint of the source parquet (mtime+size): the driver
+    regenerates /root/testdata between rounds, and a stale /tmp store
+    built from older data would silently skew the recall gate."""
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{os.path.basename(sf_dir)}-{int(st.st_mtime)}-{st.st_size}"
+    path = os.path.join(tempfile.gettempdir(), "dvdb_ivf_gate", fp)
+    return IVFStore(path, n_cells=16, seed=42)
+
+
 def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN through the persistent store: build once per sf_dir
     (KMeans fit + cell-partitioned write), then query with partition
     pruning — the build/query split a real index workload uses, and
     ~5 s less KMeans per bench call than the fit-per-query operator."""
-    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
     from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "dvdb_ivf_gate", os.path.basename(sf_dir))
-    store = IVFStore(path, n_cells=16, seed=42)
+    store = _ivf_gate_store(sf_dir)
     if not os.path.exists(store._centroid_path):
         store.build(load_table(spark, "embeddings", sf_dir))
     queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
@@ -1678,11 +1690,9 @@ def _run_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf_store.py, stronger than an arbitrary floor on this
     unclustered corpus (measured recall@10 ≈ 0.65-0.76 at n_probe=4)."""
     from distributedvectordatabase_spark.operators.knn import knn
-    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
     from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "dvdb_ivf_gate", os.path.basename(sf_dir))
-    store = IVFStore(path, n_cells=16, seed=42)
+    store = _ivf_gate_store(sf_dir)
     corpus = load_table(spark, "embeddings", sf_dir)
     if not os.path.exists(store._centroid_path):
         store.build(corpus)
