@@ -21,6 +21,16 @@ Shuffle profile at scale: one groupBy for global frequencies (tiny,
 broadcast back), one groupBy to order each set, one equi-join on
 prefix item, one verify join on id. Every stage is built-in Catalyst
 operators — no Python in the hot path.
+
+Residual skew risk at 100×: the equi-join on the prefix item can
+concentrate on the hottest still-prefix-eligible token when the corpus
+has near-duplicate frequency mass (rarest-first ordering bounds this,
+but not adversarially). Escape hatches, in order: (1) AQE skew-join
+splitting is already on (session.py) and splits an oversized bucket at
+runtime; (2) partition the join additionally by a set-length band
+(θ-compatible lengths only, so it's results-preserving); (3) salt the
+hot item's bucket and union the candidate sets. None is wired in by
+default because (1) has handled every measured case.
 """
 
 from __future__ import annotations
