@@ -169,7 +169,7 @@ def _rescored_topk(
     eps = 1e-9
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
     wq = Window.partitionBy("qid")
-    vec_src = "nvec" if join_corpus is None else []
+    slate_cols = ["qid", "neighbor_id"] + (["nvec"] if join_corpus is None else [])
     slate = (
         partial.withColumn("rnk", F.row_number().over(w))
         .withColumn(
@@ -177,7 +177,7 @@ def _rescored_topk(
             F.max(F.when(F.col("rnk") <= 2 * k, F.col("dist"))).over(wq),
         )
         .filter((F.col("rnk") <= 2 * k) | (F.col("dist") <= F.col("_cut") + eps))
-        .select("qid", "neighbor_id", *([vec_src] if join_corpus is None else []))
+        .select(*slate_cols)
     )
     if join_corpus is not None:
         slate = slate.join(
