@@ -35,6 +35,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # Current testdata is TIMESTAMP(MICROS), which reads natively —
     # rebuild only when the column actually came back as a long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp semantics vs the DuckDB oracle (naive timestamps) are
+    # only engine-independent under UTC. Our own sessions pin UTC in
+    # get_spark, but the DRIVER's harness session is not ours — pin it
+    # here so every declared query is UTC regardless of caller.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
