@@ -52,3 +52,17 @@ def test_entry_contract(spark):
     assert len(qs) >= 30
     # smoke one callable through the public contract
     assert qs["tpch_q1_pricing"](spark, SF_SMALL).count() > 0
+
+
+def test_queries_pin_utc_regardless_of_caller_tz(spark, oracle):
+    """The driver's harness session is not ours and may carry any
+    timezone; load_table pins UTC so timestamp queries stay
+    oracle-equivalent. Asia/Kolkata (+5:30) is the hard case: a
+    non-whole-hour offset shifts every hour bucket if the pin fails."""
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        for name in ("events_windowed", "events_sessions"):
+            q = CATALOG[name]
+            assert_matches_oracle(q.run(spark, SF_DIR), oracle, q.oracle)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
