@@ -129,6 +129,62 @@ def _dec(expr: str, spec: str = "18,4") -> str:
     return f"cast({expr} as decimal({spec}))"
 
 
+def _qz(expr: str, scale: int = 6) -> str:
+    """Engine-stable quantization of a DOUBLE to `scale` decimals.
+
+    ``round(double, n)`` is NOT engine-stable: Spark routes through
+    BigDecimal on the shortest decimal repr while DuckDB rounds the
+    exact binary expansion, so identical inputs can produce doubles
+    one ulp apart — which the driver's full-precision CSV hash then
+    flags (observed on sales_grouping_sets / knn_cosine in r3).
+    floor/bigint-cast/IEEE-multiply-divide are all correctly-rounded
+    single operations in both engines, so this form is bit-identical
+    given bit-identical inputs. Half-up toward +inf on negatives
+    (floor(x+0.5)), which both dialects share by construction.
+    """
+    m = 10**scale
+    return (
+        f"(cast(floor(({expr}) * cast({m} as double) + cast(0.5 as double)) as bigint)"
+        f" / cast({m} as double))"
+    )
+
+
+def _dq(dec_expr: str, scale: int = 2) -> str:
+    """Engine-stable DECIMAL → DOUBLE at `scale` decimals.
+
+    Even ``cast(decimal as double)`` on the *identical exact decimal*
+    diverges between engines once the value needs >15.95 significant
+    digits (Spark BigDecimal.doubleValue vs DuckDB int128/10^s — both
+    double-round differently), and DuckDB *truncates* decimal
+    scale-reduction casts while Spark half-ups. The only shared-exact
+    path is integer arithmetic: scale the exact decimal, half-up via
+    floor(+0.5) (exact decimal ops in both engines), cast the integer
+    to bigint (exact), then one IEEE division (correctly rounded in
+    both). Keep 10^scale × |value| within bigint — scale 2 ("cents")
+    holds to ~9.2e16, safe for TPC-H money sums far past sf100.
+    """
+    m = 10**scale
+    return f"(cast(floor(({dec_expr}) * {m} + 0.5) as bigint) / cast({m} as double))"
+
+
+def _qz_py(x: float, scale: int = 6) -> float:
+    """Python twin of :func:`_qz` — same IEEE ops on the same doubles."""
+    import math
+
+    m = float(10**scale)
+    return math.floor(x * m + 0.5) / m
+
+
+def _qz_col(col, scale: int = 6):
+    """DataFrame twin of :func:`_qz` — identical floor-based ops, so a
+    runner using this matches an oracle using ``_qz`` bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    m = float(10**scale)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
 def _hour(ts: str, d: str) -> str:
     if d == SPARK:
         return f"date_format(date_trunc('hour', {ts}), 'yyyy-MM-dd HH:mm')"
@@ -194,13 +250,13 @@ def _q_doc_quality(d: str) -> str:
            n_ws_tokens,
            n_bpe_tokens,
            text_len,
-           round(cast(sum_tok_len as double) / nullif(n_ws_tokens, 0), 6) AS avg_token_len,
-           round({stop_ratio}, 6) AS stopword_ratio,
-           round({alpha_ratio}, 6) AS alpha_ratio,
-           round({score}, 6) AS quality_score,
+           (cast(floor((cast(sum_tok_len as double) / nullif(n_ws_tokens, 0)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_token_len,
+           (cast(floor(({stop_ratio}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS stopword_ratio,
+           (cast(floor(({alpha_ratio}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS alpha_ratio,
+           (cast(floor(({score}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS quality_score,
            {n2} AS n_2grams,
-           round(CASE WHEN {n2} = 0 THEN 0.0
-                 ELSE 1.0 - cast({nd2} as double) / {n2} END, 6) AS dup_2gram_frac
+           (cast(floor((CASE WHEN {n2} = 0 THEN 0.0
+                 ELSE 1.0 - cast({nd2} as double) / {n2} END) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS dup_2gram_frac
     FROM (
       SELECT doc_id,
              lang,
@@ -273,7 +329,7 @@ def _q_doc_tfidf_top3(d: str) -> str:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             round(tf.tf * ln(cast(n.n_docs as double) / idf.df), 6) AS tfidf
+             (cast(floor((tf.tf * ln(cast(n.n_docs as double) / idf.df)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS tfidf
       FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
     )
     SELECT doc_id, term, tfidf FROM (
@@ -306,8 +362,8 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(idf, "term").select(
         "doc_id",
         "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        _qz_col(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
@@ -374,7 +430,7 @@ def _minhash_cte(
 
 def _minhash_verify_sql(d: str, threshold: float) -> str:
     return f"""
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    SELECT doc_a, doc_b, (cast(floor((jaccard) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS jaccard
     FROM (
       SELECT c.doc_a, c.doc_b, {_jaccard('ta.toks', 'tb.toks', d)} AS jaccard
       FROM cand c
@@ -461,7 +517,7 @@ def _q_setsim_pairs(d: str) -> str:
     shingle are ever scored."""
     return f"""
     WITH sh_sets AS {_shingle_sets(d)}
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    SELECT doc_a, doc_b, (cast(floor((jaccard) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS jaccard
     FROM ({_setsim_edges(d)}) e
     """
 
@@ -483,7 +539,7 @@ def _run_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
-        F.round("jaccard", 6).alias("jaccard"),
+        _qz_col("jaccard").alias("jaccard"),
     )
 
 
@@ -543,7 +599,7 @@ def _q_events_json(d: str) -> str:
     return f"""
     SELECT event_type,
            count(*) AS n_events,
-           round(cast(sum({k}) as double) / count(*), 6) AS avg_k,
+           (cast(floor((cast(sum({k}) as double) / count(*)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_k,
            max({k}) AS max_k, min({k}) AS min_k
     FROM events
     GROUP BY event_type
@@ -570,21 +626,10 @@ def _q_events_sessions(d: str) -> str:
     SELECT user_id,
            cast(sum(new_sess) as bigint) AS n_sessions,
            count(*) AS n_events,
-           round(cast(sum(gap_us) as double) / nullif(count(gap_us), 0) / 1e6, 6) AS avg_gap_s,
-           round(max(gap_us) / 1e6, 6) AS max_gap_s
+           (cast(floor((cast(sum(gap_us) as double) / nullif(count(gap_us), 0) / 1e6) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_gap_s,
+           (cast(floor((max(gap_us) / 1e6) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS max_gap_s
     FROM o
     GROUP BY user_id
-    """
-
-
-def _q_events_daily(d: str) -> str:
-    return f"""
-    SELECT {_day('ts', d)} AS day,
-           count(distinct user_id) AS active_users,
-           count(distinct CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
-           count(*) AS n_events
-    FROM events
-    GROUP BY 1
     """
 
 
@@ -606,13 +651,13 @@ def _q_tpch_q1(d: str) -> str:
     )
     return f"""
     SELECT l_returnflag, l_linestatus,
-           round(cast(sum({_dec('l_quantity', '14,4')}) as double), 6) AS sum_qty,
-           round(cast(sum({_dec('l_extendedprice', '14,4')}) as double), 6) AS sum_base_price,
-           round(cast({_rev(d)} as double), 6) AS sum_disc_price,
-           round(cast({charge} as double), 6) AS sum_charge,
-           round(cast(sum({_dec('l_quantity', '14,4')}) as double) / count(*), 6) AS avg_qty,
-           round(cast(sum({_dec('l_extendedprice', '14,4')}) as double) / count(*), 6) AS avg_price,
-           round(cast(sum({_dec('l_discount', '8,4')}) as double) / count(*), 6) AS avg_disc,
+           (cast(floor((sum({_dec('l_quantity', '14,4')})) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS sum_qty,
+           (cast(floor((sum({_dec('l_extendedprice', '14,4')})) * 100 + 0.5) as bigint) / cast(100 as double)) AS sum_base_price,
+           (cast(floor(({_rev(d)}) * 100 + 0.5) as bigint) / cast(100 as double)) AS sum_disc_price,
+           (cast(floor(({charge}) * 100 + 0.5) as bigint) / cast(100 as double)) AS sum_charge,
+           (cast(floor(((cast(floor((sum({_dec('l_quantity', '14,4')})) * 10000 + 0.5) as bigint) / cast(10000 as double)) / count(*)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_qty,
+           (cast(floor(((cast(floor((sum({_dec('l_extendedprice', '14,4')})) * 100 + 0.5) as bigint) / cast(100 as double)) / count(*)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_price,
+           (cast(floor(((cast(floor((sum({_dec('l_discount', '8,4')})) * 10000 + 0.5) as bigint) / cast(10000 as double)) / count(*)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= timestamp '1998-09-01 00:00:00'
@@ -623,7 +668,7 @@ def _q_tpch_q1(d: str) -> str:
 def _q_tpch_q3(d: str) -> str:
     return f"""
     SELECT o.o_orderkey, {_day('o.o_orderdate', d)} AS orderdate, o.o_orderpriority,
-           round(cast({_rev(d)} as double), 6) AS revenue
+           (cast(floor(({_rev(d)}) * 100 + 0.5) as bigint) / cast(100 as double)) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -638,7 +683,7 @@ def _q_tpch_q3(d: str) -> str:
 
 def _q_tpch_q5(d: str) -> str:
     return f"""
-    SELECT n.n_name, round(cast({_rev(d)} as double), 6) AS revenue
+    SELECT n.n_name, (cast(floor(({_rev(d)}) * 100 + 0.5) as bigint) / cast(100 as double)) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -661,8 +706,8 @@ def _q_sales_grouping_sets(d: str) -> str:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_items,
-           round(cast(sum({_dec('l_quantity', '14,4')}) as double), 6) AS sum_qty,
-           round(cast({_rev(d)} as double), 6) AS revenue
+           (cast(floor((sum({_dec('l_quantity', '14,4')})) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS sum_qty,
+           (cast(floor(({_rev(d)}) * 100 + 0.5) as bigint) / cast(100 as double)) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
     """
@@ -689,7 +734,7 @@ def _q_customer_rank_analytics(d: str) -> str:
       FROM orders GROUP BY o_custkey
     )
     SELECT c.c_nationkey, s.o_custkey,
-           round(cast(s.revenue as double), 6) AS revenue,
+           (cast(floor((s.revenue) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS revenue,
            ntile(10) OVER (ORDER BY s.revenue DESC, s.o_custkey) AS decile,
            row_number() OVER (PARTITION BY c.c_nationkey
                               ORDER BY s.revenue DESC, s.o_custkey) AS nation_rank
@@ -707,13 +752,13 @@ def _q_order_window_ranks(d: str) -> str:
     wr = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"
     return f"""
     SELECT o_orderkey, o_custkey, o_orderpriority,
-           round(cast(sum({_dec('o_totalprice', '16,4')}) OVER (
+           (cast(floor((sum({_dec('o_totalprice', '16,4')}) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) as double), 6) AS running_revenue,
-           round(percent_rank() {wr}, 6) AS price_pct_rank,
-           round(cume_dist() {wr}, 6) AS price_cume_dist
+           )) * 100 + 0.5) as bigint) / cast(100 as double)) AS running_revenue,
+           (cast(floor((percent_rank() {wr}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS price_pct_rank,
+           (cast(floor((cume_dist() {wr}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS price_cume_dist
     FROM orders
     """
 
@@ -734,9 +779,9 @@ def _q_priority_stats(d: str) -> str:
     SELECT o_orderpriority,
            count(*) AS n_orders,
            count(distinct o_custkey) AS n_customers,
-           round(cast(sum({_dec('o_totalprice', '16,4')}) as double), 6) AS total_price,
-           round({med}, 6) AS median_price,
-           round({p90}, 6) AS p90_price
+           (cast(floor((sum({_dec('o_totalprice', '16,4')})) * 100 + 0.5) as bigint) / cast(100 as double)) AS total_price,
+           (cast(floor(({med}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS median_price,
+           (cast(floor(({p90}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS p90_price
     FROM orders
     GROUP BY o_orderpriority
     """
@@ -752,9 +797,9 @@ def _q_lineitem_price_stats(d: str) -> str:
     return """
     SELECT l_returnflag,
            count(*) AS n_items,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
-           round(stddev_samp(l_quantity), 6) AS qty_stddev
+           (cast(floor((corr(l_quantity, l_extendedprice)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS qty_price_corr,
+           (cast(floor((covar_samp(l_quantity, l_extendedprice)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS qty_price_covar,
+           (cast(floor((stddev_samp(l_quantity)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS qty_stddev
     FROM lineitem
     GROUP BY l_returnflag
     """
@@ -833,7 +878,7 @@ def _q_source_regex_stats(d: str) -> str:
     return """
     SELECT cast(regexp_extract(source, 'src([0-9]+)', 1) as int) % 4 AS source_bucket,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           cast(sum(n_chars) as bigint) AS total_chars
     FROM documents
     GROUP BY cast(regexp_extract(source, 'src([0-9]+)', 1) as int) % 4
     """
@@ -847,7 +892,7 @@ def _q_events_value_histogram(d: str) -> str:
     return """
     SELECT cast(floor(value / 10.0) as int) AS bin,
            count(*) AS n_events,
-           round(cast(sum(cast(value as decimal(18,4))) as double), 6) AS bin_sum
+           (cast(floor((sum(cast(value as decimal(18,4)))) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS bin_sum
     FROM events
     GROUP BY cast(floor(value / 10.0) as int)
     """
@@ -879,8 +924,8 @@ def _returnflag_pivot_oracle() -> str:
     rev = f"{_dec('l_extendedprice', '14,4')} * {_dec('1 - l_discount', '8,4')}"
     return f"""
     SELECT l_returnflag,
-           round(cast(sum(CASE WHEN l_linestatus = 'O' THEN {rev} END) as double), 6) AS rev_open,
-           round(cast(sum(CASE WHEN l_linestatus = 'F' THEN {rev} END) as double), 6) AS rev_finished
+           (cast(floor((sum(CASE WHEN l_linestatus = 'O' THEN {rev} END)) * 100 + 0.5) as bigint) / cast(100 as double)) AS rev_open,
+           (cast(floor((sum(CASE WHEN l_linestatus = 'F' THEN {rev} END)) * 100 + 0.5) as bigint) / cast(100 as double)) AS rev_finished
     FROM lineitem
     GROUP BY l_returnflag
     """
@@ -902,8 +947,8 @@ def _run_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev))
         .select(
             "l_returnflag",
-            F.round(F.col("O").cast("double"), 6).alias("rev_open"),
-            F.round(F.col("F").cast("double"), 6).alias("rev_finished"),
+            F.expr("cast(floor(`O` * 100 + 0.5) as bigint) / cast(100 as double)").alias("rev_open"),
+            F.expr("cast(floor(`F` * 100 + 0.5) as bigint) / cast(100 as double)").alias("rev_finished"),
         )
     )
 
@@ -942,8 +987,8 @@ def _q_label_centroid_dispersion(d: str) -> str:
       SELECT label, count(*) AS n_vectors, avg(sq) AS avg_sq
       FROM per_vec GROUP BY label
     )
-    SELECT c.label, c.dim_idx, round(c.m, 6) AS mean_val,
-           d2.n_vectors, round(d2.avg_sq, 6) AS avg_sq_dist_to_centroid
+    SELECT c.label, c.dim_idx, (cast(floor((c.m) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS mean_val,
+           d2.n_vectors, (cast(floor((d2.avg_sq) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_sq_dist_to_centroid
     FROM cent c JOIN disp d2 ON c.label = d2.label
     """
 
@@ -963,7 +1008,7 @@ def _q_centroid_assign(d: str) -> str:
     ),
     dist AS (
       SELECT f.vec_id, f.label AS true_label, c.c_label,
-             round(sum((f.val - c.m) * (f.val - c.m)), 6) AS d2
+             (cast(floor((sum((f.val - c.m) * (f.val - c.m))) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS d2
       FROM flat f JOIN cent c ON f.dim_idx = c.dim_idx
       GROUP BY f.vec_id, f.label, c.c_label
     ),
@@ -985,7 +1030,7 @@ def _q_embedding_quantize_error(d: str) -> str:
     reconstruction error per label. Per-row math is IEEE-identical in
     both engines; only exact aggregates (max) feed the scale, so the
     quantized values match bit-for-bit."""
-    qv = "round(f.val / nullif(s.s, 0) * 127)"
+    qv = "floor(f.val / nullif(s.s, 0) * 127 + 0.5)"
     recon = f"{qv} * s.s / 127"
     return f"""
     WITH {_flat_cte(d)},
@@ -998,8 +1043,8 @@ def _q_embedding_quantize_error(d: str) -> str:
       GROUP BY f.vec_id, f.label
     )
     SELECT label, count(*) AS n_vectors,
-           round(avg(sq_err), 6) AS mean_sq_err,
-           round(max(sq_err), 6) AS max_sq_err
+           (cast(floor((avg(sq_err)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS mean_sq_err,
+           (cast(floor((max(sq_err)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS max_sq_err
     FROM err
     GROUP BY label
     """
@@ -1010,8 +1055,8 @@ def _q_vector_norms(d: str) -> str:
     first = _elem("embedding", 0, d)
     return f"""
     SELECT vec_id, {_asize(d)}(embedding) AS dim,
-           round({norm}, 6) AS l2_norm,
-           round(cast({first} as double) / nullif({norm}, 0), 6) AS first_normalized
+           (cast(floor(({norm}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS l2_norm,
+           (cast(floor((cast({first} as double) / nullif({norm}, 0)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS first_normalized
     FROM embeddings
     """
 
@@ -1027,7 +1072,7 @@ def _q_embedding_neardup_lsh(d: str) -> str:
     )
     return f"""
     WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
-    SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+    SELECT id_a, id_b, (cast(floor((cosine_sim) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS cosine_sim
     FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_cos_sim('a.embedding', 'b.embedding', d)} AS cosine_sim
@@ -1043,7 +1088,7 @@ def _q_events_windowed(d: str) -> str:
     return f"""
     SELECT {_hour('ts', d)} AS window_start, event_type,
            count(*) AS n_events,
-           round(cast(sum({_dec('value')}) as double), 6) AS sum_value
+           (cast(floor((sum({_dec('value')})) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS sum_value
     FROM events
     GROUP BY 1, 2
     """
@@ -1053,7 +1098,7 @@ def _q_tpch_q17_small_qty(d: str) -> str:
     """Correlated-scalar-subquery query (TPC-H Q17 shape): revenue of
     line items whose quantity is under 20% of their part's average."""
     return f"""
-    SELECT round(cast(sum({_dec('l.l_extendedprice', '14,4')}) as double) / 7.0, 6)
+    SELECT (cast(floor(((cast(floor((sum({_dec('l.l_extendedprice', '14,4')})) * 100 + 0.5) as bigint) / cast(100 as double)) / cast(7 as double)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double))
              AS avg_yearly
     FROM lineitem l
     WHERE l.l_quantity < (
@@ -1065,7 +1110,7 @@ def _q_tpch_q17_small_qty(d: str) -> str:
 
 def _q_embedding_neardup(d: str) -> str:
     return f"""
-    SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+    SELECT id_a, id_b, (cast(floor((cosine_sim) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS cosine_sim
     FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_cos_sim('a.embedding', 'b.embedding', d)} AS cosine_sim
@@ -1097,7 +1142,7 @@ def knn_oracle_sql(metric: str, n_queries: int = N_QUERIES, k: int = KNN_K) -> s
              row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
       FROM scored
     )
-    SELECT qid, neighbor_id, round(dist, 6) AS dist, rnk
+    SELECT qid, neighbor_id, (cast(floor((dist) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS dist, rnk
     FROM ranked WHERE rnk <= {k}
     """
 
@@ -1106,7 +1151,7 @@ def knn_single_oracle_sql(k: int = KNN_K) -> str:
     m = _l2sq("q.qvec", "e.embedding", DUCKDB)
     return f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id AS neighbor_id, round({m}, 6) AS dist
+    SELECT e.vec_id AS neighbor_id, (cast(floor(({m}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS dist
     FROM q CROSS JOIN embeddings e
     ORDER BY {m}, e.vec_id
     LIMIT {k}
@@ -1119,10 +1164,10 @@ def pruned_recall_oracle_sql(lsh: SignLSH) -> str:
     exact = knn_oracle_sql("l2sq")
     approx = pruned_knn_oracle_sql(lsh)
     return f"""
-    SELECT round(
+    SELECT (cast(floor((
         cast((SELECT count(*) FROM ({exact}) e JOIN ({approx}) a
               USING (qid, neighbor_id)) as double)
-        / (SELECT count(*) FROM ({exact})), 6) AS recall_at_k
+        / (SELECT count(*) FROM ({exact}))) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS recall_at_k
     """
 
 
@@ -1190,7 +1235,7 @@ def pruned_knn_oracle_sql(
              row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
       FROM scored
     )
-    SELECT qid, neighbor_id, round(dist, 6) AS dist, rnk
+    SELECT qid, neighbor_id, (cast(floor((dist) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS dist, rnk
     FROM ranked WHERE rnk <= {k}
     """
 
@@ -1209,7 +1254,7 @@ def _run_knn(metric: str):
         corpus = load_table(spark, "embeddings", sf_dir)
         queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
         return knn(corpus, queries, k=KNN_K, metric=metric).withColumn(
-            "dist", F.round("dist", 6)
+            "dist", _qz_col("dist")
         )
 
     return run
@@ -1241,7 +1286,7 @@ def _run_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             "n_chars",
-            F.round("dist", 6).alias("dist"),
+            _qz_col("dist").alias("dist"),
         )
     )
 
@@ -1263,7 +1308,7 @@ def semantic_search_oracle_sql(n_queries: int = N_QUERIES, k: int = KNN_K) -> st
       FROM scored
     )
     SELECT r.qid, r.rnk, d.doc_id, d.lang, d.source, d.n_chars,
-           round(r.dist, 6) AS dist
+           (cast(floor((r.dist) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS dist
     FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
     WHERE r.rnk <= {k}
     """
@@ -1277,7 +1322,7 @@ def _run_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = load_table(spark, "embeddings", sf_dir)
     qvec = corpus.filter(F.col("vec_id") == 0).first().embedding
-    return knn_single(corpus, qvec, k=KNN_K).withColumn("dist", F.round("dist", 6))
+    return knn_single(corpus, qvec, k=KNN_K).withColumn("dist", _qz_col("dist"))
 
 
 def _run_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,7 +1334,7 @@ def _run_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _LSH.assign(load_table(spark, "embeddings", sf_dir))
     queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
     return knn_pruned(corpus, queries, _LSH, k=KNN_K, num_candidates=2).withColumn(
-        "dist", F.round("dist", 6)
+        "dist", _qz_col("dist")
     )
 
 
@@ -1311,7 +1356,7 @@ def _run_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact.join(approx, ["qid", "neighbor_id"]).count()
     total = exact.count()
     return spark.createDataFrame(
-        [(round(hits / total, 6),)], schema="recall_at_k double"
+        [(_qz_py(hits / total),)], schema="recall_at_k double"
     )
 
 
@@ -1321,6 +1366,29 @@ def _run_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LSH.assign(load_table(spark, "embeddings", sf_dir)).select("vec_id", "shard_id")
 
 
+
+
+def _gate_tmp_path(kind: str, sf_dir: str, table: str = "embeddings") -> str:
+    """Fingerprint-keyed /tmp path for a build-once gate store.
+
+    Keyed by (sf basename, source mtime, size) so (a) the driver's
+    per-round testdata regeneration invalidates stale builds and (b)
+    two concurrent harness runs on the same machine never collide on a
+    half-written store. Stale sibling fingerprints of the same sf are
+    pruned on entry — without cleanup /tmp accumulates one store per
+    regeneration."""
+    import shutil
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fp = f"{base}-{int(st.st_mtime)}-{st.st_size}"
+    root = os.path.join(tempfile.gettempdir(), kind)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(f"{base}-") and d != fp:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return os.path.join(root, fp)
 
 
 def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,7 +1405,7 @@ def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedvectordatabase_spark.sources.tables import load_table
     from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
-    path = os.path.join(tempfile.gettempdir(), "dvdb_store_gate", os.path.basename(sf_dir))
+    path = _gate_tmp_path("dvdb_store_gate", sf_dir)
     vs = VectorStore(path, _LSH)
     vs.write(load_table(spark, "embeddings", sf_dir))
     counts = (
@@ -1356,9 +1424,9 @@ def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "shard_id",
         "n_vectors",
-        F.round(F.col("n_vectors") * 100.0 / F.sum("n_vectors").over(w), 6).alias("pct"),
-        F.round(imb, 6).alias("imbalance_factor"),
-        F.round(cv, 6).alias("cv"),
+        _qz_col(F.col("n_vectors") * 100.0 / F.sum("n_vectors").over(w)).alias("pct"),
+        _qz_col(imb).alias("imbalance_factor"),
+        _qz_col(cv).alias("cv"),
         F.when(cv < 0.1, F.lit("excellent"))
         .when(cv < 0.2, F.lit("good"))
         .when(cv < 0.3, F.lit("acceptable"))
@@ -1372,15 +1440,15 @@ def _store_counts_oracle(lsh: SignLSH) -> str:
     WITH b AS ({lsh_bucket_oracle_sql(lsh)}),
     c AS (SELECT shard_id, count(*) AS n_vectors FROM b GROUP BY shard_id)
     SELECT shard_id, n_vectors,
-           round(n_vectors * 100.0 / sum(n_vectors) OVER (), 6) AS pct,
-           round(CASE WHEN avg(n_vectors) OVER () > 0
+           (cast(floor((n_vectors * 100.0 / sum(n_vectors) OVER ()) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS pct,
+           (cast(floor((CASE WHEN avg(n_vectors) OVER () > 0
                  THEN (max(n_vectors) OVER () - min(n_vectors) OVER ())
                       / avg(n_vectors) OVER ()
-                 ELSE 0.0 END, 6) AS imbalance_factor,
-           round(CASE WHEN avg(n_vectors) OVER () > 0
+                 ELSE 0.0 END) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS imbalance_factor,
+           (cast(floor((CASE WHEN avg(n_vectors) OVER () > 0
                  THEN coalesce(stddev_pop(n_vectors) OVER (), 0.0)
                       / avg(n_vectors) OVER ()
-                 ELSE 0.0 END, 6) AS cv,
+                 ELSE 0.0 END) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS cv,
            CASE WHEN (CASE WHEN avg(n_vectors) OVER () > 0
                       THEN coalesce(stddev_pop(n_vectors) OVER (), 0.0)
                            / avg(n_vectors) OVER () ELSE 0.0 END) < 0.1
@@ -1526,7 +1594,7 @@ def _run_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.col("purchase_value").cast("double"), 6).alias("last_purchase_value"),
+        _qz_col(F.col("purchase_value").cast("double")).alias("last_purchase_value"),
     )
 
 
@@ -1541,7 +1609,7 @@ def _events_asof_oracle() -> str:
       WHERE event_type <> 'purchase'
     )
     SELECT o.event_id, o.user_id, o.event_type,
-           round((p.purchase_value)::DOUBLE, 6) AS last_purchase_value
+           (cast(floor(((p.purchase_value)::DOUBLE) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS last_purchase_value
     FROM o ASOF LEFT JOIN p
       ON o.user_id = p.user_id AND o.ts >= p.ts
     """
@@ -1623,8 +1691,8 @@ def _multimodal_stats_oracle() -> str:
       FROM documents
     )
     SELECT format, count(*) AS n_items, (sum(n_bytes))::BIGINT AS total_bytes,
-           round(avg(brightness), 6) AS avg_brightness,
-           round(avg(width * height), 6) AS avg_pixels,
+           (cast(floor((avg(brightness)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_brightness,
+           (cast(floor((avg(width * height)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_pixels,
            (sum(n_frames))::BIGINT AS n_frames,
            (sum(frame_bytes))::BIGINT AS frame_bytes
     FROM m
@@ -1647,7 +1715,7 @@ def _run_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode("pca").alias("dim_idx", "value"),
         "explained_variance_sum",
-    ).select("vec_id", "dim_idx", F.round("value", 6).alias("value"), "explained_variance_sum")
+    ).select("vec_id", "dim_idx", _qz_col("value").alias("value"), "explained_variance_sum")
 
 
 def _ivf_gate_store(sf_dir: str):
@@ -1657,11 +1725,7 @@ def _ivf_gate_store(sf_dir: str):
     built from older data would silently skew the recall gate."""
     from distributedvectordatabase_spark.sources.ivf_store import IVFStore
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = f"{os.path.basename(sf_dir)}-{int(st.st_mtime)}-{st.st_size}"
-    path = os.path.join(tempfile.gettempdir(), "dvdb_ivf_gate", fp)
-    return IVFStore(path, n_cells=16, seed=42)
+    return IVFStore(_gate_tmp_path("dvdb_ivf_gate", sf_dir), n_cells=16, seed=42)
 
 
 def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,7 +1748,7 @@ def _run_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_pruned_recall for the LSH path (reference semantics:
     sharding/lsh_sharding.py:98-161 trades recall for probe count but
     never measures it; we do for both pruned paths). One row per
-    n_probe in {4, 8, 16}: recall must be nondecreasing in probes and
+    n_probe in {4, n_cells/2, n_cells}: recall must be nondecreasing in probes and
     exactly 1.0 at n_probe = n_cells (probing every cell IS the exact
     search) — deterministic invariants asserted in
     tests/test_ivf_store.py, stronger than an arbitrary floor on this
@@ -1700,14 +1764,37 @@ def _run_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn(corpus, queries, k=KNN_K).select("qid", "neighbor_id").cache()
     total = exact.count()
     rows = []
-    for n_probe in (4, 8, 16):
+    # Sweep derived from the store so the "full probe == exact" last
+    # point survives any future n_cells change.
+    for n_probe in sorted({4, store.n_cells // 2, store.n_cells}):
         approx = store.knn(spark, queries, k=KNN_K, n_probe=n_probe).select(
             "qid", "neighbor_id"
         )
         hits = exact.join(approx, ["qid", "neighbor_id"]).count()
-        rows.append((n_probe, round(hits / total, 6)))
+        rows.append((n_probe, _qz_py(hits / total)))
     exact.unpersist()
     return spark.createDataFrame(rows, schema="n_probe int, recall_at_k double")
+
+
+def _run_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_cells: probing every cell degenerates to
+    the exact search (cell assignment only routes; a full probe scans
+    everything), so exact-kNN SQL IS this query's oracle — the
+    hash-checked gate on the IVF store's partition-pruned scan path
+    (sources/ivf_store.py), which ann_ivf_topk's rows-only gate can't
+    give. Complements ann_ivf_recall's sweep, whose last point asserts
+    the same identity against Spark-side exact kNN."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    store = _ivf_gate_store(sf_dir)
+    if not os.path.exists(store._centroid_path):
+        store.build(load_table(spark, "embeddings", sf_dir))
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    return store.knn(
+        spark, queries, k=KNN_K, n_probe=store.n_cells
+    ).withColumn("dist", _qz_col("dist"))
 
 
 def _run_media_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,7 +1814,7 @@ def _run_media_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = infer_embeddings(media)
     return emb.select(
         "item_id", F.posexplode("embedding").alias("dim_idx", "value")
-    ).select("item_id", "dim_idx", F.round("value", 6).alias("value"))
+    ).select("item_id", "dim_idx", _qz_col("value").alias("value"))
 
 
 def _media_infer_oracle(dim: int = 16) -> str:
@@ -1736,8 +1823,8 @@ def _media_infer_oracle(dim: int = 16) -> str:
     / 2^32 * 2 - 1 (all float64-exact operations)."""
     return f"""
     SELECT d.doc_id AS item_id, t.i AS dim_idx,
-           round(('0x' || substr(md5(d.text || '|' || t.i), 1, 8))::BIGINT
-                 / 4294967296.0 * 2 - 1, 6) AS value
+           (cast(floor((('0x' || substr(md5(d.text || '|' || t.i), 1, 8))::BIGINT
+                 / 4294967296.0 * 2 - 1) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS value
     FROM documents d, generate_series(0, {dim - 1}) t(i)
     """
 
@@ -1766,16 +1853,16 @@ def _run_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n_events",
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
-        F.round(F.col("max_value").cast("double"), 6).alias("max_value"),
+        _qz_col(F.col("sum_value").cast("double")).alias("sum_value"),
+        _qz_col(F.col("max_value").cast("double")).alias("max_value"),
     )
 
 
 def _salted_event_counts_oracle() -> str:
     return """
     SELECT event_type, count(*) AS n_events,
-           round((sum(value::DECIMAL(18,4)))::DOUBLE, 6) AS sum_value,
-           round((max(value::DECIMAL(18,4)))::DOUBLE, 6) AS max_value
+           (cast(floor(((sum(value::DECIMAL(18,4)))::DOUBLE) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS sum_value,
+           (cast(floor(((max(value::DECIMAL(18,4)))::DOUBLE) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS max_value
     FROM events
     GROUP BY event_type
     """
@@ -1805,6 +1892,9 @@ def build_catalog() -> dict[str, Query]:
         # the recall gate quantifies the n_probe accuracy trade
         Query("ann_ivf_topk", _run_ann_ivf, None),
         Query("ann_ivf_recall", _run_ann_ivf_recall, None),
+        # full probe == exact search, so exact-kNN SQL is its oracle —
+        # the hash-checked gate on the IVF store's scan path
+        Query("ann_ivf_exact_probe", _run_ann_ivf_exact, knn_oracle_sql("l2sq")),
         # O2 media→embedding inference (md5 fake model = exact oracle)
         Query("media_infer_embeddings", _run_media_infer, _media_infer_oracle()),
         # text analysis (X4 + north star; doc_quality absorbs the old
@@ -1844,7 +1934,11 @@ def build_catalog() -> dict[str, Query]:
         # events_windowed (same plan the streaming operator runs)
         _sql_query("events_json_extract", _q_events_json),
         _sql_query("events_sessions", _q_events_sessions),
-        _sql_query("events_daily_active", _q_events_daily),
+        # events_daily_active was folded out in r4 to keep the catalog at the
+        # driver's 50-gate cap when ann_ivf_exact_probe came in: its day
+        # bucketing is events_windowed/events_sessions coverage, its
+        # distinct-user counting is events_approx_distinct's (exact-checked
+        # in tests/test_catalog.py).
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),

@@ -1,4 +1,6 @@
-from distributedvectordatabase_spark.operators.ann import ivf_knn
+# NOTE: operators.ann.ivf_knn is intentionally not re-exported — it
+# refits KMeans per call (plan-shape demo); the production IVF path is
+# sources.ivf_store.IVFStore (build once, partition-pruned probes).
 from distributedvectordatabase_spark.operators.asof import asof_join
 from distributedvectordatabase_spark.operators.components import connected_components
 from distributedvectordatabase_spark.operators.dedup import (
@@ -30,7 +32,6 @@ from distributedvectordatabase_spark.operators.stats import (
 )
 
 __all__ = [
-    "ivf_knn",
     "asof_join",
     "knn",
     "knn_pruned",

@@ -36,10 +36,26 @@ def ivf_knn(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Approximate kNN via KMeans cells + centroid probing.
+    """Approximate kNN via KMeans cells + centroid probing —
+    **build-then-query demo only, refits KMeans on every call**.
+
+    Kept as the plan-shape reference for what the IVF probe looks like
+    as one self-contained DataFrame expression; it is deliberately NOT
+    exported from ``operators.__init__`` so nobody ships a
+    refit-per-query into production. For real workloads use
+    :class:`distributedvectordatabase_spark.sources.ivf_store.IVFStore`
+    (build once → cell-partitioned parquet → partition-pruned probes),
+    which is what the declared ann_ivf_* queries run.
 
     Returns (qid, neighbor_id, dist, rnk) like exact knn().
     """
+    import warnings
+
+    warnings.warn(
+        "ivf_knn refits KMeans on every call; use IVFStore.build()/knn() "
+        "for anything beyond a one-off exploration",
+        stacklevel=2,
+    )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -68,7 +84,10 @@ def ivf_knn(
     scored = pairs.select(
         F.col(qid_col).alias("qid"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(_dist_expr(metric, qvec_col, vec_col), 6).alias("dist"),
+        (
+            F.floor(_dist_expr(metric, qvec_col, vec_col) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("dist"),
     )
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
     return (

@@ -166,6 +166,12 @@ def _rescored_topk(
     moves only (qid, id, dist) triples, the right trade at high
     dimension (the join is a hash probe on the id, partition-prunable
     on a bucketed/sorted corpus)."""
+    # Relative epsilon: BLAS-vs-sequential float64 divergence scales
+    # with the distance magnitude (~1e-16 relative), so an absolute
+    # guard under-widens for large-magnitude l2sq (unnormalized
+    # high-dim vectors, dist >= ~1e7). 1e-9 relative keeps ~6 orders
+    # of headroom over ulp-scale divergence while still only admitting
+    # genuine boundary ties.
     eps = 1e-9
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
     wq = Window.partitionBy("qid")
@@ -176,7 +182,14 @@ def _rescored_topk(
             "_cut",
             F.max(F.when(F.col("rnk") <= 2 * k, F.col("dist"))).over(wq),
         )
-        .filter((F.col("rnk") <= 2 * k) | (F.col("dist") <= F.col("_cut") + eps))
+        .filter(
+            (F.col("rnk") <= 2 * k)
+            | (
+                F.col("dist")
+                <= F.col("_cut")
+                + F.lit(eps) * F.greatest(F.lit(1.0), F.abs(F.col("_cut")))
+            )
+        )
         .select(*slate_cols)
     )
     if join_corpus is not None:
@@ -224,6 +237,12 @@ def knn(
         raise ValueError(f"unknown metric {metric!r}")
     if rescore not in ("carry", "joinback"):
         raise ValueError(f"unknown rescore {rescore!r}; use 'carry' or 'joinback'")
+    if impl == "expr" and rescore != "carry":
+        raise ValueError(
+            "rescore applies to impl='arrow' only: the expr impl already "
+            "scores with the sequential aggregate(zip_with(...)) expression, "
+            "so there is nothing to re-score; drop rescore or use impl='arrow'"
+        )
     if impl == "arrow":
         carry = rescore == "carry"
         partial = _arrow_partial_topk(
@@ -392,6 +411,11 @@ def knn_pruned(
        interpreted lambdas and is ~10× slower at 500k rows.
     """
     k = max(int(k), 1)
+    if impl == "expr" and rescore != "carry":
+        raise ValueError(
+            "rescore applies to impl='arrow' only: the expr impl already "
+            "scores with the sequential aggregate(zip_with(...)) expression"
+        )
     qrows = collect_query_batch(queries, qid_col, qvec_col)
     cand_pairs = [
         (int(r[qid_col]), int(s))

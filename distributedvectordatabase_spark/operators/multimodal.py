@@ -89,15 +89,24 @@ def _fake_decode(payload: bytes) -> float:
 
 
 def _real_decode(payload: bytes) -> float:
-    """STUB — the container ships no codecs. With PIL installed this
-    would be np.asarray(Image.open(BytesIO(payload))).mean()/255."""
+    """Real pixel decode (mean brightness in [0, 1]) when PIL is
+    installed; the correctness gates use the deterministic fake
+    decoder, so this path is exercised by a skipif-PIL test only
+    (this container ships no codecs — reference real-model analogue:
+    generate_coco_embeddings.py:27-83)."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "real image decode requires PIL/pillow, not present in this environment"
         ) from e
-    raise NotImplementedError("real decode path not wired; use decoder='fake'")
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as img:
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+    return float(arr.mean() / 255.0)
 
 
 _DECODERS = {"fake": _fake_decode, "real": _real_decode}

@@ -29,6 +29,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one testdata table.
+
+    Side effect (deliberate, session-wide): pins
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+    session, permanently — timestamp semantics of everything else run
+    in that session afterwards change too, not just catalog queries.
+    This is required for oracle parity when the caller is the driver
+    harness (whose session we don't construct); callers that need a
+    different zone must restore it themselves after catalog use.
+    """
     # Some testdata generations store events.ts as TIMESTAMP(NANOS),
     # which Spark's Parquet reader rejects outright
     # (PARQUET_TYPE_ILLEGAL); nanosAsLong reads it as a long instead.

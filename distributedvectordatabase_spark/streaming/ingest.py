@@ -85,9 +85,14 @@ def windowed_event_counts(
         df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6).alias(
-                "sum_value"
-            ),
+            # Engine-stable decimal quantization (catalog._dq form): the
+            # exact decimal sum is scaled/floored in decimal space, then
+            # one IEEE divide — bit-identical to the DuckDB oracle, which
+            # round(double, 6) is not (one-ulp divergence, r3 verdict).
+            F.expr(
+                "cast(floor(sum(cast(value as decimal(18,4))) * 10000 + 0.5)"
+                " as bigint) / cast(10000 as double)"
+            ).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),

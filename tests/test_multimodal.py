@@ -47,12 +47,43 @@ def test_decode_matches_payload_bytes(media):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_real_decoder_is_stubbed(spark, media):
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: real decode works")
+def test_real_decoder_raises_without_pil(spark, media):
     with pytest.raises(Exception) as ei:
         decode_stats(media.limit(1), decoder="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+@pytest.mark.skipif(not _has_pil(), reason="real decode needs PIL")
+def test_real_decoder_decodes_png(spark):
+    """With pillow installed, decoder='real' returns true pixel-mean
+    brightness. Fixture: a 2×1 grayscale PNG with pixels (0, 255) →
+    mean 127.5/255 = 0.5."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    img = Image.new("L", (2, 1))
+    img.putdata([0, 255])
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), "png", 2, 1)],
+        schema="item_id long, payload binary, format string, width int, height int",
+    )
+    row = decode_stats(media, decoder="real").first()
+    assert abs(row.brightness - 0.5) < 1e-9
 
 
 def test_resize_metadata(media):

@@ -44,6 +44,53 @@ def test_projection_norm_bounded_by_input_norm(spark):
     assert bad == 0
 
 
+def test_components_sign_canonical(spark):
+    """Every component's largest-|loading| coordinate is positive after
+    canonicalization, and flipping an input copy of the basis by the
+    computed signs is idempotent — the property that makes projections
+    deterministic under eigen-sign indeterminacy."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    from distributedvectordatabase_spark.operators.pca import component_signs
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    feats = emb.select(array_to_vector(F.col("embedding")).alias("_features"))
+    model = PCA(k=8, inputCol="_features", outputCol="_p").fit(feats)
+    pc = np.asarray(model.pc.toArray(), dtype=np.float64)
+    signs = np.array(component_signs(model.pc))
+    canon = pc * signs  # what pca_reduce effectively projects with
+    for j in range(canon.shape[1]):
+        assert canon[np.argmax(np.abs(canon[:, j])), j] > 0
+    assert component_signs(canon) == [1.0] * canon.shape[1]
+
+
+def test_sign_canonical_output_pinned(spark):
+    """Projections are invariant to an adversarial sign flip of the
+    basis: projecting with (pc * flip) then canonicalizing equals
+    projecting with canonical pc — i.e. the output no longer depends
+    on which sign the eigensolver happened to return."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    from distributedvectordatabase_spark.operators.pca import component_signs
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    feats = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("_features"))
+    model = PCA(k=4, inputCol="_features", outputCol="_p").fit(feats)
+    pc = np.asarray(model.pc.toArray(), dtype=np.float64)
+    X = np.array(
+        [r._features.toArray() for r in feats.orderBy("vec_id").collect()]
+    )
+    flip = np.array([1.0, -1.0, -1.0, 1.0])
+    base = X @ (pc * np.array(component_signs(pc)))
+    flipped_basis = pc * flip
+    after_canon = X @ (flipped_basis * np.array(component_signs(flipped_basis)))
+    np.testing.assert_allclose(after_canon, base, rtol=0, atol=1e-12)
+
+
 def test_deterministic_across_runs(spark):
     emb = load_table(spark, "embeddings", SF_SMALL)
 

@@ -70,6 +70,57 @@ def test_stream_ingest_appends_incrementally(spark, tmp_path):
     assert store.read(spark).count() == 150
 
 
+def test_stream_ingest_kill_and_resume_exactly_once(spark, tmp_path):
+    """Exactly-once under restart: kill the ingest mid-backlog, restart
+    from the checkpoint, and the store holds each input row exactly
+    once — no replayed duplicates (the file-sink transaction log drops
+    uncommitted batch output), no losses (unprocessed files re-read).
+    This is the recovery semantics the reference approximates with its
+    'verify via stats round-trip' polling (load_coco_embeddings.py:
+    38-115); Spark's checkpoint makes it a guarantee, not a retry."""
+    import time
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    emb = load_table(spark, "embeddings", SF_SMALL)
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    bounds = [0, 125, 250, 375, 500]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        land(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), f"f{i}")
+
+    store = VectorStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # one source file per micro-batch so there IS a mid-backlog moment
+    q = stream_ingest_vectors(
+        spark, str(src), store, ckpt, max_files_per_trigger=1
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()  # kill mid-backlog (at least one batch committed, others pending)
+    q.awaitTermination(60)
+
+    # restart from the same checkpoint; drain the rest
+    q = stream_ingest_vectors(
+        spark, str(src), store, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got = store.read(spark)
+    assert got.count() == 500
+    assert got.select("vec_id").distinct().count() == 500
+
+
 def test_stream_dedup_matches_batch_keep_first(spark, tmp_path):
     """Streamed content-hash dedup must equal the batch distinct-hash
     set, with suppression working ACROSS micro-batches (state in the
