@@ -1,12 +1,17 @@
 """Driver-gate simulation: every catalog query runs on Spark at sf0.01
 and matches its DuckDB oracle (canonicalized). This is the same check
-the driver performs for CORRECTNESS_r{N}.json."""
+the driver performs for CORRECTNESS_r{N}.json — and since r4 it is the
+*strict* form: full-precision, bit-for-bit equality of the serialized
+results (tests/exact_compare.py), not the atol=2e-6 tolerance the rest
+of the suite uses. The tolerance compare is what let the r3 one-ulp
+round() divergence ship: locally green, driver hash-mismatch."""
 
 import pytest
 
 import __spark_entry__ as entrymod
 from distributedvectordatabase_spark.catalog import build_catalog
 from tests.conftest import SF_DIR, SF_SMALL, assert_matches_oracle
+from tests.exact_compare import exact_mismatches
 
 CATALOG = build_catalog()
 WITH_ORACLE = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
@@ -16,7 +21,10 @@ ROWS_ONLY = sorted(n for n, q in CATALOG.items() if q.oracle is None)
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, oracle, name):
     q = CATALOG[name]
-    assert_matches_oracle(q.run(spark, SF_DIR), oracle, q.oracle)
+    got = q.run(spark, SF_DIR).toPandas()
+    want = oracle.sql(q.oracle).df()
+    diff = exact_mismatches(got, want)
+    assert not len(diff), f"{len(diff)} rows differ at full precision:\n{diff.head(5)}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
