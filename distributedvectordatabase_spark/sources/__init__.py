@@ -1,5 +1,20 @@
+from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+from distributedvectordatabase_spark.sources.jsonwire import (
+    read_insert_payloads,
+    read_query_payload,
+)
 from distributedvectordatabase_spark.sources.npz import read_npz, write_npz
 from distributedvectordatabase_spark.sources.tables import TABLES, load_table, load_tables
 from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
-__all__ = ["TABLES", "load_table", "load_tables", "read_npz", "write_npz", "VectorStore"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_npz",
+    "write_npz",
+    "read_insert_payloads",
+    "read_query_payload",
+    "VectorStore",
+    "IVFStore",
+]

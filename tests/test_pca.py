@@ -6,6 +6,7 @@ determinism."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributedvectordatabase_spark.operators.pca import pca_reduce
@@ -91,7 +92,41 @@ def test_sign_canonical_output_pinned(spark):
     np.testing.assert_allclose(after_canon, base, rtol=0, atol=1e-12)
 
 
-def test_deterministic_across_runs(spark):
+def test_matches_numpy_eigendecomposition_oracle(spark):
+    """True-value oracle for O3 (reference runs sklearn PCA,
+    load_coco_embeddings.py:24-36): Spark ML PCA's sign-canonicalized
+    projections must match a NumPy covariance-eigendecomposition PCA
+    canonicalized the same way. Spark ML computes components from the
+    (n-1)-normalized covariance but transform() does NOT mean-center,
+    so the oracle is X @ V_canon with V from eigh(cov(X)). Components
+    with well-separated eigenvalues are unique up to sign, which the
+    canonicalization fixes — making values comparable to float
+    tolerance, a strictly stronger check than the invariants above."""
+    import numpy as np
+
+    from distributedvectordatabase_spark.operators.pca import component_signs
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    k = 6
+    cov = np.cov(X, rowvar=False)  # (n-1) normalization, like Spark ML
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    # skip if any adjacent kept eigenvalues are near-degenerate (rotation
+    # within the subspace would make per-component comparison ill-posed)
+    lam = evals[order]
+    if np.any(np.abs(np.diff(lam)) / lam[:-1] < 1e-6):
+        pytest.skip("degenerate eigenvalues: per-component compare ill-posed")
+    V = evecs[:, order]
+    V = V * np.array(component_signs(V))
+    want = X @ V
+
+    got_rows = pca_reduce(emb, k=k).orderBy("vec_id").collect()
+    got = np.array([list(r.pca) for r in got_rows])
+    # pca_reduce quantizes to 1e-6; compare at that grain
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
     emb = load_table(spark, "embeddings", SF_SMALL)
 
     def canon(df):

@@ -67,6 +67,24 @@ def test_pruned_knn_has_partition_filters(spark, corpus, qs, tmp_path):
     assert has_broadcast(df_expr)
 
 
+def test_ivf_exact_probe_still_prunes_by_cell(spark, corpus, qs, tmp_path):
+    """The ann_ivf_exact_probe gate probes every cell (full probe ==
+    exact), but the plan must still carry the cell_id partition filter
+    — at n_probe < n_cells the same plan prunes directories, so the
+    gate exercises the real pruned scan path, not a separate code
+    path."""
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+    store = IVFStore(str(tmp_path / "ivf"), n_cells=4, seed=42)
+    store.build(corpus)
+    full = store.knn(spark, qs, k=3, n_probe=store.n_cells)
+    pf = scan_partition_filters(full)
+    assert pf and any("cell_id" in f for f in pf), pf
+    partial = store.knn(spark, qs, k=3, n_probe=1)
+    pf1 = scan_partition_filters(partial)
+    assert pf1 and any("cell_id" in f for f in pf1), pf1
+
+
 def test_filter_and_projection_reach_parquet_scan(spark):
     df = (
         load_table(spark, "documents", SF_SMALL)
