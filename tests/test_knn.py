@@ -124,6 +124,48 @@ def test_partition_count_determinism(spark):
         assert got == base, f"output differs at repartition({nparts})"
 
 
+def test_large_magnitude_boundary_ties_deterministic(spark):
+    """Adversarial case for the slate guard: many exact-duplicate
+    candidates tied AT the 2k slate boundary, at l2sq magnitude ~1e9
+    where BLAS-vs-sequential float64 divergence (~1e-16 relative, so
+    ~1e-7 absolute) dwarfs the old absolute eps=1e-9 — the relative
+    epsilon must still admit every tied candidate, keeping the arrow
+    output equal to the expr impl and invariant to partitioning."""
+    import numpy as np
+
+    dim = 16
+    scale = 2_000.0  # dists ~ dim * scale^2 ~ 6e7..1e9
+    rng = np.random.default_rng(99)
+    base = (rng.standard_normal(dim) * scale).astype(np.float32)
+    far = (rng.standard_normal(dim) * scale).astype(np.float32)
+    rows = [(0, [float(x) for x in base])]
+    # 5 near-distinct neighbors, then 40 identical 'far' duplicates that
+    # all tie exactly at and beyond the k..2k slate boundary
+    for i in range(1, 6):
+        rows.append((i, [float(x) for x in base + rng.standard_normal(dim).astype(np.float32)]))
+    for i in range(6, 46):
+        rows.append((i, [float(x) for x in far]))
+    corpus = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, rows[0][1])], schema="qid long, qvec array<float>"
+    )
+
+    def canon(df):
+        return sorted((r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect())
+
+    want = canon(knn(corpus, queries, k=10, metric="l2sq", impl="expr"))
+    for nparts in (1, 5):
+        got = canon(knn(corpus.repartition(nparts), queries, k=10, metric="l2sq"))
+        assert got == want, f"arrow != expr at repartition({nparts})"
+
+
+def test_rescore_rejected_on_expr_impl(spark):
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=2)
+    with pytest.raises(ValueError, match="arrow"):
+        knn(corpus, queries, k=3, impl="expr", rescore="joinback")
+
+
 def test_query_batch_collect_guard(spark, monkeypatch):
     """The driver-side query collect is capped: an over-size query set
     raises instead of OOMing the driver (the join-based path is the
