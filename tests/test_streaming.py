@@ -161,6 +161,20 @@ def test_stream_dedup_matches_batch_keep_first(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == n_hashes
 
+    # state recovery: a restart must RELOAD the seen-hash state, so
+    # duplicates of long-finished batches stay suppressed while genuinely
+    # new content passes
+    land(docs.filter(F.col("doc_id") < 30), "f2_all_dups")
+    land(docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50)), "f3_new")
+    q = stream_dedup_documents(spark, str(src), sink, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    n_hashes2 = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(F.md5("text").alias("h")).distinct().count()
+    )
+    assert spark.read.parquet(sink).count() == n_hashes2
+
 
 def test_windowed_event_counts_matches_oracle(spark, oracle):
     ev = load_table(spark, "events", "/root/testdata/sf0.01")
