@@ -16,6 +16,11 @@ Money aggregations cast to DECIMAL before summing: double summation
 order differs between engines (Spark partial aggs vs DuckDB sequential)
 and at 60k+ rows the drift exceeds the 1e-6 canonical rounding; decimal
 sums are exact and therefore engine-independent.
+
+Float canonicalization is floor-based (`_qz` for doubles, `_dq` for
+exact decimals, `_qz_col`/`_qz_py` twins for DataFrame/Python sides) —
+never ``round(double, n)``, which differs by one ulp between engines on
+identical inputs; see the helper docstrings and FIXTURES.md §4.
 """
 
 from __future__ import annotations
