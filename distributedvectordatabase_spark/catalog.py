@@ -795,18 +795,54 @@ def _q_priority_stats(d: str) -> str:
 
 def _q_lineitem_price_stats(d: str) -> str:
     """Statistical aggregates: Pearson correlation, sample covariance
-    and stddev of (quantity, extendedprice) per return flag. Both
-    engines use the same textbook definitions; results are normalized
-    ratios, so double accumulation-order drift stays far below the
-    1e-6 canonical rounding. One scan, partial+final aggregation."""
-    return """
+    and stddev of (quantity, extendedprice) per return flag — computed
+    from EXACT DECIMAL co-moments, not the corr/covar_samp/stddev_samp
+    builtins. The builtins use different internal update algorithms in
+    the two engines (co-moment streaming vs naive sums, different
+    accumulation order), so their doubles diverge below 1e-6 in a
+    data-dependent way — a residual hash-flip risk every time the
+    testdata regenerates. Decimal sums of x, y, x², y², xy are exact
+    and engine-identical; each is quantized to a deterministic double
+    (catalog._dq), and the textbook formulas then run in IEEE doubles
+    identically in both engines. Still one scan with partial+final
+    map-side-combined aggregation — five decimal sums instead of three
+    streaming moments.
+
+    Scale bound: the integer-quantized Σy² fits bigint up to ~sf100 of
+    TPC-H lineitem (8.7e17 at sf100 vs 9.2e18); past that, widen to a
+    two-level aggregation or drop to the builtins and a looser gate."""
+    # Product operand width is dialect-specific but the products stay
+    # EXACT in both: DuckDB multiplies decimal(14,4) on int64 and
+    # overflows on price², so it gets decimal(19,4) (int128 path,
+    # result (38,8) exact); Spark keeps (14,4) because its product type
+    # (29,8) is exact under the 38-precision cap, while widening to
+    # (19,4) there would produce (39,8) -> precision-capped (38,7) and
+    # silently ROUND each product.
+    p44 = "14,4" if d == SPARK else "19,4"
+    sx = f"sum({_dec('l_quantity', '14,4')})"
+    sy = f"sum({_dec('l_extendedprice', '14,4')})"
+    sxx = f"sum({_dec('l_quantity', p44)} * {_dec('l_quantity', p44)})"
+    syy = f"sum({_dec('l_extendedprice', p44)} * {_dec('l_extendedprice', p44)})"
+    sxy = f"sum({_dec('l_quantity', p44)} * {_dec('l_extendedprice', p44)})"
+    n = "cast(count(*) as double)"
+    return f"""
     SELECT l_returnflag,
-           count(*) AS n_items,
-           (cast(floor((corr(l_quantity, l_extendedprice)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS qty_price_corr,
-           (cast(floor((covar_samp(l_quantity, l_extendedprice)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS qty_price_covar,
-           (cast(floor((stddev_samp(l_quantity)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS qty_stddev
-    FROM lineitem
-    GROUP BY l_returnflag
+           n_items,
+           {_qz("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS qty_price_corr,
+           {_qz("(sxy - sx * sy / n) / (n - 1)")} AS qty_price_covar,
+           {_qz("sqrt((n * sxx - sx * sx) / (n * (n - 1)))")} AS qty_stddev
+    FROM (
+      SELECT l_returnflag,
+             count(*) AS n_items,
+             {n} AS n,
+             {_dq(sx, 4)} AS sx,
+             {_dq(sy, 4)} AS sy,
+             {_dq(sxx, 4)} AS sxx,
+             {_dq(syy, 0)} AS syy,
+             {_dq(sxy, 0)} AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    ) m
     """
 
 
