@@ -172,6 +172,23 @@ def _dq(dec_expr: str, scale: int = 2) -> str:
     return f"(cast(floor(({dec_expr}) * {m} + 0.5) as bigint) / cast({m} as double))"
 
 
+def _qsum(term: str) -> str:
+    """Order-independent sum of a per-row double expression: quantize
+    each term to 6 decimals (a deterministic double whose decimal(38,6)
+    image is exact in both engines), then sum exactly in decimal.
+    Plain ``sum(double)`` depends on accumulation order (Spark partial
+    aggs vs DuckDB sequential), which diverges data-dependently below
+    1e-6 — the same residual-risk class as round() was."""
+    return f"sum(cast({_qz(term)} as decimal(38,6)))"
+
+
+def _qavg(term: str, count: str = "count(*)") -> str:
+    """Engine-stable mean of a per-row double expression: exact decimal
+    sum of quantized terms (see _qsum), quantized to a deterministic
+    double, one IEEE divide, re-quantized."""
+    return _qz(f"{_dq(_qsum(term), 6)} / {count}")
+
+
 def _qz_py(x: float, scale: int = 6) -> float:
     """Python twin of :func:`_qz` — same IEEE ops on the same doubles."""
     import math
@@ -1018,18 +1035,19 @@ def _q_label_centroid_dispersion(d: str) -> str:
     frame (labels × dims rows — always broadcastable)."""
     return f"""
     WITH {_flat_cte(d)},
-    cent AS (SELECT label, dim_idx, avg(val) AS m FROM flat GROUP BY label, dim_idx),
+    cent AS (SELECT label, dim_idx, {_qavg("val")} AS m FROM flat GROUP BY label, dim_idx),
     per_vec AS (
-      SELECT f.vec_id, f.label, sum((f.val - c.m) * (f.val - c.m)) AS sq
+      SELECT f.vec_id, f.label, {_qsum("(f.val - c.m) * (f.val - c.m)")} AS sq
       FROM flat f JOIN cent c ON f.label = c.label AND f.dim_idx = c.dim_idx
       GROUP BY f.vec_id, f.label
     ),
     disp AS (
-      SELECT label, count(*) AS n_vectors, avg(sq) AS avg_sq
+      SELECT label, count(*) AS n_vectors,
+             {_qz(_dq("sum(sq)", 6) + " / count(*)")} AS avg_sq
       FROM per_vec GROUP BY label
     )
-    SELECT c.label, c.dim_idx, (cast(floor((c.m) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS mean_val,
-           d2.n_vectors, (cast(floor((d2.avg_sq) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS avg_sq_dist_to_centroid
+    SELECT c.label, c.dim_idx, c.m AS mean_val,
+           d2.n_vectors, d2.avg_sq AS avg_sq_dist_to_centroid
     FROM cent c JOIN disp d2 ON c.label = d2.label
     """
 
@@ -1044,12 +1062,12 @@ def _q_centroid_assign(d: str) -> str:
     return f"""
     WITH {_flat_cte(d)},
     cent AS (
-      SELECT label AS c_label, dim_idx, avg(val) AS m
+      SELECT label AS c_label, dim_idx, {_qavg("val")} AS m
       FROM flat GROUP BY label, dim_idx
     ),
     dist AS (
       SELECT f.vec_id, f.label AS true_label, c.c_label,
-             (cast(floor((sum((f.val - c.m) * (f.val - c.m))) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS d2
+             {_dq(_qsum("(f.val - c.m) * (f.val - c.m)"), 6)} AS d2
       FROM flat f JOIN cent c ON f.dim_idx = c.dim_idx
       GROUP BY f.vec_id, f.label, c.c_label
     ),
@@ -1078,14 +1096,13 @@ def _q_embedding_quantize_error(d: str) -> str:
     scale AS (SELECT dim_idx, max(abs(val)) AS s FROM flat GROUP BY dim_idx),
     err AS (
       SELECT f.vec_id, f.label,
-             sum(CASE WHEN s.s = 0 OR s.s IS NULL THEN 0.0
-                 ELSE (f.val - {recon}) * (f.val - {recon}) END) AS sq_err
+             {_qsum(f"CASE WHEN s.s = 0 OR s.s IS NULL THEN 0.0 ELSE (f.val - {recon}) * (f.val - {recon}) END")} AS sq_err
       FROM flat f JOIN scale s ON f.dim_idx = s.dim_idx
       GROUP BY f.vec_id, f.label
     )
     SELECT label, count(*) AS n_vectors,
-           (cast(floor((avg(sq_err)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS mean_sq_err,
-           (cast(floor((max(sq_err)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS max_sq_err
+           {_qz(_dq("sum(sq_err)", 6) + " / count(*)")} AS mean_sq_err,
+           {_qz("cast(max(sq_err) as double)")} AS max_sq_err
     FROM err
     GROUP BY label
     """
