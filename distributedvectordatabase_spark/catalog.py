@@ -111,9 +111,12 @@ def _l2sq(a: str, b: str, d: str) -> str:
             f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), "
             f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (s, x) -> s + x)"
         )
+    # explicit multiply, not `^ 2`: integer-exponent pow is *usually*
+    # exact x*x but libm gives no guarantee, and Spark's side multiplies
     return (
         f"list_sum(list_transform(range(1, len({a}) + 1), "
-        f"i -> ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i]) ^ 2))"
+        f"i -> ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i])"
+        f" * ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i])))"
     )
 
 
@@ -351,7 +354,7 @@ def _q_doc_tfidf_top3(d: str) -> str:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             (cast(floor((tf.tf * ln(cast(n.n_docs as double) / idf.df)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS tfidf
+             (cast(floor((tf.tf * (cast(floor((ln(cast(n.n_docs as double) / idf.df)) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double))) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS tfidf
       FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
     )
     SELECT doc_id, term, tfidf FROM (
@@ -384,9 +387,13 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(idf, "term").select(
         "doc_id",
         "term",
-        _qz_col(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
-        ).alias("tfidf"),
+        # the ln() is quantized BEFORE the tf multiply: Java Math.log and
+        # DuckDB's libm log may differ by one ulp on the same argument,
+        # and tf (up to ~200) amplifies that past the final 1e-6 grain —
+        # a deterministic log factor makes the product engine-identical
+        _qz_col(F.col("tf") * _qz_col(F.log(F.lit(float(n_docs)) / F.col("df")))).alias(
+            "tfidf"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -94,9 +94,12 @@ def duckdb_dot(a: str, b: str) -> str:
 def duckdb_l2sq(a: str, b: str) -> str:
     # |a|^2 + |b|^2 - 2<a,b> would be algebraically equal but numerically
     # farther from Spark's direct sum; index-lambda keeps element order.
+    # Explicit multiply, not `^ 2`: libm pow has no exactness guarantee
+    # for integer exponents, Spark's side multiplies.
     return (
         f"list_sum(list_transform(range(1, len({a}) + 1), "
-        f"i -> ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i]) ^ 2))"
+        f"i -> ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i])"
+        f" * ((({a})::DOUBLE[])[i] - (({b})::DOUBLE[])[i])))"
     )
 
 
