@@ -11,7 +11,8 @@ store, and measures the paths whose scaling actually matters:
 - exact batch kNN via the Arrow/BLAS partial top-k (scan-bound path)
 - LSH-pruned kNN (partition pruning + per-query equi-join)
 
-Usage: python bench_scale.py [N_ROWS]   (default 500_000)
+Usage: python bench_scale.py [N_ROWS] [DIM]   (default 500_000 64; DIM=512
+matches the reference design point, generate_coco_embeddings.py 512-D PCA)
 Prints one JSON line like bench.py.
 """
 
@@ -35,17 +36,17 @@ from distributedvectordatabase_spark.operators.knn import knn, recall_at_k
 from distributedvectordatabase_spark.session import get_spark
 from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
-DIM = 64
+DIM = 64  # overridden by argv[2]
 
 
-def synth_corpus(spark, n_rows: int, partitions: int):
+def synth_corpus(spark, n_rows: int, partitions: int, dim: int = DIM):
     """Deterministic synthetic corpus, generated inside executors."""
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rng = np.random.RandomState(int(ids[0]) % (2**31))
-            X = rng.standard_normal((len(ids), DIM)).astype(np.float32)
+            X = rng.standard_normal((len(ids), dim)).astype(np.float32)
             yield pd.DataFrame({"vec_id": ids, "embedding": list(X)})
 
     return (
@@ -56,6 +57,7 @@ def synth_corpus(spark, n_rows: int, partitions: int):
 
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else DIM
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="dvdb-bench-scale", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -63,8 +65,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="dvdb_scale_")
-    store = VectorStore(os.path.join(tmp, "store"))
-    corpus = synth_corpus(spark, n_rows, partitions=int(cpus))
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+
+    store = VectorStore(os.path.join(tmp, "store"), SignLSH(dim=dim))
+    corpus = synth_corpus(spark, n_rows, partitions=int(cpus), dim=dim)
 
     # absorb Python-worker launch so the ingest number measures
     # generate+assign+shuffle+write, not process startup
@@ -123,7 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_rows": n_rows,
-                "dim": DIM,
+                "dim": dim,
                 "recall_at_10_pruned": recall,
                 "ingest_rows_per_s": round(n_rows / timings["ingest_bucketed_write"]),
             }
