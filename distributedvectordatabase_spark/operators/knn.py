@@ -51,6 +51,12 @@ _METRICS = {"l2sq", "cosine"}
 # impl="expr" path (or setsim/near-dup operators) instead.
 MAX_QUERY_BATCH = 100_000
 
+# rescore="auto" switches carry -> joinback at this query dimension:
+# a 2k-slate row then carries >= 2 KB of float64 vector through the
+# merge shuffle, which costs more than the joinback's second (hash,
+# partition-prunable) probe of the corpus by id.
+AUTO_JOINBACK_DIM = 256
+
 
 def collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str) -> list:
     """Collect the query side with an explicit cap (guards the driver
@@ -218,7 +224,7 @@ def knn(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     impl: str = "arrow",
-    rescore: str = "carry",
+    rescore: str = "auto",
 ) -> DataFrame:
     """Batch exact kNN: for every query row, the k nearest corpus rows.
 
@@ -230,24 +236,35 @@ def knn(
     partial (one scan; +dim×8 bytes per slate row through the merge
     shuffle), ``"joinback"`` ships only (qid, id, dist) and joins the
     ≤ nq·2k winners back to the corpus by id — identical results, the
-    better trade at high dimension (512-D+) or huge query batches.
+    better trade at high dimension or huge query batches. The default
+    ``"auto"`` picks joinback at query dim >= 256 (a 2k-slate row then
+    carries >= 2 KB of vector through the merge shuffle), carry below
+    (the joinback's second corpus probe costs more than shipping small
+    vectors). Resolved from the already-collected query batch — no
+    extra Spark job.
     """
     k = max(int(k), 1)
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}")
-    if rescore not in ("carry", "joinback"):
-        raise ValueError(f"unknown rescore {rescore!r}; use 'carry' or 'joinback'")
-    if impl == "expr" and rescore != "carry":
+    if rescore not in ("auto", "carry", "joinback"):
+        raise ValueError(
+            f"unknown rescore {rescore!r}; use 'auto', 'carry' or 'joinback'"
+        )
+    if impl == "expr" and rescore not in ("auto", "carry"):
         raise ValueError(
             "rescore applies to impl='arrow' only: the expr impl already "
             "scores with the sequential aggregate(zip_with(...)) expression, "
             "so there is nothing to re-score; drop rescore or use impl='arrow'"
         )
     if impl == "arrow":
+        qrows = collect_query_batch(queries, qid_col, qvec_col)
+        if rescore == "auto":
+            dim = len(qrows[0][qvec_col]) if qrows else 0
+            rescore = "joinback" if dim >= AUTO_JOINBACK_DIM else "carry"
         carry = rescore == "carry"
         partial = _arrow_partial_topk(
             corpus, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
-            carry_vectors=carry,
+            qrows=qrows, carry_vectors=carry,
         )
         return _rescored_topk(
             partial, queries, k, metric, qid_col, qvec_col,
@@ -389,7 +406,7 @@ def knn_pruned(
     qvec_col: str = "qvec",
     shard_col: str = "shard_id",
     impl: str = "arrow",
-    rescore: str = "carry",
+    rescore: str = "auto",
 ) -> DataFrame:
     """LSH-pruned approximate kNN (the reference's 2-of-3 shard probe:
     coordinator/coordinator.py:150-175, sharding/lsh_sharding.py:98-161,
@@ -411,12 +428,15 @@ def knn_pruned(
        interpreted lambdas and is ~10× slower at 500k rows.
     """
     k = max(int(k), 1)
-    if impl == "expr" and rescore != "carry":
+    if impl == "expr" and rescore not in ("auto", "carry"):
         raise ValueError(
             "rescore applies to impl='arrow' only: the expr impl already "
             "scores with the sequential aggregate(zip_with(...)) expression"
         )
     qrows = collect_query_batch(queries, qid_col, qvec_col)
+    if rescore == "auto":
+        dim = len(qrows[0][qvec_col]) if qrows else 0
+        rescore = "joinback" if dim >= AUTO_JOINBACK_DIM else "carry"
     cand_pairs = [
         (int(r[qid_col]), int(s))
         for r in qrows

@@ -138,7 +138,7 @@ class IVFStore:
         qid_col: str = "qid",
         qvec_col: str = "qvec",
         impl: str = "arrow",
-        rescore: str = "carry",
+        rescore: str = "auto",
     ) -> DataFrame:
         """Probe the ``n_probe`` nearest cells per query; partition
         pruning limits the scan to probed cells' directories.
@@ -163,6 +163,13 @@ class IVFStore:
 
         corpus = self.read(spark).filter(F.col("cell_id").isin(probed_cells))
         if impl == "arrow":
+            if rescore == "auto":
+                from distributedvectordatabase_spark.operators.knn import (
+                    AUTO_JOINBACK_DIM,
+                )
+
+                dim = len(list(qrows[0][qvec_col])) if qrows else 0
+                rescore = "joinback" if dim >= AUTO_JOINBACK_DIM else "carry"
             carry = rescore == "carry"
             partial = _arrow_partial_topk(
                 corpus, queries, k, metric, self.id_col, self.vec_col,
