@@ -794,25 +794,59 @@ def _q_order_window_ranks(d: str) -> str:
 
 def _q_priority_stats(d: str) -> str:
     """Per-priority order profile: counts, distinct customers, exact
-    decimal totals, plus exact continuous quantiles (median/p90 —
-    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
-    linear-interpolation definition, so values match bit-for-bit after
-    rounding). One scan, one aggregation shuffle."""
-    if d == SPARK:
-        med = "percentile(o_totalprice, 0.5)"
-        p90 = "percentile(o_totalprice, 0.9)"
-    else:
-        med = "quantile_cont(o_totalprice, 0.5)"
-        p90 = "quantile_cont(o_totalprice, 0.9)"
+    decimal totals, plus exact continuous quantiles (median/p90).
+
+    The quantiles are computed by explicit rank selection + the
+    canonical linear interpolation (idx = p·(n−1); lo/hi ranks; lo +
+    (hi−lo)·frac) instead of Spark ``percentile`` / DuckDB
+    ``quantile_cont``: the builtins implement the same definition but
+    not necessarily the same *expression shape*, and a one-ulp
+    interpolation difference is a data-dependent hash flip. With the
+    formula written once in shared SQL, every arithmetic step is the
+    same IEEE operation in both engines.
+
+    Scale note: rank selection needs one window sort partitioned by the
+    (low-cardinality, skew-prone) group key — the right shape for a
+    correctness gate over `orders`; for ad-hoc quantiles on a fact
+    table at 100 TB reach for approx_percentile instead, which never
+    needs the global per-group sort."""
+    def quant(p: str) -> tuple[str, str, str]:
+        idx = f"cast({p} as double) * (n - 1)"
+        lo = f"cast(floor({idx}) as bigint) + 1"
+        hi = f"least(cast(floor({idx}) as bigint) + 2, n)"
+        frac = f"max({idx} - floor({idx}))"
+        return (
+            f"max(CASE WHEN rn = {lo} THEN v END)",
+            f"max(CASE WHEN rn = {hi} THEN v END)",
+            frac,
+        )
+
+    m_lo, m_hi, m_f = quant("0.5")
+    p_lo, p_hi, p_f = quant("0.9")
     return f"""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           count(distinct o_custkey) AS n_customers,
-           (cast(floor((sum({_dec('o_totalprice', '16,4')})) * 100 + 0.5) as bigint) / cast(100 as double)) AS total_price,
-           (cast(floor(({med}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS median_price,
-           (cast(floor(({p90}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS p90_price
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    base AS (
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             count(distinct o_custkey) AS n_customers,
+             {_dq(f"sum({_dec('o_totalprice', '16,4')})", 2)} AS total_price
+      FROM orders GROUP BY o_orderpriority
+    ),
+    q AS (
+      SELECT o_orderpriority,
+             {m_lo} AS m_lo, {m_hi} AS m_hi, {m_f} AS m_f,
+             {p_lo} AS p_lo, {p_hi} AS p_hi, {p_f} AS p_f
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT b.o_orderpriority, b.n_orders, b.n_customers, b.total_price,
+           {_qz("q.m_lo + (q.m_hi - q.m_lo) * q.m_f")} AS median_price,
+           {_qz("q.p_lo + (q.p_hi - q.p_lo) * q.p_f")} AS p90_price
+    FROM base b JOIN q ON b.o_orderpriority = q.o_orderpriority
     """
 
 
