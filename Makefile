@@ -4,10 +4,16 @@
 # bench: the BENCH contract at $SPARK_GRAFT_SF_DIR (default sf0.1) — run on
 #        an idle machine; concurrent Spark work inflates timings ~2.7x
 
-.PHONY: smoke check bench test
+.PHONY: smoke check bench test exact
 
 smoke:
 	python -m pytest tests/test_smoke.py -q
+
+# bit-level oracle comparison of every gated query (the strictest form
+# of the driver's sha256-of-CSV hash check); also runs inside `check`
+# via tests/test_catalog.py
+exact:
+	python -m tests.exact_compare
 
 check:
 	python -m pytest tests/ -q
