@@ -40,8 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent DuckDB SQL per query; omitted (rows-only check) for
-    pca_project_16 / ann_ivf_topk / ann_ivf_recall (centroid & eigen
-    init not SQL-expressible) and events_approx_distinct (HLL estimates
-    are engine-specific) — their accuracy contracts live in tests/
-    (recall sweep invariants, ≤5% HLL error, PCA invariants)."""
+    pca_project_16 / ann_ivf_recall (centroid & eigen init not
+    SQL-expressible) — their accuracy contracts live in tests/
+    (recall sweep invariants, NumPy PCA oracle, PCA invariants)."""
     return {name: q.oracle for name, q in _CATALOG.items() if q.oracle is not None}

@@ -34,8 +34,8 @@ from distributedvectordatabase_spark.session import get_spark
 HEADLINE = [
     "knn_l2",
     "knn_cosine",
+    "knn_filtered",
     "knn_pruned_2of3",
-    "ann_ivf_topk",
     "store_shard_distribution",
     "dedup_exact",
     "curation_pipeline",
@@ -54,7 +54,7 @@ HEADLINE = [
     "customer_rank_analytics",
     "customer_set_ops",
     "returnflag_pivot_unpivot",
-    "events_approx_distinct",
+    "decontam_overlap",
     "semantic_search_topk",
     "order_window_ranks",
     "order_part_lists",
@@ -68,9 +68,13 @@ HEADLINE = [
 ]
 
 # Measured and reported but not part of headline_total: documented
-# worst-case baselines kept honest in the record.
+# worst-case baselines and paths whose gate slot was ceded (driver caps
+# the gated catalog at 50), kept honest in the record. Names not in the
+# catalog resolve through EXTRA_RUNNERS.
 EXTRA = [
     "dedup_minhash",
+    "ann_ivf_topk",
+    "events_approx_distinct",
 ]
 
 
@@ -101,12 +105,22 @@ def main() -> None:
     # single shot conflates scheduler jitter with the plan's real cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
+    from distributedvectordatabase_spark.catalog import (
+        _run_ann_ivf,
+        _run_events_approx_distinct,
+    )
+
+    extra_runners = {
+        "ann_ivf_topk": _run_ann_ivf,
+        "events_approx_distinct": _run_events_approx_distinct,
+    }
+
     def time_query(name: str) -> float:
-        q = catalog[name]
+        run = catalog[name].run if name in catalog else extra_runners[name]
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            q.run(spark, sf_dir).count()
+            run(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 

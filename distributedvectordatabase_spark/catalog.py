@@ -418,6 +418,67 @@ def _q_doc_sample_fingerprint(d: str) -> str:
     """
 
 
+def _q_decontam(d: str) -> str:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap):
+    a deterministic md5 key split carves ~1/16 of documents out as the
+    "benchmark" corpus; every remaining (training) doc is scored by how
+    many of its distinct 3-word shingles appear anywhere in the
+    benchmark. Oracle twin of operators/decontam.ngram_contamination
+    (whose plan broadcasts the benchmark shingle set — the train side
+    is scanned once, never shuffled un-aggregated)."""
+    s = "string" if d == SPARK else "varchar"
+    shs = f"{_adistinct(d)}({T.word_shingles(T.tokens('text', d), 3, d)})"
+    if d == SPARK:
+        explode_bench = "SELECT DISTINCT explode(shs) AS shingle FROM d WHERE is_bench"
+        explode_docs = "SELECT doc_id, explode(shs) AS shingle FROM d WHERE NOT is_bench"
+        asize = "size"
+    else:
+        explode_bench = "SELECT DISTINCT unnest(shs) AS shingle FROM d WHERE is_bench"
+        explode_docs = "SELECT doc_id, unnest(shs) AS shingle FROM d WHERE NOT is_bench"
+        asize = "len"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {shs} AS shs,
+             substring(md5(cast(doc_id as {s})), 1, 1) = 'f' AS is_bench
+      FROM documents
+    ),
+    bench AS ({explode_bench}),
+    ds AS ({explode_docs}),
+    hits AS (
+      SELECT ds.doc_id, count(*) AS n_hits
+      FROM ds JOIN bench ON ds.shingle = bench.shingle
+      GROUP BY ds.doc_id
+    )
+    SELECT d.doc_id, {asize}(d.shs) AS n_shingles, h.n_hits,
+           {_qz(f"cast(h.n_hits as double) / {asize}(d.shs)")} AS contamination
+    FROM d JOIN hits h ON d.doc_id = h.doc_id
+    WHERE NOT d.is_bench
+    """
+
+
+def _run_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared decontamination pass: deterministic benchmark split +
+    broadcast n-gram overlap via operators/decontam."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.decontam import ngram_contamination
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    out = ngram_contamination(
+        docs.filter(~is_bench), docs.filter(is_bench), n=3
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        _qz_col(F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
 def _q_dedup_exact(d: str) -> str:
     return """
     SELECT md5(text) AS content_hash,
@@ -1339,6 +1400,30 @@ def pruned_knn_oracle_sql(
     """
 
 
+def knn_filtered_oracle_sql(n_queries: int = N_QUERIES, k: int = KNN_K) -> str:
+    """Metadata-filtered kNN oracle: each query restricted to corpus
+    rows sharing its label — filter-then-search semantics, expressed
+    as the equi-join the relational form makes explicit."""
+    mexpr = _l2sq("q.qvec", "e.embedding", DUCKDB)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id, {mexpr} AS dist
+      FROM q JOIN embeddings e ON e.label = q.qlabel
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, (cast(floor((dist) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double)) AS dist, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-API runners
 # ---------------------------------------------------------------------------
@@ -1357,6 +1442,33 @@ def _run_knn(metric: str):
         )
 
     return run
+
+
+def _run_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search (the reference's declared future work,
+    COCO_INSTRUCTIONS.md:121-125): each fixture query constrained to
+    its own label. The label constraint becomes an ``isin`` scan
+    predicate plus per-query Arrow masking — one corpus scan for the
+    whole batch, same BLAS path as exact kNN."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import filtered_knn
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = (
+        corpus.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    return filtered_knn(
+        corpus, queries, k=KNN_K, metric="l2sq",
+        filter_col="label", qfilter_col="qlabel",
+    ).withColumn("dist", _qz_col("dist"))
 
 
 def _run_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,11 +2097,16 @@ def build_catalog() -> dict[str, Query]:
         Query("lsh_buckets", _run_lsh_buckets, lsh_bucket_oracle_sql(_LSH)),
         # store round-trip (O7/O8/O17/O18) + distribution stats (O14/O15)
         Query("store_shard_distribution", _run_store_counts, _store_counts_oracle(_LSH)),
+        # metadata-filtered search (the reference's declared future work)
+        Query("knn_filtered", _run_knn_filtered, knn_filtered_oracle_sql()),
         # PCA (O3) — no SQL oracle (sign/rotation indeterminacy); rows-only
         Query("pca_project_16", _run_pca, None),
-        # ANN scale path — rows-only (centroid init not SQL-expressible);
-        # the recall gate quantifies the n_probe accuracy trade
-        Query("ann_ivf_topk", _run_ann_ivf, None),
+        # ANN scale path — the recall gate quantifies the n_probe
+        # accuracy trade and runs the probe path internally (rows-only:
+        # centroid init not SQL-expressible). The raw approximate top-k
+        # (ann_ivf_topk) left the gated set in r4 for knn_filtered —
+        # it stays a catalog runner, benched under BENCH "extra" and
+        # exact-checked at full probe by ann_ivf_exact_probe.
         Query("ann_ivf_recall", _run_ann_ivf_recall, None),
         # full probe == exact search, so exact-kNN SQL is its oracle —
         # the hash-checked gate on the IVF store's scan path
@@ -2006,6 +2123,8 @@ def build_catalog() -> dict[str, Query]:
         # headline scale path (unigram form stays bench-only — see bench.py)
         _sql_query("dedup_exact", _q_dedup_exact),
         _sql_query("curation_pipeline", _q_curation_pipeline),
+        # benchmark decontamination (north star: eval-overlap pass)
+        Query("decontam_overlap", _run_decontam, _q_decontam(DUCKDB)),
         Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
         Query(
             "dedup_minhash_shingle",
@@ -2041,8 +2160,11 @@ def build_catalog() -> dict[str, Query]:
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
         Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
-        # approximate ops (§2.2) — HLL estimates are engine-specific; rows-only
-        Query("events_approx_distinct", _run_events_approx_distinct, None),
+        # approximate-distinct (§2.2, HLL++) left the gated set in r4
+        # for decontam_overlap: its estimates are engine-specific so it
+        # could only ever be a rows-only gate, while its ≤5% relative
+        # error stays pinned in tests/test_catalog.py and its runtime
+        # stays benched under BENCH "extra".
         _sql_query("events_value_histogram", _q_events_value_histogram),
         Query("events_range_join", _run_events_range_join, _events_range_join_oracle()),
         # relational star schema (X8)

@@ -9,7 +9,9 @@ from distributedvectordatabase_spark.operators.dedup import (
     minhash_neardup_pairs,
     simhash_neardup_pairs,
 )
+from distributedvectordatabase_spark.operators.decontam import ngram_contamination
 from distributedvectordatabase_spark.operators.knn import (
+    filtered_knn,
     knn,
     knn_pruned,
     knn_single,
@@ -33,6 +35,8 @@ from distributedvectordatabase_spark.operators.stats import (
 
 __all__ = [
     "asof_join",
+    "filtered_knn",
+    "ngram_contamination",
     "knn",
     "knn_pruned",
     "knn_single",

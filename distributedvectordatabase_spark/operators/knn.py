@@ -483,3 +483,104 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     hits = e.join(a, ["qid", "neighbor_id"]).count()
     total = e.count()
     return hits / total if total else 1.0
+
+
+def filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2sq",
+    predicate=None,
+    filter_col: str | None = None,
+    qfilter_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    impl: str = "arrow",
+    rescore: str = "auto",
+) -> DataFrame:
+    """Metadata-filtered exact kNN — attribute predicates composed with
+    vector search (the reference lists metadata filtering as explicit
+    future work: COCO_INSTRUCTIONS.md:121-125, generate_report.py:298;
+    in Spark it composes for free because search is just a plan).
+
+    Two orthogonal filter forms, combinable:
+
+    - ``predicate``: a global restriction (Column or SQL string)
+      applied to the corpus before search. Declared as a plain
+      ``filter``, so Catalyst pushes it into the Parquet scan
+      (``PushedFilters`` — asserted in tests/test_knn.py): filtered
+      search reads *less* than unfiltered, it never post-filters a
+      full scan. This is the "WHERE label = 3 AND ... ORDER BY
+      dist LIMIT k" shape a vector DB calls filtered search.
+    - ``filter_col`` (+ optional ``qfilter_col``, default same name on
+      the query side): a per-query equality constraint — each query
+      only matches corpus rows whose ``filter_col`` equals the query's
+      own value (e.g. tenant-scoped or same-label search). Semantics
+      are exact post-filter kNN: the top-k *within* the allowed subset,
+      identical to filtering first and searching second.
+
+    The per-query form reuses the pruned-search machinery: the distinct
+    constraint values become an ``isin`` corpus predicate (Parquet
+    row-group pushdown; partition pruning when the corpus is stored
+    partitioned by ``filter_col``, e.g. a VectorStore sharded on it),
+    and the Arrow scan masks each batch per query exactly like
+    ``knn_pruned``'s candidate-shard masking — one corpus scan for the
+    whole query batch, no per-query jobs. Constraint values must be
+    integral for the arrow path (labels/tenant ids; dictionary-encode
+    strings upstream), matching ``cand_map``'s int keys.
+    """
+    k = max(int(k), 1)
+    if predicate is not None:
+        pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
+        corpus = corpus.filter(pred)
+    if filter_col is None:
+        return knn(
+            corpus, queries, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+            qid_col=qid_col, qvec_col=qvec_col, impl=impl, rescore=rescore,
+        )
+    qf = qfilter_col or filter_col
+    if impl == "expr" and rescore not in ("auto", "carry"):
+        raise ValueError(
+            "rescore applies to impl='arrow' only: the expr impl already "
+            "scores with the sequential aggregate(zip_with(...)) expression"
+        )
+    qrows = queries.select(qid_col, qvec_col, qf).limit(MAX_QUERY_BATCH + 1).collect()
+    if len(qrows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+            "corpus-scale constrained matching is a join (impl='expr' on a "
+            "pre-joined frame), not broadcast kNN"
+        )
+    cand_map = {int(r[qid_col]): frozenset([int(r[qf])]) for r in qrows}
+    allowed = sorted({v for s in cand_map.values() for v in s})
+    pruned = corpus.filter(F.col(filter_col).isin(allowed))
+
+    if impl == "arrow":
+        if rescore == "auto":
+            dim = len(qrows[0][qvec_col]) if qrows else 0
+            rescore = "joinback" if dim >= AUTO_JOINBACK_DIM else "carry"
+        carry = rescore == "carry"
+        partial = _arrow_partial_topk(
+            pruned, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
+            shard_col=filter_col, cand_map=cand_map,
+            qrows=[{qid_col: r[qid_col], qvec_col: r[qvec_col]} for r in qrows],
+            carry_vectors=carry,
+        )
+        return _rescored_topk(
+            partial, queries, k, metric, qid_col, qvec_col,
+            join_corpus=None if carry else pruned, id_col=id_col, vec_col=vec_col,
+        )
+    if impl == "expr":
+        pairs = pruned.join(
+            F.broadcast(queries.select(qid_col, qvec_col, F.col(qf).alias("_qf"))),
+            on=F.col(filter_col) == F.col("_qf"),
+        )
+        scored = pairs.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("neighbor_id"),
+            _dist_expr(metric, qvec_col, vec_col).alias("dist"),
+        )
+        return _final_topk(scored, k)
+    raise ValueError(f"unknown impl {impl!r}; use 'arrow' or 'expr'")

@@ -37,9 +37,11 @@ def test_rows_only_queries_run(spark, name):
 def test_approx_distinct_within_tolerance(spark, oracle):
     """HLL++ estimate per event_type within 5% of the exact distinct
     count (rows-only for the driver, so accuracy is asserted here)."""
+    from distributedvectordatabase_spark.catalog import _run_events_approx_distinct
+
     got = {
         r["event_type"]: r["approx_users"]
-        for r in CATALOG["events_approx_distinct"].run(spark, SF_DIR).collect()
+        for r in _run_events_approx_distinct(spark, SF_DIR).collect()
     }
     exact = {
         r[0]: r[1]

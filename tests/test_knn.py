@@ -217,3 +217,71 @@ def test_pruned_joinback_identical_to_carry(spark):
     carry = canon(knn_pruned(corpus, queries, lsh, k=10))
     joinback = canon(knn_pruned(corpus, queries, lsh, k=10, rescore="joinback"))
     assert carry == joinback
+
+
+def test_filtered_knn_global_predicate_pushdown(spark):
+    """filtered_knn's global predicate must reach the Parquet scan as a
+    pushed filter (filtered search reads less, never post-filters), and
+    results must equal kNN over the pre-filtered corpus."""
+    from distributedvectordatabase_spark.operators.knn import filtered_knn
+    from distributedvectordatabase_spark.plans.inspect import scan_pushed_filters
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = queries_fixture(spark, SF_DIR, n=5)
+    res = filtered_knn(corpus, queries, k=5, predicate="label = 3")
+    pushed = " ".join(scan_pushed_filters(res))
+    assert "label" in pushed, f"label predicate not pushed: {pushed!r}"
+
+    def canon(df):
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect()
+        )
+
+    want = knn(corpus.filter(F.col("label") == 3), queries, k=5)
+    assert canon(res) == canon(want)
+
+
+@pytest.mark.parametrize("impl", ["expr", "arrow"])
+def test_filtered_knn_per_query_constraint(spark, impl):
+    """Per-query label constraint: every neighbor shares its query's
+    label, and the result equals per-label brute-force search (both
+    impls, byte-identical dist)."""
+    from distributedvectordatabase_spark.operators.knn import filtered_knn
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    queries = (
+        corpus.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    res = filtered_knn(
+        corpus, queries, k=5, filter_col="label", qfilter_col="qlabel", impl=impl
+    )
+    rows = res.collect()
+    labels = {r.vec_id: r.label for r in corpus.select("vec_id", "label").collect()}
+    assert len(rows) == 8 * 5
+    for r in rows:
+        assert labels[r.neighbor_id] == labels[r.qid], r
+
+    # brute reference: filter first, search second, one query at a time
+    def canon(df):
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect()
+        )
+
+    want = []
+    for q in queries.collect():
+        sub = corpus.filter(F.col("label") == q.qlabel)
+        one = knn(
+            sub,
+            spark.createDataFrame(
+                [(q.qid, list(q.qvec))], schema="qid long, qvec array<float>"
+            ),
+            k=5,
+        )
+        want.extend(canon(one))
+    assert canon(res) == sorted(want)
