@@ -26,6 +26,12 @@ from distributedvectordatabase_spark.operators.multimodal import (
 )
 from distributedvectordatabase_spark.operators.setsim import similarity_join
 from distributedvectordatabase_spark.operators.pca import pca_reduce
+from distributedvectordatabase_spark.operators.pq import (
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_search,
+    pq_train,
+)
 from distributedvectordatabase_spark.operators.range_join import time_range_join
 from distributedvectordatabase_spark.operators.skew import salted_aggregate
 from distributedvectordatabase_spark.operators.stats import (
@@ -53,6 +59,10 @@ __all__ = [
     "resize_metadata",
     "sample_frames",
     "pca_reduce",
+    "pq_train",
+    "pq_encode",
+    "pq_search",
+    "pq_reconstruction_mse",
     "time_range_join",
     "salted_aggregate",
     "shard_distribution",
