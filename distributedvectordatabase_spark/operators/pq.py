@@ -79,6 +79,16 @@ class PQCodebook:
         n = X.shape[0]
         return X.reshape(n, self.m, self.dsub).transpose(1, 0, 2)
 
+    def to_dict(self) -> dict:
+        """JSON-serializable form (the sidecar format used by stores)."""
+        return {"dim": self.dim, "centroids": self.centroids.tolist()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PQCodebook":
+        return cls(
+            centroids=np.array(d["centroids"], dtype=np.float64), dim=int(d["dim"])
+        )
+
 
 def _kmeans_1d(X: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
     """Seeded Lloyd k-means for one subspace (X: (n, dsub)) — plain
@@ -148,13 +158,20 @@ def pq_encode(
     cb: PQCodebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """Encode vectors to (id, codes) — codes is an array<int> of length
-    m with values in [0, 2^nbits). One scan, no shuffle: per Arrow
-    batch, an argmin against the broadcast codebooks per subspace."""
+    """Encode vectors to (id, codes[, keep_cols...]) — codes is an
+    array<int> of length m with values in [0, 2^nbits). One scan, no
+    shuffle: per Arrow batch, an argmin against the broadcast codebooks
+    per subspace. ``keep_cols`` (e.g. an IVF ``cell_id``) ride along so
+    a partitioned compressed table needs no joinback."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(cb.centroids)
     m, dsub = cb.m, cb.dsub
+    keep = list(keep_cols)
+    keep_schema = "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in keep
+    )
 
     def encode(batches):
         C = bc.value  # (m, ksub, dsub)
@@ -168,12 +185,13 @@ def pq_encode(
             for j in range(m):
                 d = cn[j][None, :] - 2.0 * (S[:, j, :] @ C[j].T)
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {"_id": pdf[id_col].values, "codes": list(codes)}
-            )
+            out = {"_id": pdf[id_col].values, "codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    out = df.select(id_col, vec_col).mapInPandas(
-        encode, schema="_id long, codes array<int>"
+    out = df.select(id_col, vec_col, *keep).mapInPandas(
+        encode, schema=f"_id long, codes array<int>{keep_schema}"
     )
     return out.withColumnRenamed("_id", id_col)
 
@@ -226,6 +244,8 @@ def pq_search(
     rerank: int = 0,
     corpus: DataFrame | None = None,
     vec_col: str = "embedding",
+    shard_col: str | None = None,
+    cand_map: dict[int, frozenset] | None = None,
 ) -> DataFrame:
     """ADC top-k over the compressed (id, codes) table: approximate
     squared-L2 where each corpus vector is its PQ reconstruction.
@@ -243,13 +263,20 @@ def pq_search(
     testdata (recall@10 vs exact): m=16/nbits=6 raw 0.61 → 0.94 at
     rerank=4 / 0.99 at rerank=8; m=8/nbits=4 raw 0.31 → 0.86 at
     rerank=10 — rerank only surfaces what the ADC shortlist already
-    contains, so budget and shortlist size trade against each other."""
+    contains, so budget and shortlist size trade against each other.
+
+    ``shard_col``/``cand_map`` apply a per-query shard mask inside the
+    same ADC scan (exactly like the exact path's pruned search) —
+    this is what IVFStore.knn_pq uses to compose IVF partition pruning
+    with PQ compression into IVFPQ.
+    """
     k = max(int(k), 1)
     if rerank:
         if corpus is None:
             raise ValueError("rerank requires the raw-vector corpus DataFrame")
         short = pq_search(codes, cb, queries, k=int(rerank) * k, id_col=id_col,
-                          qid_col=qid_col, qvec_col=qvec_col)
+                          qid_col=qid_col, qvec_col=qvec_col,
+                          shard_col=shard_col, cand_map=cand_map)
         from distributedvectordatabase_spark.operators.knn import _dist_expr
 
         cand = short.select("qid", "neighbor_id").join(
@@ -282,11 +309,19 @@ def pq_search(
             + np.einsum("kd,kd->k", C[j], C[j])[None, :]
         )
     spark = codes.sparkSession
-    bc = spark.sparkContext.broadcast((qids, lut))
+    if cand_map is not None:
+        n_shards = max((s for ss in cand_map.values() for s in ss), default=-1) + 1
+        allowed_lut = np.zeros((len(qids), max(n_shards, 1)), dtype=bool)
+        for i, qid in enumerate(qids):
+            for s in cand_map.get(int(qid), ()):
+                allowed_lut[i, s] = True
+    else:
+        allowed_lut = None
+    bc = spark.sparkContext.broadcast((qids, lut, allowed_lut))
     take = 2 * k
 
     def scan(batches):
-        qids, lut = bc.value
+        qids, lut, allowed_lut = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -297,16 +332,24 @@ def pq_search(
             for j in range(m):
                 D += lut[:, j, cd[:, j]]
             np.maximum(D, 0.0, out=D)
+            if allowed_lut is not None:
+                shards = pdf[shard_col].values.astype(np.int64)
+                in_range = (shards >= 0) & (shards < allowed_lut.shape[1])
+                ok = np.zeros((len(qids), len(shards)), dtype=bool)
+                ok[:, in_range] = allowed_lut[:, shards[in_range]]
+                D[~ok] = np.inf
             sel_id, sel_d = batch_topk(D, ids, k, take)
+            keep = np.isfinite(sel_d).ravel()
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(qids, sel_d.shape[1]),
-                    "neighbor_id": sel_id.ravel(),
-                    "dist": sel_d.ravel(),
+                    "qid": np.repeat(qids, sel_d.shape[1])[keep],
+                    "neighbor_id": sel_id.ravel()[keep],
+                    "dist": sel_d.ravel()[keep],
                 }
             )
 
-    partial = codes.select(id_col, "codes").mapInPandas(
+    cols = [id_col, "codes"] + ([shard_col] if cand_map is not None else [])
+    partial = codes.select(*cols).mapInPandas(
         scan, schema="qid long, neighbor_id long, dist double"
     )
     return _final_topk(partial, k)

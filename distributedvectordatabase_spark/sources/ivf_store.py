@@ -56,6 +56,17 @@ class IVFStore:
     def _centroid_path(self) -> str:
         return os.path.join(self.path, "_centroids.json")
 
+    # underscore-prefixed entries are invisible to spark.read.parquet
+    # on self.path, so the compressed table and its codebook can live
+    # inside the store directory without polluting the raw scan
+    @property
+    def _pq_path(self) -> str:
+        return os.path.join(self.path, "_pq")
+
+    @property
+    def _pq_codebook_path(self) -> str:
+        return os.path.join(self.path, "_pq_codebook.json")
+
     # -- build ---------------------------------------------------------------
 
     def build(self, df: DataFrame) -> None:
@@ -116,12 +127,94 @@ class IVFStore:
             .partitionBy("cell_id")
             .parquet(tmp)
         )
-        # the centroid sidecar lives inside the store dir — carry it over
+        # the centroid sidecar lives inside the store dir — carry it over,
+        # along with the IVFPQ sidecars if built (compaction only changes
+        # the raw table's file layout; the derived codes are untouched)
         shutil.copy(
             self._centroid_path, os.path.join(tmp, os.path.basename(self._centroid_path))
         )
+        if os.path.exists(self._pq_path):
+            shutil.copytree(
+                self._pq_path, os.path.join(tmp, os.path.basename(self._pq_path))
+            )
+        if os.path.exists(self._pq_codebook_path):
+            shutil.copy(
+                self._pq_codebook_path,
+                os.path.join(tmp, os.path.basename(self._pq_codebook_path)),
+            )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
+
+    # -- IVFPQ ---------------------------------------------------------------
+
+    def build_pq(self, spark: SparkSession, m: int = 16, nbits: int = 6) -> None:
+        """Train PQ codebooks over the built store and write the
+        compressed (id, codes) table, cell-partitioned like the raw
+        one — together they form an IVFPQ index: cell routing prunes
+        partitions, ADC scans only codes, rerank probes raw vectors
+        for the shortlist ids alone. Rebuild after ``build`` or
+        ``append`` batches (codes are derived data)."""
+        import json as _json
+
+        from distributedvectordatabase_spark.operators.pq import pq_encode, pq_train
+
+        df = self.read(spark)
+        cb = pq_train(df, vec_col=self.vec_col, m=m, nbits=nbits, id_col=self.id_col)
+        (
+            pq_encode(df, cb, id_col=self.id_col, vec_col=self.vec_col,
+                      keep_cols=("cell_id",))
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(self._pq_path)
+        )
+        with open(self._pq_codebook_path, "w") as f:
+            _json.dump(cb.to_dict(), f)
+
+    def pq_codebook(self):
+        import json as _json
+
+        from distributedvectordatabase_spark.operators.pq import PQCodebook
+
+        with open(self._pq_codebook_path) as f:
+            return PQCodebook.from_dict(_json.load(f))
+
+    def knn_pq(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        rerank: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """IVFPQ search: probe the ``n_probe`` nearest cells (partition
+        pruning on the compressed table), ADC-scan only those cells'
+        codes with a per-query cell mask, then exact-rerank the
+        shortlist against the raw vectors of the same probed cells —
+        both probes prune partitions, and the float column is read only
+        for ≤ nq·rerank·k shortlist rows. ``rerank=0`` returns raw ADC
+        distances."""
+        from distributedvectordatabase_spark.operators.pq import pq_search
+
+        C = self.centroids()
+        qrows = collect_query_batch(queries, qid_col, qvec_col)
+        cand_map: dict[int, frozenset] = {}
+        for r in qrows:
+            qv = np.asarray(list(r[qvec_col]), dtype=np.float64)
+            order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
+            cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
+        probed = sorted({c for s in cand_map.values() for c in s})
+        codes = spark.read.parquet(self._pq_path).filter(
+            F.col("cell_id").isin(probed)
+        )
+        corpus = self.read(spark).filter(F.col("cell_id").isin(probed))
+        return pq_search(
+            codes, self.pq_codebook(), queries, k=k,
+            id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
+            rerank=rerank, corpus=corpus, vec_col=self.vec_col,
+            shard_col="cell_id", cand_map=cand_map,
+        )
 
     # -- query ---------------------------------------------------------------
 

@@ -111,3 +111,65 @@ def test_recall_probe_sweep_invariants(spark):
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
     assert recalls[0] >= 0.5, recalls
+
+
+@pytest.fixture(scope="module")
+def built_pq(spark, tmp_path_factory):
+    store = IVFStore(str(tmp_path_factory.mktemp("ivfpq") / "idx"), n_cells=8)
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    store.build_pq(spark, m=16, nbits=6)
+    return store
+
+
+def test_ivfpq_codes_partitioned_and_codebook_roundtrip(spark, built_pq):
+    codes = spark.read.parquet(built_pq._pq_path)
+    assert codes.count() == 500
+    assert set(codes.columns) == {"vec_id", "codes", "cell_id"}
+    cb = built_pq.pq_codebook()
+    assert cb.centroids.shape == (16, 64, 4)  # m=16, ksub=2^6, dsub=64/16
+    # codes and cell assignment agree with the raw table
+    raw_cells = {r.vec_id: r.cell_id for r in built_pq.read(spark).collect()}
+    for r in codes.select("vec_id", "cell_id").collect():
+        assert raw_cells[r.vec_id] == r.cell_id
+
+
+def test_ivfpq_search_prunes_and_reranks(spark, built_pq):
+    qs = queries_fixture(spark, SF_SMALL, n=10)
+    res = built_pq.knn_pq(spark, qs, k=K, n_probe=2, rerank=4)
+    pf = scan_partition_filters(res)
+    assert pf and any("cell_id" in f for f in pf), pf
+    rows = res.collect()
+    assert len(rows) == 10 * K
+    # rerank distances are exact → self-query top-1 is itself at ~0
+    by_q = {r.qid: r for r in rows if r.rnk == 1}
+    assert all(r.neighbor_id == qid and r.dist <= 1e-6 for qid, r in by_q.items())
+
+
+def test_ivfpq_recall_vs_exact(spark, built_pq):
+    qs = queries_fixture(spark, SF_SMALL, n=20)
+    exact = knn(load_table(spark, "embeddings", SF_SMALL), qs, k=K)
+    # full probe + rerank: the only loss is the ADC shortlist, so
+    # recall must be >= the raw-ADC floor and near-exact in practice
+    approx = built_pq.knn_pq(spark, qs, k=K, n_probe=8, rerank=4)
+    r_full = recall_at_k(exact, approx, K)
+    assert r_full >= 0.85, r_full
+    # fewer probes can only lose candidates
+    r_probe2 = recall_at_k(
+        exact, built_pq.knn_pq(spark, qs, k=K, n_probe=2, rerank=4), K
+    )
+    assert r_probe2 <= r_full + 1e-9
+
+
+def test_compact_preserves_pq_sidecars(spark, tmp_path):
+    store = IVFStore(str(tmp_path / "idx"), n_cells=4)
+    store.build(load_table(spark, "embeddings", SF_SMALL).limit(200))
+    store.build_pq(spark, m=8, nbits=4)
+    qs = queries_fixture(spark, SF_SMALL, n=3)
+    before = sorted(
+        (r.qid, r.neighbor_id, r.rnk) for r in store.knn_pq(spark, qs, k=5).collect()
+    )
+    store.compact(spark)
+    after = sorted(
+        (r.qid, r.neighbor_id, r.rnk) for r in store.knn_pq(spark, qs, k=5).collect()
+    )
+    assert before == after
