@@ -119,6 +119,21 @@ def main() -> None:
 
     recall = round(recall_at_k(exact, approx, 10), 4)
 
+    # IVFPQ: cell-partitioned compressed index — the path whose scan
+    # cost is bytes-of-codes, not bytes-of-floats
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+    ivf = IVFStore(os.path.join(tmp, "ivfpq"), n_cells=16)
+    t0 = time.perf_counter()
+    ivf.build(loaded)
+    timings["ivf_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ivf.build_pq(spark, m=16, nbits=6)
+    timings["ivfpq_encode"] = round(time.perf_counter() - t0, 3)
+    ivfpq = ivf.knn_pq(spark, queries, k=10, n_probe=4, rerank=4)
+    timings["ivfpq_probe4_rerank4_20q"] = timed_min(lambda: ivfpq.count())
+    recall_ivfpq = round(recall_at_k(exact, ivfpq, 10), 4)
+
     print(
         json.dumps(
             {
@@ -129,6 +144,7 @@ def main() -> None:
                 "n_rows": n_rows,
                 "dim": dim,
                 "recall_at_10_pruned": recall,
+                "recall_at_10_ivfpq": recall_ivfpq,
                 "ingest_rows_per_s": round(n_rows / timings["ingest_bucketed_write"]),
             }
         )
