@@ -285,3 +285,36 @@ def test_filtered_knn_per_query_constraint(spark, impl):
         )
         want.extend(canon(one))
     assert canon(res) == sorted(want)
+
+
+def test_filtered_knn_absent_constraint_value(spark):
+    """A query constrained to a value no corpus row has yields no rows
+    for that query (and doesn't disturb the others); k larger than the
+    allowed group clamps to the group size."""
+    from distributedvectordatabase_spark.operators.knn import filtered_knn
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    first = corpus.orderBy("vec_id").limit(2).collect()
+    queries = spark.createDataFrame(
+        [
+            (first[0].vec_id, list(first[0].embedding), int(first[0].label)),
+            (9999, list(first[1].embedding), 424242),  # label that doesn't exist
+        ],
+        "qid long, qvec array<float>, qlabel int",
+    )
+    rows = filtered_knn(
+        corpus, queries, k=5, filter_col="label", qfilter_col="qlabel"
+    ).collect()
+    assert {r.qid for r in rows} == {first[0].vec_id}
+    assert len(rows) == 5
+
+    # k > group size: every group member returned, nothing more
+    group_n = corpus.filter(F.col("label") == first[0].label).count()
+    all_rows = filtered_knn(
+        corpus,
+        queries.filter(F.col("qid") == first[0].vec_id),
+        k=group_n + 100,
+        filter_col="label",
+        qfilter_col="qlabel",
+    ).collect()
+    assert len(all_rows) == group_n
