@@ -11,9 +11,15 @@ store, and measures the paths whose scaling actually matters:
 - exact batch kNN via the Arrow/BLAS partial top-k (scan-bound path)
 - LSH-pruned kNN (partition pruning + per-query equi-join)
 
-Usage: python bench_scale.py [N_ROWS] [DIM]   (default 500_000 64; DIM=512
-matches the reference design point, generate_coco_embeddings.py 512-D PCA)
-Prints one JSON line like bench.py.
+With a third argument the probe also generates N_DOCS synthetic text
+documents (5k-word vocabulary, ~80 words/doc, every 10th doc a planted
+near-dup of its predecessor) and measures the north-star text paths at
+corpus sizes the driver testdata can't reach: benchmark decontamination
+(broadcast n-gram overlap) and shingle-MinHash near-dup banding.
+
+Usage: python bench_scale.py [N_ROWS] [DIM] [N_DOCS]  (default 500_000 64 0;
+DIM=512 matches the reference design point, generate_coco_embeddings.py
+512-D PCA). Prints one JSON line like bench.py.
 """
 
 from __future__ import annotations
@@ -55,9 +61,36 @@ def synth_corpus(spark, n_rows: int, partitions: int, dim: int = DIM):
     )
 
 
+def synth_docs(spark, n_docs: int, partitions: int, vocab: int = 5000):
+    """Deterministic synthetic documents, generated inside executors.
+    Every 10th doc shares ~94% of its words with its predecessor
+    (planted near-dups so banding has something real to find)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for i in ids:
+                rloc = np.random.RandomState(int(i) % (2**31))
+                words = rloc.randint(0, vocab, size=80)
+                if i % 10 == 9:
+                    prev = np.random.RandomState(int(i - 1) % (2**31)).randint(
+                        0, vocab, size=80
+                    )
+                    prev[::17] = words[::17]  # ~5/80 words differ
+                    words = prev
+                texts.append(" ".join(f"w{w}" for w in words))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return spark.range(n_docs, numPartitions=partitions).mapInPandas(
+        gen, schema="doc_id long, text string"
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else DIM
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="dvdb-bench-scale", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -134,6 +167,31 @@ def main() -> None:
     timings["ivfpq_probe4_rerank4_20q"] = timed_min(lambda: ivfpq.count())
     recall_ivfpq = round(recall_at_k(exact, ivfpq, 10), 4)
 
+    text_stats: dict[str, float] = {}
+    if n_docs:
+        from distributedvectordatabase_spark.operators.decontam import (
+            ngram_contamination,
+        )
+        from distributedvectordatabase_spark.operators.dedup import (
+            minhash_neardup_pairs,
+        )
+
+        docs = synth_docs(spark, n_docs, partitions=int(os.cpu_count() or 32))
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+        docs = spark.read.parquet(os.path.join(tmp, "docs"))
+        is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+        decon = ngram_contamination(
+            docs.filter(~is_bench), docs.filter(is_bench), n=3
+        )
+        timings["decontam_ngram"] = timed_min(lambda: decon.count())
+        text_stats["decontam_flagged"] = decon.count()
+        mh = minhash_neardup_pairs(
+            docs, threshold=0.7, bands=4, rows=3, shingle_n=3
+        )
+        timings["minhash_shingle_pairs"] = timed_min(lambda: mh.count())
+        text_stats["minhash_pairs"] = mh.count()
+        text_stats["n_docs"] = n_docs
+
     print(
         json.dumps(
             {
@@ -145,6 +203,7 @@ def main() -> None:
                 "dim": dim,
                 "recall_at_10_pruned": recall,
                 "recall_at_10_ivfpq": recall_ivfpq,
+                **text_stats,
                 "ingest_rows_per_s": round(n_rows / timings["ingest_bucketed_write"]),
             }
         )
