@@ -253,3 +253,63 @@ def sessionize_events(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_knn_serve(
+    spark,
+    store: VectorStore,
+    query_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 10,
+    pruned: bool = True,
+    num_candidates: int = 2,
+    metric: str = "l2sq",
+    available_now: bool = True,
+    schema: str = "qid long, qvec array<float>",
+) -> StreamingQuery:
+    """Continuous kNN serving: query batches land as Parquet files, each
+    micro-batch is answered against the bucketed store, and results are
+    written per batch — the Spark-native form of the reference's
+    ``POST /search`` loop (coordinator/coordinator.py:132-254), with the
+    micro-batch as the request batch.
+
+    Exactly-once without a transactional sink: ``foreachBatch`` is
+    at-least-once on retry, so each batch OVERWRITES its own
+    ``batch=<id>`` subdirectory of ``out_dir`` — a replayed batch
+    rewrites identical content instead of duplicating it (batch ids are
+    stable across checkpoint recovery). Read results with
+    ``spark.read.parquet(out_dir)``; the ``batch`` column is the
+    micro-batch id.
+
+    Scale notes: the store scan inside each micro-batch is the same
+    partial-top-k plan as batch search — pruned probing keeps it at
+    ~num_candidates/num_tables of a full scan; micro-batch sizing
+    (``maxFilesPerTrigger`` upstream) bounds the broadcast query-batch
+    size, which is the only driver-side state.
+    """
+    import os
+
+    queries = spark.readStream.schema(schema).parquet(query_dir)
+
+    def answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = store.knn(
+            batch_df.sparkSession, batch_df, k=k, pruned=pruned,
+            num_candidates=num_candidates, metric=metric,
+        )
+        # the batch=<id> directory name doubles as a discovered
+        # partition column on read — don't also write a batch column
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    writer = (
+        queries.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -325,3 +325,66 @@ def test_watermark_append_mode_finalizes_windows(spark, tmp_path):
     # open (watermark hasn't passed it) so it must NOT appear
     assert ("2024-01-01 00:00", 2) in rows
     assert all(ws != "2024-01-01 06:00" for ws, _ in rows)
+
+
+def _write_query_file(spark, emb, lo, hi, dest_file):
+    """Write one query batch as a single parquet FILE (the stream
+    source lists files, not subdirectories)."""
+    import glob
+    import shutil as _sh
+
+    tmp = str(dest_file) + "__tmp"
+    (
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    _sh.move(part, str(dest_file))
+    _sh.rmtree(tmp)
+
+
+def test_stream_knn_serve_matches_batch_and_resumes(spark, tmp_path):
+    """Query files stream in, each micro-batch is answered against the
+    store, results land idempotently per batch; a restart from the
+    checkpoint answers only the new queries."""
+    from distributedvectordatabase_spark.streaming import stream_knn_serve
+
+    store = VectorStore(str(tmp_path / "store"))
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    store.write(emb)
+
+    qdir, out, ckpt = tmp_path / "queries", tmp_path / "answers", tmp_path / "ckpt"
+    qdir.mkdir()
+    _write_query_file(spark, emb, 0, 5, qdir / "q0.parquet")
+
+    q = stream_knn_serve(spark, store, str(qdir), str(out), str(ckpt), k=5)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got = spark.read.parquet(str(out))
+    want = store.knn(
+        spark,
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ),
+        k=5,
+    )
+    canon = lambda df: sorted(
+        (r.qid, r.neighbor_id, r.rnk) for r in df.select("qid", "neighbor_id", "rnk").collect()
+    )
+    assert canon(got) == canon(want)
+    assert {r.qid for r in got.collect()} == {0, 1, 2, 3, 4}
+
+    # new query file + same checkpoint: only the new batch is answered
+    _write_query_file(spark, emb, 5, 8, qdir / "q1.parquet")
+    q2 = stream_knn_serve(spark, store, str(qdir), str(out), str(ckpt), k=5)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    all_res = spark.read.parquet(str(out))
+    assert {r.qid for r in all_res.collect()} == set(range(8))
+    assert all_res.count() == 8 * 5
+    # batch partition column discovered from the directory layout
+    assert all_res.select("batch").distinct().count() == 2
