@@ -6,6 +6,7 @@ from distributedvectordatabase_spark.operators.components import connected_compo
 from distributedvectordatabase_spark.operators.dedup import (
     brute_cosine_neardup_pairs,
     lsh_cosine_neardup_pairs,
+    minhash_neardup_join,
     minhash_neardup_pairs,
     simhash_neardup_pairs,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "knn_pruned",
     "knn_single",
     "recall_at_k",
+    "minhash_neardup_join",
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
     "lsh_cosine_neardup_pairs",

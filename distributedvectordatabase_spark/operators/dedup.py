@@ -66,15 +66,10 @@ def minhash_signatures(tok_df: DataFrame, n_hashes: int) -> DataFrame:
     return tok_df.select("doc_id", "toks", *sigs)
 
 
-def minhash_band_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
-
-    Bands are exploded from one array column (single scan of the cached
-    signatures) rather than a bands-way UNION ALL, then self-equi-joined
-    on (band, band_key) — Catalyst plans a shuffle hash join on the band
-    key, which is the scalable path: work is proportional to matching
-    pairs per bucket, not to n².
-    """
+def _band_explode(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, band_key) — bands exploded from one array column
+    (single scan of the cached signatures) rather than a bands-way
+    UNION ALL."""
     band_structs = F.array(
         *[
             F.struct(
@@ -84,9 +79,20 @@ def minhash_band_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
             for b in range(bands)
         ]
     )
-    exploded = sig_df.select(
+    return sig_df.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_band_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    The exploded bands are self-equi-joined on (band, band_key) —
+    Catalyst plans a shuffle hash join on the band key, which is the
+    scalable path: work is proportional to matching pairs per bucket,
+    not to n².
+    """
+    exploded = _band_explode(sig_df, bands, rows)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -142,6 +148,74 @@ def minhash_neardup_pairs(
         .join(tb, "doc_b")
         .filter(size_ok)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+def minhash_neardup_join(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    bands: int,
+    rows: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Cross-corpus MinHash near-dup join: for each NEW document, the
+    EXISTING corpus documents it near-duplicates — the incremental
+    curation form ("is this batch already in the training set?"),
+    asymmetric where :func:`minhash_neardup_pairs` is a self-join.
+
+    Columns: (new_id, corpus_id, jaccard ≥ threshold, rounded 1e-6).
+
+    Shape at scale: both sides compute signatures independently (one
+    scan each); the equi-join on (band, band_key) shuffles band rows —
+    O(new·bands + corpus·bands) keys, with matches proportional to
+    colliding pairs, never new×corpus. When the new batch is small
+    (the common ingest case) Catalyst/AQE broadcasts its banded side,
+    so the corpus is scanned once and never shuffled; the corpus-side
+    signatures can also be precomputed/persisted and reused across
+    batches (they depend only on the corpus rows).
+    """
+    tn = tokenized(new_docs, text_col, id_col, shingle_n=shingle_n).cache()
+    tc = tokenized(corpus, text_col, id_col, shingle_n=shingle_n).cache()
+    bn = _band_explode(minhash_signatures(tn, bands * rows), bands, rows)
+    bc = _band_explode(minhash_signatures(tc, bands * rows), bands, rows)
+    cand = (
+        bn.alias("n")
+        .join(
+            bc.alias("c"),
+            on=[
+                F.col("n.band") == F.col("c.band"),
+                F.col("n.band_key") == F.col("c.band_key"),
+            ],
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    ta = tn.select(
+        F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_a"),
+        F.size("toks").alias("sz_a"),
+    )
+    tb = tc.select(
+        F.col("doc_id").alias("corpus_id"), F.col("toks").alias("toks_b"),
+        F.size("toks").alias("sz_b"),
+    )
+    jac = F.expr(
+        "cast(size(array_intersect(toks_a, toks_b)) as double)"
+        " / nullif(size(array_union(toks_a, toks_b)), 0)"
+    )
+    size_ok = F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b") * threshold
+    return (
+        cand.join(ta, "new_id")
+        .join(tb, "corpus_id")
+        .filter(size_ok)
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.round("jaccard", 6))
     )

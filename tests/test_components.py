@@ -156,3 +156,40 @@ def test_brute_neardup_corpus_guard(spark, monkeypatch):
     monkeypatch.setattr(dedupmod, "MAX_BRUTE_CORPUS", 5)
     with pytest.raises(ValueError, match="MAX_BRUTE_CORPUS"):
         dedupmod.brute_cosine_neardup_pairs(corpus, threshold=0.9)
+
+
+def test_minhash_neardup_join_cross_corpus(spark):
+    """Incremental form: a new batch joined against an existing corpus.
+    Consistency: splitting the self-join corpus into (new, existing)
+    must reproduce exactly the cross-split subset of the self-join
+    pairs."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.dedup import (
+        minhash_neardup_join,
+        minhash_neardup_pairs,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in minhash_neardup_join(
+            new, corpus, threshold=0.7, bands=4, rows=3, shingle_n=3
+        ).collect()
+    }
+    self_pairs = minhash_neardup_pairs(
+        docs, threshold=0.7, bands=4, rows=3, shingle_n=3
+    ).collect()
+    want = set()
+    for r in self_pairs:
+        a_new, b_new = r.doc_a % 5 == 0, r.doc_b % 5 == 0
+        if a_new and not b_new:
+            want.add((r.doc_a, r.doc_b, r.jaccard))
+        elif b_new and not a_new:
+            want.add((r.doc_b, r.doc_a, r.jaccard))
+    assert got == want
+    assert len(got) > 0  # the testdata's planted dups must cross the split
