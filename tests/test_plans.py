@@ -151,3 +151,33 @@ def test_codegen_visible_after_execution(spark):
     )
     df.collect()
     assert codegen_stage_count(df) >= 1
+
+
+def test_filtered_gate_pushes_label_isin(spark):
+    """The knn_filtered gate's per-query constraint must reach the
+    Parquet scan as an In(label, ...) pushed filter — constrained
+    search reads fewer row groups, it never post-filters a full scan."""
+    from distributedvectordatabase_spark.catalog import _run_knn_filtered
+
+    res = _run_knn_filtered(spark, SF_SMALL)
+    pushed = " ".join(scan_pushed_filters(res)).lower()
+    assert "label" in pushed, pushed
+
+
+def test_decontam_gate_broadcasts_and_single_scans_training_side(spark):
+    """decontam_overlap: the benchmark shingle set broadcasts, and the
+    training side's text column is scanned by exactly one Parquet scan
+    (the left-join total-count form — a second text scan means the
+    sibling-projection regression came back)."""
+    from distributedvectordatabase_spark.catalog import _run_decontam
+    from distributedvectordatabase_spark.plans import physical_plan
+
+    res = _run_decontam(spark, SF_SMALL)
+    assert has_broadcast(res)
+    plan = physical_plan(res)
+    text_scans = [
+        s for s in scan_read_schema(res) if "text" in s
+    ]
+    # one scan feeds the benchmark side (broadcast), one the training
+    # side — anything more re-reads the corpus
+    assert len(text_scans) <= 2, (text_scans, plan[:500])
