@@ -4,7 +4,12 @@
 # bench: the BENCH contract at $SPARK_GRAFT_SF_DIR (default sf0.1) — run on
 #        an idle machine; concurrent Spark work inflates timings ~2.7x
 
-.PHONY: smoke check bench test exact
+.PHONY: smoke check bench test exact scale
+
+# opt-in scale probe (not a driver contract): 500k synthetic vectors +
+# 200k synthetic docs; run on an idle machine
+scale:
+	python bench_scale.py 500000 64 200000
 
 smoke:
 	python -m pytest tests/test_smoke.py -q
