@@ -110,6 +110,20 @@ class IVFStore:
             "cell_id", nearest_cell(F.col(self.vec_col))
         )
         out.write.mode("append").partitionBy("cell_id").parquet(self.path)
+        # keep the IVFPQ codes table in sync: new rows are encoded with
+        # the EXISTING codebook (standard IVFPQ ingest — codes are only
+        # as good as the codebook, so periodic build_pq refresh is a
+        # caller policy, same as centroid rebuild)
+        if os.path.exists(self._pq_codebook_path):
+            from distributedvectordatabase_spark.operators.pq import pq_encode
+
+            (
+                pq_encode(out, self.pq_codebook(), id_col=self.id_col,
+                          vec_col=self.vec_col, keep_cols=("cell_id",))
+                .write.mode("append")
+                .partitionBy("cell_id")
+                .parquet(self._pq_path)
+            )
 
     def compact(self, spark: SparkSession, files_per_cell: int = 1) -> None:
         """Rewrite each cell into ``files_per_cell`` files. Appends leave
@@ -152,8 +166,9 @@ class IVFStore:
         compressed (id, codes) table, cell-partitioned like the raw
         one — together they form an IVFPQ index: cell routing prunes
         partitions, ADC scans only codes, rerank probes raw vectors
-        for the shortlist ids alone. Rebuild after ``build`` or
-        ``append`` batches (codes are derived data)."""
+        for the shortlist ids alone. ``append`` keeps the codes table
+        in sync by encoding new rows with the existing codebook;
+        re-run build_pq to refresh codebooks after heavy drift."""
         import json as _json
 
         from distributedvectordatabase_spark.operators.pq import pq_encode, pq_train

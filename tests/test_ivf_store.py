@@ -173,3 +173,27 @@ def test_compact_preserves_pq_sidecars(spark, tmp_path):
         (r.qid, r.neighbor_id, r.rnk) for r in store.knn_pq(spark, qs, k=5).collect()
     )
     assert before == after
+
+
+def test_ivfpq_append_keeps_codes_in_sync(spark, tmp_path):
+    """append after build_pq encodes the new rows with the existing
+    codebook, so knn_pq can find them without a rebuild."""
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    store = IVFStore(str(tmp_path / "idx"), n_cells=4)
+    store.build(emb.filter("vec_id < 400"))
+    store.build_pq(spark, m=8, nbits=4)
+    store.append(emb.filter("vec_id >= 400"))
+
+    codes = spark.read.parquet(store._pq_path)
+    assert codes.count() == 500
+    # appended ids present in the compressed table
+    assert codes.filter("vec_id >= 400").count() == 100
+
+    # a self-query for an appended vector must surface it at rank 1
+    q = (
+        emb.filter("vec_id = 450")
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    top = store.knn_pq(spark, q, k=3, n_probe=4, rerank=2).collect()
+    best = min(top, key=lambda r: r.rnk)
+    assert best.neighbor_id == 450 and best.dist <= 1e-6
