@@ -45,14 +45,51 @@ from distributedvectordatabase_spark.sources.vector_store import VectorStore
 DIM = 64  # overridden by argv[2]
 
 
-def synth_corpus(spark, n_rows: int, partitions: int, dim: int = DIM):
-    """Deterministic synthetic corpus, generated inside executors."""
+def synth_corpus(
+    spark,
+    n_rows: int,
+    partitions: int,
+    dim: int = DIM,
+    clusters: int = 0,
+    rank: int = 0,
+):
+    """Deterministic synthetic corpus, generated inside executors.
+
+    Three geometries (see the BASELINE.md 512-D decomposition):
+    - default: iid gaussian — the ANN WORST case (distance
+      concentration leaves less neighbor contrast than quantization
+      error, so PQ/ADC cannot rank even though IVF routing is
+      lossless);
+    - ``clusters=K``: seeded mixture centers + 0.25·noise — fixes
+      routing but within-cluster geometry is still full-rank noise;
+    - ``rank=r``: rows live on a seeded r-dim subspace (+1% noise) —
+      the REALISTIC embedding geometry (low intrinsic dimension);
+      measured: IVFPQ recall@10 = 0.92 at probe 8/16 + rerank 8 on
+      rank=32/dim=512 where iid gaussian gives 0.28.
+    """
 
     def gen(batches):
+        centers = (
+            np.random.RandomState(7).standard_normal((clusters, dim)).astype(np.float32)
+            if clusters
+            else None
+        )
+        P = (
+            np.random.RandomState(11).standard_normal((rank, dim)).astype(np.float32)
+            / np.sqrt(rank)
+            if rank
+            else None
+        )
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rng = np.random.RandomState(int(ids[0]) % (2**31))
-            X = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            if P is not None:
+                Z = rng.standard_normal((len(ids), rank)).astype(np.float32)
+                X = Z @ P + 0.01 * rng.standard_normal((len(ids), dim)).astype(np.float32)
+            else:
+                X = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            if centers is not None:
+                X = centers[ids % clusters] + 0.25 * X
             yield pd.DataFrame({"vec_id": ids, "embedding": list(X)})
 
     return (
