@@ -3,6 +3,7 @@ reconstruction-error monotonicity in code budget, and ADC search
 recall vs exact kNN."""
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from distributedvectordatabase_spark.operators.knn import knn, recall_at_k
@@ -106,3 +107,24 @@ def test_rerank_requires_corpus(spark, corpus):
     queries = queries_fixture(spark, SF_DIR, n=2)
     with pytest.raises(ValueError, match="corpus"):
         pq_search(pq_encode(corpus, cb), cb, queries, k=3, rerank=2)
+
+
+def test_pca_then_pq_pipeline(spark, corpus):
+    """The engine's rotation path (OPQ-lite): project to the top-16
+    principal components, then PQ the projected vectors. Recall is
+    measured against exact kNN in the PROJECTED space (PCA changes the
+    metric by design; PQ must preserve it)."""
+    from distributedvectordatabase_spark.operators.pca import pca_reduce
+
+    reduced = pca_reduce(corpus, k=16).select(
+        "vec_id", F.col("pca").alias("embedding")
+    ).cache()
+    cb = pq_train(reduced, m=8, nbits=6)
+    codes = pq_encode(reduced, cb).cache()
+    queries = reduced.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = knn(reduced, queries, k=10)
+    approx = pq_search(codes, cb, queries, k=10, rerank=4, corpus=reduced)
+    rec = recall_at_k(exact, approx, k=10)
+    assert rec >= 0.85, rec
