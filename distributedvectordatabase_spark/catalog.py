@@ -1992,8 +1992,9 @@ def _run_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact search (cell assignment only routes; a full probe scans
     everything), so exact-kNN SQL IS this query's oracle — the
     hash-checked gate on the IVF store's partition-pruned scan path
-    (sources/ivf_store.py), which ann_ivf_topk's rows-only gate can't
-    give. Complements ann_ivf_recall's sweep, whose last point asserts
+    (sources/ivf_store.py), which the approximate probe runner
+    (_run_ann_ivf, bench-only since r4) couldn't give as a rows-only
+    gate. Complements ann_ivf_recall's sweep, whose last point asserts
     the same identity against Spark-side exact kNN."""
     from pyspark.sql import functions as F
 
