@@ -64,3 +64,18 @@ def test_benchmark_side_broadcasts(spark):
     bench = spark.createDataFrame([(100, "w1 w2 w3")], "doc_id long, text string")
     out = ngram_contamination(docs, bench, n=3)
     assert has_broadcast(out), "benchmark shingle set must broadcast"
+
+
+def test_empty_and_short_benchmark(spark):
+    """An empty benchmark (or one with only sub-n docs) flags nothing;
+    min_hits=0 returns every doc that has shingles (n_hits may be 0)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_contamination(docs, empty, n=3).count() == 0
+    short = spark.createDataFrame([(9, "x y")], "doc_id long, text string")
+    assert ngram_contamination(docs, short, n=3).count() == 0
+    allrows = ngram_contamination(docs, short, n=3, min_hits=0).collect()
+    # doc 2 has no 3-shingles, so only doc 1 appears — with zero hits
+    assert [(r.doc_id, r.n_hits) for r in allrows] == [(1, 0)]
