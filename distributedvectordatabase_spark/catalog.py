@@ -1586,9 +1586,13 @@ def _gate_tmp_path(kind: str, sf_dir: str, table: str = "embeddings") -> str:
     per-round testdata regeneration invalidates stale builds and (b)
     two concurrent harness runs on the same machine never collide on a
     half-written store. Stale sibling fingerprints of the same sf are
-    pruned on entry — without cleanup /tmp accumulates one store per
-    regeneration."""
+    pruned — without cleanup /tmp accumulates one store per
+    regeneration — but only when untouched for over an hour: a sibling
+    with a fresh mtime may be a CONCURRENT run's live store (its
+    testdata predates/postdates ours), and rmtree'ing it would fail
+    that run's lazy scans mid-gate."""
     import shutil
+    import time
 
     src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
@@ -1596,9 +1600,15 @@ def _gate_tmp_path(kind: str, sf_dir: str, table: str = "embeddings") -> str:
     fp = f"{base}-{int(st.st_mtime)}-{st.st_size}"
     root = os.path.join(tempfile.gettempdir(), kind)
     if os.path.isdir(root):
+        cutoff = time.time() - 3600
         for d in os.listdir(root):
-            if d.startswith(f"{base}-") and d != fp:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            p = os.path.join(root, d)
+            try:
+                quiet = os.path.getmtime(p) < cutoff
+            except OSError:
+                continue
+            if d.startswith(f"{base}-") and d != fp and quiet:
+                shutil.rmtree(p, ignore_errors=True)
     return os.path.join(root, fp)
 
 

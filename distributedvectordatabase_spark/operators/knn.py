@@ -58,10 +58,18 @@ MAX_QUERY_BATCH = 100_000
 AUTO_JOINBACK_DIM = 256
 
 
-def collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str) -> list:
+def collect_query_batch(
+    queries: DataFrame, qid_col: str, qvec_col: str, *extra_cols: str
+) -> list:
     """Collect the query side with an explicit cap (guards the driver
-    against an unbounded collect; see MAX_QUERY_BATCH)."""
-    rows = queries.select(qid_col, qvec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    against an unbounded collect; see MAX_QUERY_BATCH). ``extra_cols``
+    ride along for callers that need per-query metadata (e.g.
+    filtered_knn's constraint column)."""
+    rows = (
+        queries.select(qid_col, qvec_col, *extra_cols)
+        .limit(MAX_QUERY_BATCH + 1)
+        .collect()
+    )
     if len(rows) > MAX_QUERY_BATCH:
         raise ValueError(
             f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
@@ -350,6 +358,10 @@ def _arrow_partial_topk(
                 D[~ok] = np.inf
             sel_id, sel_d = batch_topk(D, ids, k, take)
             keep = np.isfinite(sel_d).ravel()  # drop shard-masked rows
+            if not keep.any():
+                # fully-masked batch: yielding an all-empty frame with an
+                # object nvec column trips Arrow's type inference
+                continue
             out = {
                 "qid": np.repeat(qids, sel_d.shape[1])[keep],
                 "neighbor_id": sel_id.ravel()[keep],
@@ -527,9 +539,12 @@ def filtered_knn(
     partitioned by ``filter_col``, e.g. a VectorStore sharded on it),
     and the Arrow scan masks each batch per query exactly like
     ``knn_pruned``'s candidate-shard masking — one corpus scan for the
-    whole query batch, no per-query jobs. Constraint values must be
-    integral for the arrow path (labels/tenant ids; dictionary-encode
-    strings upstream), matching ``cand_map``'s int keys.
+    whole query batch, no per-query jobs. Constraint values are
+    dictionary-encoded driver-side to dense mask indices (a broadcast
+    value→index join on the corpus side), so any equality-comparable
+    type works — negative ints, sparse tenant ids, strings. A NULL
+    constraint matches nothing (SQL equality), so that query yields no
+    rows.
     """
     k = max(int(k), 1)
     if predicate is not None:
@@ -541,39 +556,15 @@ def filtered_knn(
             qid_col=qid_col, qvec_col=qvec_col, impl=impl, rescore=rescore,
         )
     qf = qfilter_col or filter_col
-    if impl == "expr" and rescore not in ("auto", "carry"):
-        raise ValueError(
-            "rescore applies to impl='arrow' only: the expr impl already "
-            "scores with the sequential aggregate(zip_with(...)) expression"
-        )
-    qrows = queries.select(qid_col, qvec_col, qf).limit(MAX_QUERY_BATCH + 1).collect()
-    if len(qrows) > MAX_QUERY_BATCH:
-        raise ValueError(
-            f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
-            "corpus-scale constrained matching is a join (impl='expr' on a "
-            "pre-joined frame), not broadcast kNN"
-        )
-    cand_map = {int(r[qid_col]): frozenset([int(r[qf])]) for r in qrows}
-    allowed = sorted({v for s in cand_map.values() for v in s})
-    pruned = corpus.filter(F.col(filter_col).isin(allowed))
-
-    if impl == "arrow":
-        if rescore == "auto":
-            dim = len(qrows[0][qvec_col]) if qrows else 0
-            rescore = "joinback" if dim >= AUTO_JOINBACK_DIM else "carry"
-        carry = rescore == "carry"
-        partial = _arrow_partial_topk(
-            pruned, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
-            shard_col=filter_col, cand_map=cand_map,
-            qrows=[{qid_col: r[qid_col], qvec_col: r[qvec_col]} for r in qrows],
-            carry_vectors=carry,
-        )
-        return _rescored_topk(
-            partial, queries, k, metric, qid_col, qvec_col,
-            join_corpus=None if carry else pruned, id_col=id_col, vec_col=vec_col,
-        )
     if impl == "expr":
-        pairs = pruned.join(
+        # the equality join IS the constraint — no driver collect, no
+        # cap: this is the path for corpus-scale constrained matching
+        if rescore not in ("auto", "carry"):
+            raise ValueError(
+                "rescore applies to impl='arrow' only: the expr impl already "
+                "scores with the sequential aggregate(zip_with(...)) expression"
+            )
+        pairs = corpus.join(
             F.broadcast(queries.select(qid_col, qvec_col, F.col(qf).alias("_qf"))),
             on=F.col(filter_col) == F.col("_qf"),
         )
@@ -583,4 +574,45 @@ def filtered_knn(
             _dist_expr(metric, qvec_col, vec_col).alias("dist"),
         )
         return _final_topk(scored, k)
-    raise ValueError(f"unknown impl {impl!r}; use 'arrow' or 'expr'")
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r}; use 'arrow' or 'expr'")
+
+    qrows = collect_query_batch(queries, qid_col, qvec_col, qf)
+    # dictionary-encode constraint values: the Arrow mask is a dense
+    # boolean LUT, so raw values must become contiguous indices — raw
+    # negative values would wrap and sparse large ids would blow the
+    # LUT allocation (value 1e9 → a multi-GB mask)
+    value_to_idx: dict = {}
+    cand_map: dict[int, frozenset] = {}
+    for r in qrows:
+        v = r[qf]
+        if v is None:
+            continue  # NULL matches nothing; the query stays fully masked
+        idx = value_to_idx.setdefault(v, len(value_to_idx))
+        cand_map[int(r[qid_col])] = frozenset([idx])
+    spark = corpus.sparkSession
+    pruned = corpus.filter(F.col(filter_col).isin(list(value_to_idx)))
+    if value_to_idx:
+        map_df = spark.createDataFrame(
+            [(v, i) for v, i in value_to_idx.items()], ["_fval", "_fidx"]
+        )
+        masked = pruned.join(
+            F.broadcast(map_df), F.col(filter_col) == F.col("_fval")
+        ).drop("_fval")
+    else:
+        masked = pruned.withColumn("_fidx", F.lit(0))  # pruned is already empty
+
+    if rescore == "auto":
+        dim = len(qrows[0][qvec_col]) if qrows else 0
+        rescore = "joinback" if dim >= AUTO_JOINBACK_DIM else "carry"
+    carry = rescore == "carry"
+    partial = _arrow_partial_topk(
+        masked, queries, k, metric, id_col, vec_col, qid_col, qvec_col,
+        shard_col="_fidx", cand_map=cand_map,
+        qrows=[{qid_col: r[qid_col], qvec_col: r[qvec_col]} for r in qrows],
+        carry_vectors=carry,
+    )
+    return _rescored_topk(
+        partial, queries, k, metric, qid_col, qvec_col,
+        join_corpus=None if carry else pruned, id_col=id_col, vec_col=vec_col,
+    )

@@ -117,8 +117,15 @@ def _kmeans_1d(X: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
         )
         nonempty = counts > 0
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
-        if not nonempty.all():
-            C[~nonempty] = X[d.min(axis=1).argmax()]
+        n_empty = int((~nonempty).sum())
+        if n_empty:
+            # reseed each empty cluster on a DISTINCT farthest point —
+            # seeding them all on the same point would leave duplicate
+            # centroids that tie on every assignment and never separate
+            # np.resize wraps when a degenerate sample has fewer points
+            # than empty clusters (k > n)
+            far = np.resize(np.argsort(d.min(axis=1))[::-1], n_empty)
+            C[~nonempty] = X[far]
     return C
 
 

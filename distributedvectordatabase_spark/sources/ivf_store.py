@@ -109,21 +109,35 @@ class IVFStore:
         out = df.select(self.id_col, self.vec_col).withColumn(
             "cell_id", nearest_cell(F.col(self.vec_col))
         )
+        has_pq = os.path.exists(self._pq_codebook_path)
+        if has_pq:
+            # pin the assigned batch so the raw write and the codes
+            # write see the SAME rows — without this, a
+            # non-deterministic input (stream batch, sample, generated
+            # ids) would be recomputed per write and the two tables
+            # could silently diverge
+            out = out.cache()
         out.write.mode("append").partitionBy("cell_id").parquet(self.path)
         # keep the IVFPQ codes table in sync: new rows are encoded with
         # the EXISTING codebook (standard IVFPQ ingest — codes are only
         # as good as the codebook, so periodic build_pq refresh is a
-        # caller policy, same as centroid rebuild)
-        if os.path.exists(self._pq_codebook_path):
+        # caller policy, same as centroid rebuild). The two writes are
+        # not atomic: if this second one fails, re-run build_pq to
+        # regenerate the codes table from the raw rows (codes are
+        # derived data, so the repair is always safe).
+        if has_pq:
             from distributedvectordatabase_spark.operators.pq import pq_encode
 
-            (
-                pq_encode(out, self.pq_codebook(), id_col=self.id_col,
-                          vec_col=self.vec_col, keep_cols=("cell_id",))
-                .write.mode("append")
-                .partitionBy("cell_id")
-                .parquet(self._pq_path)
-            )
+            try:
+                (
+                    pq_encode(out, self.pq_codebook(), id_col=self.id_col,
+                              vec_col=self.vec_col, keep_cols=("cell_id",))
+                    .write.mode("append")
+                    .partitionBy("cell_id")
+                    .parquet(self._pq_path)
+                )
+            finally:
+                out.unpersist()
 
     def compact(self, spark: SparkSession, files_per_cell: int = 1) -> None:
         """Rewrite each cell into ``files_per_cell`` files. Appends leave

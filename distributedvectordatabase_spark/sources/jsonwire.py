@@ -48,6 +48,20 @@ def read_insert_payloads(
     payloads = spark.read.schema(INSERT_WIRE_SCHEMA).option("multiLine", "true").json(
         path
     )
+    # explicit ids must cover every vector — checked BEFORE the explode
+    # job so the failure is this ValueError, not an ANSI
+    # INVALID_ARRAY_INDEX from element_at mid-job (and never the
+    # ANSI-off silent fallback to positional ids, which could collide
+    # with explicit ones)
+    bad_len = payloads.filter(
+        F.col("ids").isNotNull() & (F.size("ids") != F.size("vectors"))
+    ).count()
+    if bad_len:
+        raise ValueError(
+            f"{bad_len} payload(s) supply 'ids' with a different length "
+            "than 'vectors' (reference semantics: ids, when given, are "
+            "parallel to vectors — shard/shard_server.py:29-43)"
+        )
     rows = payloads.select(
         F.input_file_name().alias("_src"),
         F.posexplode("vectors").alias("_pos", vec_col),
@@ -56,9 +70,9 @@ def read_insert_payloads(
         "_src",
         "_pos",
         vec_col,
-        F.coalesce(F.element_at("ids", F.col("_pos") + 1), F.col("_pos").cast("long")).alias(
-            id_col
-        ),
+        F.coalesce(
+            F.try_element_at("ids", F.col("_pos") + 1), F.col("_pos").cast("long")
+        ).alias(id_col),
         F.col("ids").isNull().alias("_auto"),
     )
 

@@ -117,3 +117,18 @@ storage_path: data/shard_2
 def test_config_rejects_unknown_strategy():
     with pytest.raises(ValueError, match="sharding_strategy"):
         engcfg.from_dict({"sharding_strategy": "range"})
+
+
+def test_insert_payload_id_length_mismatch_rejected(spark, wire_dir):
+    """ids, when present, must be parallel to vectors — a short (or
+    long) ids list raises the module's ValueError up front instead of
+    an ANSI array-index engine error mid-job (or, on ANSI-off
+    deployments, silently assigning colliding positional ids)."""
+    p = wire_dir / "bad.json"
+    _payload(p, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], ids=[2, 5])
+    with pytest.raises(ValueError, match="different length"):
+        read_insert_payloads(spark, str(p))
+    p2 = wire_dir / "bad2.json"
+    _payload(p2, [[1.0, 2.0]], ids=[1, 2, 3])
+    with pytest.raises(ValueError, match="different length"):
+        read_insert_payloads(spark, str(p2))

@@ -318,3 +318,78 @@ def test_filtered_knn_absent_constraint_value(spark):
         qfilter_col="qlabel",
     ).collect()
     assert len(all_rows) == group_n
+
+
+def test_filtered_knn_negative_and_null_constraints(spark):
+    """Regression: raw negative filter values used to wrap around the
+    dense Arrow mask (a qlabel=-1 query silently got another label's
+    neighbors); values are now dictionary-encoded. NULL constraints
+    match nothing; both impls agree."""
+    from distributedvectordatabase_spark.operators.knn import filtered_knn
+
+    rows = [
+        (i, [float(i), float(i % 7)], -1 if i % 2 == 0 else 5)
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], -1),
+            (1, [1.0, 1.0], 5),
+            (2, [2.0, 2.0], None),
+            (3, [3.0, 3.0], 424242),  # absent value
+        ],
+        "qid long, qvec array<float>, qlabel int",
+    )
+    labels = {r[0]: r[2] for r in rows}
+
+    def canon(df):
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk, repr(r.dist)) for r in df.collect()
+        )
+
+    arrow = filtered_knn(
+        corpus, queries, k=3, filter_col="label", qfilter_col="qlabel", impl="arrow"
+    )
+    expr = filtered_knn(
+        corpus, queries, k=3, filter_col="label", qfilter_col="qlabel", impl="expr"
+    )
+    a = canon(arrow)
+    assert a == canon(expr)
+    got = arrow.collect()
+    assert {r.qid for r in got} == {0, 1}  # NULL + absent yield nothing
+    for r in got:
+        want = -1 if r.qid == 0 else 5
+        assert labels[r.neighbor_id] == want, r
+
+    # joinback path hits the same mask (used to crash on a fully-masked
+    # batch when carrying vectors)
+    jb = filtered_knn(
+        corpus, queries, k=3, filter_col="label", qfilter_col="qlabel",
+        impl="arrow", rescore="joinback",
+    )
+    assert canon(jb) == a
+
+
+def test_filtered_knn_string_constraint_values(spark):
+    """Dictionary encoding makes non-integral constraint types work on
+    the arrow path too."""
+    from distributedvectordatabase_spark.operators.knn import filtered_knn
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i)], "en" if i % 2 else "de") for i in range(20)],
+        "vec_id long, embedding array<float>, lang string",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0], "de"), (1, [1.0], "en")],
+        "qid long, qvec array<float>, qlang string",
+    )
+    res = filtered_knn(
+        corpus, queries, k=4, filter_col="lang", qfilter_col="qlang"
+    ).collect()
+    langs = {i: ("en" if i % 2 else "de") for i in range(20)}
+    assert len(res) == 8
+    for r in res:
+        assert langs[r.neighbor_id] == ("de" if r.qid == 0 else "en")
