@@ -134,7 +134,25 @@ def _cos_dist(a: str, b: str, d: str) -> str:
 
 
 def _dec(expr: str, spec: str = "18,4") -> str:
-    return f"cast({expr} as decimal({spec}))"
+    """Engine-stable DOUBLE → DECIMAL(p,s).
+
+    A direct ``cast(double as decimal)`` is NOT engine-stable at
+    rounding half-boundaries: Spark rounds the double's *shortest
+    decimal repr* half-up (BigDecimal.valueOf) while DuckDB rounds the
+    *exact binary expansion*, so e.g. 11651.54645 (binary value
+    ...544999...) casts to 11651.5465 in Spark but 11651.5464 in
+    DuckDB — verified by a 900k-value fuzz (r4). Data-dependent: a
+    single half-boundary price in a regenerated testdata flips a whole
+    aggregate's hash (the r3 sales_grouping_sets failure class).
+
+    Fix: quantize with :func:`_qz` (floor-based, identical IEEE ops in
+    both engines) at the target scale FIRST. The quantized double is
+    within one ulp of an exact s-decimal grid point — 11 orders of
+    magnitude inside the cast's half-grid boundary — so the subsequent
+    decimal cast lands on the same grid point in both engines.
+    """
+    scale = int(spec.split(",")[1])
+    return f"cast({_qz(expr, scale)} as decimal({spec}))"
 
 
 def _qz(expr: str, scale: int = 6) -> str:
@@ -1049,10 +1067,10 @@ def _q_events_value_histogram(d: str) -> str:
     as arithmetic (floor(v/width)) instead of engine-specific
     width_bucket, so both dialects share one expression. One scan,
     partial+final aggregation; bins, not rows, cross the shuffle."""
-    return """
+    return f"""
     SELECT cast(floor(value / 10.0) as int) AS bin,
            count(*) AS n_events,
-           (cast(floor((sum(cast(value as decimal(18,4)))) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS bin_sum
+           (cast(floor((sum({_dec('value', '18,4')})) * 10000 + 0.5) as bigint) / cast(10000 as double)) AS bin_sum
     FROM events
     GROUP BY cast(floor(value / 10.0) as int)
     """

@@ -85,12 +85,17 @@ def windowed_event_counts(
         df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # Engine-stable decimal quantization (catalog._dq form): the
-            # exact decimal sum is scaled/floored in decimal space, then
-            # one IEEE divide — bit-identical to the DuckDB oracle, which
-            # round(double, 6) is not (one-ulp divergence, r3 verdict).
+            # Engine-stable decimal quantization (catalog._dq form): each
+            # double is floor-quantized to the decimal grid BEFORE the
+            # decimal cast (a raw double->decimal cast rounds shortest-repr
+            # in Spark but exact-binary in DuckDB, diverging at half
+            # boundaries), then the exact decimal sum is scaled/floored in
+            # decimal space and divided once — bit-identical to the oracle.
             F.expr(
-                "cast(floor(sum(cast(value as decimal(18,4))) * 10000 + 0.5)"
+                "cast(floor(sum(cast("
+                "(cast(floor(value * cast(10000 as double) + cast(0.5 as double)) as bigint)"
+                " / cast(10000 as double))"
+                " as decimal(18,4))) * 10000 + 0.5)"
                 " as bigint) / cast(10000 as double)"
             ).alias("sum_value"),
         )
