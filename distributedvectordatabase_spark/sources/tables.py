@@ -9,6 +9,7 @@ Catalyst gets predicate pushdown and column pruning for free.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,6 +27,17 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Analyzed-DataFrame cache per session: a parquet read costs ~70 ms of
+# driver-side footer/schema work through Py4J, and catalog runners load
+# the same table many times per run. Keyed by file (mtime, size) so the
+# driver's in-place testdata regeneration invalidates stale plans
+# instead of erroring on changed file metadata. A DataFrame is just an
+# analyzed logical plan — caching it shares no executor state and every
+# action re-reads the files, so this is metadata caching only (what a
+# real deployment gets from a metastore catalog).
+_LOADED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -51,7 +63,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # get_spark, but the DRIVER's harness session is not ours — pin it
     # here so every declared query is UTC regardless of caller.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+    cache = _LOADED.setdefault(spark, {})
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -68,6 +87,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # (session.py), so the NTZ→LTZ cast is value-preserving and
             # matches DuckDB's naive-timestamp semantics exactly.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 
@@ -75,11 +95,36 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+# Session-scoped registration cache. register_views costs ~0.9 s warm
+# (10 parquet footer reads + 10 view registrations through Py4J) and the
+# catalog calls it once per query — ~25 s of pure fixed overhead across
+# a 33-query bench run, the single largest non-scan cost in the harness.
+# The cache is keyed by the testdata fingerprint (mtime+size per file),
+# so the driver's in-place per-round regeneration invalidates it, and it
+# tracks the ACTIVE sf_dir: the views are global names, so switching
+# sf_dirs in one session (tests do) must always re-register.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def _sf_fingerprint(sf_dir: str) -> tuple:
+    out = []
+    for t in TABLES:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        out.append((t, st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so spark.sql() works on the
-    same names the DuckDB oracle uses."""
+    same names the DuckDB oracle uses. Idempotent and cached per
+    (session, sf_dir, testdata fingerprint) — see _REGISTERED."""
+    fp = _sf_fingerprint(sf_dir)
+    state = _REGISTERED.get(spark)
+    if state is not None and state.get("sf_dir") == sf_dir and state.get("fp") == fp:
+        return
     for t in TABLES:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    _REGISTERED[spark] = {"sf_dir": sf_dir, "fp": fp}
 
 
 def queries_fixture(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, n: int = 20) -> DataFrame:
