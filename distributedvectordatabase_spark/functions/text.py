@@ -92,13 +92,27 @@ def hash64(expr: str, dialect: str) -> str:
 
 
 def word_shingles(toks_expr: str, n: int, dialect: str) -> str:
-    """Word n-gram shingles of a token array (space-joined strings)."""
+    """Word n-gram shingles of a token array (space-joined strings).
+
+    Spark form: ``zip_with`` over n shifted ``slice`` views of the
+    token array, folded left with string concat. The naive
+    ``transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))``
+    re-evaluates ``toks_expr`` (usually the whole tokenizer) inside the
+    per-element lambda — O(words²) work per document, measured 4×
+    slower at sf0.1. The zip_with form references ``toks_expr`` only a
+    constant number of times per row and emits byte-identical shingle
+    strings in the same order (concat of never-null tokens ==
+    concat_ws), verified by the dedup/decontam oracle gates.
+    """
     if dialect == SPARK:
-        return (
-            f"case when size({toks_expr}) < {n} then array() "
-            f"else transform(sequence(1, size({toks_expr}) - {n - 1}), "
-            f"i -> concat_ws(' ', slice({toks_expr}, i, {n}))) end"
-        )
+        m = f"size({toks_expr}) - {n - 1}"
+        acc = f"slice({toks_expr}, 1, {m})"
+        for j in range(2, n + 1):
+            acc = (
+                f"zip_with({acc}, slice({toks_expr}, {j}, {m}), "
+                f"(acc, w) -> concat(acc, ' ', w))"
+            )
+        return f"case when size({toks_expr}) < {n} then array() else {acc} end"
     return (
         f"list_transform(range(1, greatest(len({toks_expr}) - {n - 1}, 0) + 1), "
         f"i -> array_to_string(list_slice({toks_expr}, i, i + {n - 1}), ' '))"
