@@ -59,8 +59,8 @@ HEADLINE = [
     "order_window_ranks",
     "order_part_lists",
     "lineitem_price_stats",
-    "events_value_histogram",
     "doc_tfidf_top3",
+    "doc_bm25_topk",
     "doc_sample_fingerprint",
     "embedding_neardup",
     "setsim_pairs",
@@ -75,6 +75,9 @@ EXTRA = [
     "dedup_minhash",
     "ann_ivf_topk",
     "events_approx_distinct",
+    # ceded its gate slot to doc_bm25_topk in r4 (catalog.py); still
+    # exact-checked in tests and measured here
+    "events_value_histogram",
 ]
 
 

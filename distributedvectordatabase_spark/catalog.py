@@ -436,6 +436,81 @@ def _q_doc_sample_fingerprint(d: str) -> str:
     """
 
 
+# BM25 gate query: one rare term ("dup" — the planted-duplicate marker,
+# df ≈ 5% of docs) plus two common ones, so the ranking exercises both
+# the idf spread and the length normalization.
+BM25_TERMS = ("dup", "vector", "query")
+BM25_K = 15
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_oracle_sql(
+    terms=BM25_TERMS, k: int = BM25_K, k1: float = BM25_K1, b: float = BM25_B
+) -> str:
+    """DuckDB twin of operators/search.bm25_topk — same tokenizer, same
+    Lucene-form idf, same per-term 1e-6 quantization + exact decimal
+    sum (order-independent score), same (score desc, doc_id) ranking.
+    Literals are rendered with repr() so both engines parse the exact
+    same doubles."""
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1p1, k1r, omb, br = repr(k1 + 1.0), repr(k1), repr(1.0 - b), repr(b)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {T.tokens('text', DUCKDB)} AS toks FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS total_len FROM base),
+    filt AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+    ),
+    tfq AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM filt
+      WHERE term IN ({terms_sql})
+      GROUP BY doc_id, dl, term
+    ),
+    dft AS (
+      SELECT term, count(*) AS df FROM tfq GROUP BY term
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             {_qz(f"ln((s.n_docs - d2.df + 0.5) / (d2.df + 0.5) + 1.0)"
+                  f" * (t.tf * {k1p1})"
+                  f" / (t.tf + {k1r} * ({omb} + ({br} * t.dl)"
+                  f" / (cast(s.total_len as double) / s.n_docs)))")} AS c
+      FROM tfq t JOIN dft d2 USING (term) CROSS JOIN stats s
+    ),
+    sc AS (
+      SELECT doc_id, sum(cast(c as decimal(38,6))) AS score_dec
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (cast(floor(score_dec * 1000000 + 0.5) as bigint) / cast(1000000 as double)) AS score,
+           rnk
+    FROM (
+      SELECT doc_id, score_dec,
+             row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rnk
+      FROM sc
+    ) x
+    WHERE rnk <= {k}
+    """
+
+
+def _run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranked retrieval (BM25 top-k) — the text-side twin of
+    vector kNN and the second leg of hybrid search. Gates
+    operators/search.bm25_topk."""
+    from distributedvectordatabase_spark.operators.search import bm25_topk
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return bm25_topk(
+        load_table(spark, "documents", sf_dir),
+        list(BM25_TERMS),
+        k=BM25_K,
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+
+
 def _q_decontam(d: str) -> str:
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap):
     a deterministic md5 key split carves ~1/16 of documents out as the
@@ -2147,6 +2222,8 @@ def build_catalog() -> dict[str, Query]:
         # fingerprint/sample-hash ones)
         _sql_query("doc_quality", _q_doc_quality),
         Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
+        # lexical ranked retrieval (north star: hybrid search's text leg)
+        Query("doc_bm25_topk", _run_bm25, bm25_oracle_sql()),
         _sql_query("doc_sample_fingerprint", _q_doc_sample_fingerprint),
         # dedup family (X2/X3 + north star); shingle MinHash is the
         # headline scale path (unigram form stays bench-only — see bench.py)
@@ -2194,7 +2271,6 @@ def build_catalog() -> dict[str, Query]:
         # could only ever be a rows-only gate, while its ≤5% relative
         # error stays pinned in tests/test_catalog.py and its runtime
         # stays benched under BENCH "extra".
-        _sql_query("events_value_histogram", _q_events_value_histogram),
         Query("events_range_join", _run_events_range_join, _events_range_join_oracle()),
         # relational star schema (X8)
         _sql_query("tpch_q1_pricing", _q_tpch_q1),
@@ -2214,5 +2290,11 @@ def build_catalog() -> dict[str, Query]:
         ),
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
+        # position 51+: past the driver's 50-gate cap, but still
+        # exact-checked by tests/test_catalog.py and benched. The
+        # histogram ceded its slot to doc_bm25_topk in r4 — binning
+        # arithmetic is events/lineitem-stats coverage, while BM25 is a
+        # whole new capability family (ranked retrieval).
+        _sql_query("events_value_histogram", _q_events_value_histogram),
     ]
     return {q.name: q for q in qs}

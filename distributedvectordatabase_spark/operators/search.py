@@ -1,0 +1,147 @@
+"""BM25 ranked document retrieval — the text-side twin of vector kNN.
+
+The reference engine serves top-k by embedding distance only; a
+training-data / corpus engine also needs lexical ranked retrieval (the
+standard hybrid-search second leg). This is Okapi BM25 (Robertson &
+Zaragoza 2009, the Lucene-default `+1` idf form so idf stays positive
+even for terms in more than half the corpus) expressed as one
+declarative Spark plan, with the same engine-stable numeric discipline
+as the rest of the catalog (catalog._qsum: per-term contributions are
+floor-quantized to 1e-6 and summed exactly in decimal, so the score —
+and therefore the ranking — is independent of aggregation order and
+identical in the DuckDB oracle).
+
+Plan shape at 100 TB:
+- ONE streaming pass over the corpus: tokenize → explode → filter to
+  the query vocabulary *before* any shuffle, so only matching
+  (doc_id, term) tokens ever leave the scan stage (Catalyst compiles
+  the literal IN-list to a hash InSet; the explode is pipeline-local,
+  nothing corpus-sized materializes).
+- Per-term document frequencies come from the SAME pruned frame
+  (df(t) only counts docs containing t, which are exactly the rows
+  that survive the filter); the df aggregate is |Q| rows, broadcast
+  back into the scoring join.
+- Corpus stats (N, avgdl) are a one-row partial aggregate of the scan.
+- The only O(matched docs) shuffle is the per-(doc, term) tf groupBy;
+  the final top-k is a TakeOrderedAndProject (per-partition heap, no
+  global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions import text as T
+
+__all__ = ["bm25_topk"]
+
+
+def _qz6(c):
+    """Engine-stable 1e-6 quantization (catalog._qz twin)."""
+    m = F.lit(1e6)
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-terms query.
+
+    Returns (id_col, score double, rnk int), rnk 1..k ordered by
+    (score desc, id asc). Documents matching no query term never enter
+    the ranking (their score is 0 and BM25 retrieval drops them).
+
+    ``terms`` are matched exactly against the whitespace tokens of
+    ``text_col`` (the shared tokenizer of the dedup/decontam family);
+    duplicate query terms are deduplicated — BM25's standard bag form
+    weights a repeated query term once.
+    """
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    terms = sorted(set(terms))
+    k = max(int(k), 1)
+
+    toks = F.expr(T.tokens(text_col, T.SPARK))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+    # one-row corpus stats: N and avgdl (exact: integer sum / count)
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("total_len")
+    )
+
+    # pruned postings: explode, keep query terms only (InSet literal
+    # filter runs inside the scan stage), then per-(doc, term) tf and
+    # per-doc length
+    postings = (
+        base.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+    # df per query term from the aggregated tf frame — it has exactly
+    # one row per (doc, term), so count(*) per term IS the document
+    # frequency, and reusing the post-shuffle frame avoids a second
+    # corpus scan
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn("avgdl", F.col("total_len").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        # order-independent score: quantize each term contribution,
+        # sum exactly in decimal (catalog._qsum discipline) — the score
+        # is then bit-identical regardless of partial-agg order and
+        # across engines
+        .groupBy("doc_id")
+        .agg(F.sum(_qz6(F.col("contrib")).cast("decimal(38,6)")).alias("score_dec"))
+    )
+
+    return (
+        scored
+        # decimal -> double via the exact integer route (catalog._dq):
+        # scale, floor (exact in decimal), cast bigint, one IEEE divide
+        .withColumn(
+            "score",
+            F.expr(
+                "cast(floor(score_dec * 1000000 + 0.5) as bigint)"
+                " / cast(1000000 as double)"
+            ),
+        )
+        # TakeOrderedAndProject (per-partition heap + driver merge, no
+        # global sort); the rnk window then runs over <= k rows
+        .orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "score", "rnk")
+    )
