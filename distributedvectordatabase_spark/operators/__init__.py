@@ -34,6 +34,7 @@ from distributedvectordatabase_spark.operators.pq import (
     pq_train,
 )
 from distributedvectordatabase_spark.operators.range_join import time_range_join
+from distributedvectordatabase_spark.operators.search import bm25_topk, hybrid_topk, rrf_fuse
 from distributedvectordatabase_spark.operators.skew import salted_aggregate
 from distributedvectordatabase_spark.operators.stats import (
     distribution_metrics,
@@ -42,6 +43,9 @@ from distributedvectordatabase_spark.operators.stats import (
 
 __all__ = [
     "asof_join",
+    "bm25_topk",
+    "hybrid_topk",
+    "rrf_fuse",
     "filtered_knn",
     "ngram_contamination",
     "knn",

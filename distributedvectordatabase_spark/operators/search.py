@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from distributedvectordatabase_spark.functions import text as T
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse", "hybrid_topk"]
 
 
 def _qz6(c):
@@ -145,3 +145,90 @@ def bm25_topk(
         )
         .select("doc_id", "score", "rnk")
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rnk_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    lists: score(d) = Σ_leg 1/(c + rank_leg(d)), candidates = the UNION
+    of both lists, a missing leg contributing 0.
+
+    Returns (id_col, rrf_score double, rnk int) ordered by
+    (rrf_score desc, id asc). The fusion is a full outer join plus one
+    fixed-shape arithmetic expression — no aggregation, so the score is
+    deterministic (no summation-order dependence) and engine-portable.
+
+    RRF only consumes RANKS, which makes it the right fusion for legs
+    whose scores live on incomparable scales (cosine distance vs BM25)
+    — no score normalization step, nothing to tune but ``c``.
+
+    Scale note: inputs are already top-k lists (≤ k rows each), so the
+    join is trivially broadcastable; fusing per-query batches works the
+    same way by adding the query id to the join key upstream.
+    """
+    c = float(c)
+    fa = a.select(F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_a"))
+    fb = b.select(F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_b"))
+    fused = (
+        fa.join(fb, "id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_b")), F.lit(0.0)),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("id"))
+        .limit(max(int(k), 1))
+    )
+    return fused.select(
+        F.col("id").alias(id_col),
+        "rrf_score",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_score").desc(), F.col("id")))
+        .alias("rnk"),
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_vector,
+    terms: list[str],
+    k: int = 10,
+    fetch_k: int | None = None,
+    rrf_c: int = 60,
+    metric: str = "cosine",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query hybrid search: the semantic leg (exact kNN over the
+    embedding table, operators/knn.knn_single) and the lexical leg
+    (bm25_topk over the documents table) fused with RRF.
+
+    ``fetch_k`` (default 4k) is how deep each leg retrieves before
+    fusion — the standard over-fetch so a document ranked modestly on
+    BOTH legs can beat one ranked highly on a single leg. Embedding ids
+    are assumed to be document ids (the testdata contract; pass a
+    mapping join upstream otherwise).
+    """
+    from distributedvectordatabase_spark.operators.knn import knn_single
+
+    fetch = int(fetch_k) if fetch_k is not None else 4 * max(int(k), 1)
+    vec_leg = knn_single(
+        embeddings, query_vector, k=fetch, metric=metric,
+        id_col=emb_id_col, vec_col=vec_col,
+    ).select(
+        F.col("neighbor_id").alias(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.col("dist"), F.col("neighbor_id")))
+        .alias("rnk"),
+    )
+    text_leg = bm25_topk(docs, terms, k=fetch, id_col=id_col, text_col=text_col)
+    return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col)

@@ -94,3 +94,67 @@ def test_bm25_rare_term_outranks_common_on_equal_tf(spark):
     df = spark.createDataFrame(pdf)
     rows = bm25_topk(df, ["rareterm", "common"], k=8).collect()
     assert rows[0].doc_id == 1
+
+
+def test_rrf_fuse_matches_reference(spark):
+    from distributedvectordatabase_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(3, 1), (4, 2), (1, 3)], "doc_id long, rnk int")
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse(a, b, k=10, c=60).collect()}
+    want = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 62,
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+    # ranking: docs 1 and 3 tie on score -> id ascending breaks it
+    rows = rrf_fuse(a, b, k=10, c=60).collect()
+    assert [r.doc_id for r in rows[:2]] == [1, 3]
+
+
+def test_rrf_fuse_respects_k(spark):
+    from distributedvectordatabase_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(i + 10, i) for i in range(1, 8)], "doc_id long, rnk int")
+    rows = rrf_fuse(a, b, k=5).collect()
+    assert len(rows) == 5
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_hybrid_topk_end_to_end(spark):
+    """Hybrid search on the sf0.001 testdata: legs agree with running
+    each side separately and fusing driver-side."""
+    from distributedvectordatabase_spark.operators.knn import knn_single
+    from distributedvectordatabase_spark.operators.search import bm25_topk, hybrid_topk
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    emb = load_table(spark, "embeddings", SF)
+    qvec = emb.orderBy("vec_id").first().embedding
+    terms = ["vector", "query"]
+    k, fetch = 10, 40
+
+    got = hybrid_topk(docs, emb, qvec, terms, k=k, fetch_k=fetch).collect()
+
+    vec = knn_single(emb, qvec, k=fetch, metric="cosine").collect()
+    vec_rnk = {r.neighbor_id: i + 1 for i, r in enumerate(vec)}
+    txt = bm25_topk(docs, terms, k=fetch).collect()
+    txt_rnk = {r.doc_id: r.rnk for r in txt}
+    scores = {}
+    for d in set(vec_rnk) | set(txt_rnk):
+        s = 0.0
+        if d in vec_rnk:
+            s += 1.0 / (60.0 + vec_rnk[d])
+        if d in txt_rnk:
+            s += 1.0 / (60.0 + txt_rnk[d])
+        scores[d] = s
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert [(r.doc_id) for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.rrf_score == pytest.approx(s, rel=1e-12)
