@@ -229,6 +229,14 @@ def main() -> None:
         text_stats["minhash_pairs"] = mh.count()
         text_stats["n_docs"] = n_docs
 
+        # BM25 over the synthetic corpus: one rare-ish term + two
+        # common ones from the w{0..vocab} vocabulary — measures the
+        # vocabulary-pruned explode + tf/df aggregation at scale
+        from distributedvectordatabase_spark.operators.search import bm25_topk
+
+        bm = bm25_topk(docs, ["w7", "w42", "w4999"], k=10)
+        timings["bm25_topk"] = timed_min(lambda: bm.count())
+
     print(
         json.dumps(
             {

@@ -154,43 +154,45 @@ def rrf_fuse(
     c: int = 60,
     id_col: str = "doc_id",
     rnk_col: str = "rnk",
+    by: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
     lists: score(d) = Σ_leg 1/(c + rank_leg(d)), candidates = the UNION
     of both lists, a missing leg contributing 0.
 
-    Returns (id_col, rrf_score double, rnk int) ordered by
-    (rrf_score desc, id asc). The fusion is a full outer join plus one
-    fixed-shape arithmetic expression — no aggregation, so the score is
-    deterministic (no summation-order dependence) and engine-portable.
+    Returns (*by, id_col, rrf_score double, rnk int) ordered within
+    each ``by`` group by (rrf_score desc, id asc). ``by`` lets a
+    query-BATCH be fused in one call: pass e.g. ``by=["qid"]`` with
+    each leg carrying per-query ranks, and the fusion joins and ranks
+    per query — one plan for the whole batch, no driver loop.
 
-    RRF only consumes RANKS, which makes it the right fusion for legs
-    whose scores live on incomparable scales (cosine distance vs BM25)
-    — no score normalization step, nothing to tune but ``c``.
+    The fusion is a full outer join plus one fixed-shape arithmetic
+    expression — no aggregation, so the score is deterministic (no
+    summation-order dependence) and engine-portable. RRF only consumes
+    RANKS, which makes it the right fusion for legs whose scores live
+    on incomparable scales (cosine distance vs BM25) — no score
+    normalization step, nothing to tune but ``c``.
 
-    Scale note: inputs are already top-k lists (≤ k rows each), so the
-    join is trivially broadcastable; fusing per-query batches works the
-    same way by adding the query id to the join key upstream.
+    Scale note: single-query inputs are ≤ k rows, trivially
+    broadcastable; batched inputs are O(n_queries · k) rows and the
+    join/rank both key on (by, id) — still tiny relative to any corpus.
     """
     c = float(c)
-    fa = a.select(F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_a"))
-    fb = b.select(F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_b"))
-    fused = (
-        fa.join(fb, "id", "full_outer")
+    by = list(by)
+    k = max(int(k), 1)
+    fa = a.select(*by, F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_a"))
+    fb = b.select(*by, F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_b"))
+    w = Window.partitionBy(*by).orderBy(F.col("rrf_score").desc(), F.col("id"))
+    return (
+        fa.join(fb, [*by, "id"], "full_outer")
         .withColumn(
             "rrf_score",
             F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_a")), F.lit(0.0))
             + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_b")), F.lit(0.0)),
         )
-        .orderBy(F.col("rrf_score").desc(), F.col("id"))
-        .limit(max(int(k), 1))
-    )
-    return fused.select(
-        F.col("id").alias(id_col),
-        "rrf_score",
-        F.row_number()
-        .over(Window.orderBy(F.col("rrf_score").desc(), F.col("id")))
-        .alias("rnk"),
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(*by, F.col("id").alias(id_col), "rrf_score", "rnk")
     )
 
 

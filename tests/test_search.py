@@ -158,3 +158,29 @@ def test_hybrid_topk_end_to_end(spark):
     assert [(r.doc_id) for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r.rrf_score == pytest.approx(s, rel=1e-12)
+
+
+def test_rrf_fuse_batched_by_query(spark):
+    """by=["qid"] fuses a whole query batch in one plan: each group
+    must match fusing that query's legs alone."""
+    from distributedvectordatabase_spark.operators.search import rrf_fuse
+
+    a_rows = [(q, d, r) for q in (100, 200) for r, d in enumerate([1, 2, 3], 1)]
+    b_rows = [(100, 3, 1), (100, 4, 2), (200, 9, 1), (200, 1, 2)]
+    a = spark.createDataFrame(a_rows, "qid long, doc_id long, rnk int")
+    b = spark.createDataFrame(b_rows, "qid long, doc_id long, rnk int")
+    got = rrf_fuse(a, b, k=10, c=60, by=["qid"]).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for q in (100, 200):
+        single = rrf_fuse(
+            a.filter(f"qid = {q}").drop("qid"),
+            b.filter(f"qid = {q}").drop("qid"),
+            k=10,
+            c=60,
+        ).collect()
+        batch = sorted(by_q[q], key=lambda r: r.rnk)
+        assert [(r.doc_id, r.rrf_score, r.rnk) for r in batch] == [
+            (r.doc_id, r.rrf_score, r.rnk) for r in single
+        ]
