@@ -15,11 +15,27 @@ from distributedvectordatabase_spark.catalog import build_catalog
 from tests.conftest import SF_SMALL
 
 
+# Entries deliberately placed PAST the driver's 50-gate correctness
+# window (position 51+): still exact-checked by tests/test_catalog.py
+# and benched, but their driver slot was ceded to a higher-value gate.
+# Adding an entry here requires a COVERAGE.md note saying what took the
+# slot and why.
+DOCUMENTED_OVERFLOW = {"events_value_histogram"}
+
+
 def test_catalog_builds_and_is_window_sized():
     cat = build_catalog()
-    assert len(cat) <= 50, (
-        f"{len(cat)} catalog entries — the driver's correctness window checks "
-        "only the first 50; merge or demote queries (see COVERAGE.md totals)"
+    names = list(cat)
+    overflow = set(names[50:])
+    assert overflow <= DOCUMENTED_OVERFLOW, (
+        f"undocumented entries past the driver's 50-gate window: "
+        f"{sorted(overflow - DOCUMENTED_OVERFLOW)} — the driver's correctness "
+        "run checks only the first 50; merge/demote queries or document the "
+        "overflow (see COVERAGE.md totals)"
+    )
+    assert not (DOCUMENTED_OVERFLOW & set(names[:50])), (
+        "a documented-overflow entry moved back inside the gate window; "
+        "update DOCUMENTED_OVERFLOW"
     )
     for name, q in cat.items():
         assert callable(q.run), name
