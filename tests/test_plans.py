@@ -181,3 +181,17 @@ def test_decontam_gate_broadcasts_and_single_scans_training_side(spark):
     # one scan feeds the benchmark side (broadcast), one the training
     # side — anything more re-reads the corpus
     assert len(text_scans) <= 2, (text_scans, plan[:500])
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 must (a) finish with a top-k heap, not a global sort,
+    (b) broadcast the tiny df/stats sides, and (c) push the text/doc_id
+    projection into the parquet scan."""
+    from distributedvectordatabase_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    df = bm25_topk(docs, ["vector", "query"], k=5)
+    assert has_take_ordered(df)
+    assert has_broadcast(df)
+    for s in scan_read_schema(df):
+        assert "lang" not in s and "source" not in s, f"payload not pruned: {s}"
