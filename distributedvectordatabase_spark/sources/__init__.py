@@ -5,6 +5,7 @@ from distributedvectordatabase_spark.sources.jsonwire import (
 )
 from distributedvectordatabase_spark.sources.npz import read_npz, write_npz
 from distributedvectordatabase_spark.sources.tables import TABLES, load_table, load_tables
+from distributedvectordatabase_spark.sources.text_index import TextIndex
 from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "read_query_payload",
     "VectorStore",
     "IVFStore",
+    "TextIndex",
 ]

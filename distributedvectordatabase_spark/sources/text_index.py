@@ -1,0 +1,190 @@
+"""Persistent term-partitioned inverted index for BM25 serving.
+
+`operators/search.bm25_topk` recomputes postings from raw text per
+query — right for one-shot analytics, wrong for serving many queries
+against a stable corpus. TextIndex is the "build once, query many"
+form, the lexical mirror of the vector stores (sources/vector_store.py
+partitions vectors by LSH shard; sources/ivf_store.py by KMeans cell;
+this partitions postings by term hash-bucket):
+
+- **build**: one pass tokenizes the corpus, writes a postings table
+  (term, doc_id, tf, dl) to parquet `partitionBy(term_bucket)` where
+  `term_bucket = xxhash64(term) mod n_buckets`, plus per-term document
+  frequencies (same layout) and a one-row JSON stats sidecar
+  (n_docs, total_len). All the per-query work of bm25_topk that does
+  not depend on the query — tokenize, explode, tf groupBy, df count —
+  is paid once here.
+- **query**: a BM25 search reads ONLY the buckets its terms hash to:
+  the `term_bucket IN (...)` literal predicate becomes Parquet
+  partition pruning (asserted in tests/test_plans-style plan checks),
+  so a 3-term query against a 32-bucket index touches ≤ 3/32 of the
+  postings bytes no matter the corpus size. Scoring reuses the exact
+  arithmetic of bm25_topk (quantized per-term contributions, exact
+  decimal sum), so `TextIndex.bm25(...)` returns byte-identical rows
+  to the one-shot operator — pinned by tests/test_text_index.py.
+
+At 100 TB: postings are ~tokens-sized but compress well (ints +
+dictionary-encoded terms); the build's only shuffle is the tf groupBy;
+queries shuffle O(matched docs) pre-aggregated rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions import text as T
+
+__all__ = ["TextIndex"]
+
+
+class TextIndex:
+    def __init__(self, path: str, n_buckets: int = 32):
+        self.path = path
+        self.n_buckets = int(n_buckets)
+
+    @property
+    def _postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @property
+    def _stats_path(self) -> str:
+        return os.path.join(self.path, "_stats.json")
+
+    # ------------------------------------------------------------------
+    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Tokenize once, persist bucketed postings + corpus stats."""
+        toks = F.expr(T.tokens(text_col, T.SPARK))
+        base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+        n_docs, total_len = base.agg(
+            F.count("*"), F.sum(F.size("toks"))
+        ).first()
+
+        postings = (
+            base.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            )
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(self._postings_path)
+        )
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._stats_path, "w") as f:
+            json.dump(
+                {
+                    "n_docs": int(n_docs),
+                    "total_len": int(total_len or 0),
+                    "n_buckets": self.n_buckets,
+                },
+                f,
+            )
+
+    def stats(self) -> dict:
+        with open(self._stats_path) as f:
+            return json.load(f)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._postings_path)
+
+    # ------------------------------------------------------------------
+    def bm25(
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """BM25 top-k over the persisted index — identical rows to
+        operators/search.bm25_topk on the same corpus/terms, but the
+        scan touches only the query terms' hash buckets (partition
+        pruning) and pays no tokenization."""
+        if not terms:
+            raise ValueError("bm25 requires at least one query term")
+        terms = sorted(set(terms))
+        k = max(int(k), 1)
+        st = self.stats()
+
+        # literal bucket list -> Parquet partition pruning at the scan
+        buckets = sorted(
+            {
+                r.b
+                for r in spark.createDataFrame(
+                    [(t,) for t in terms], "term string"
+                )
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()
+            }
+        )
+        post = (
+            self.postings(spark)
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+
+        m = F.lit(1e6)
+        qz6 = lambda c: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
+        scored = (
+            post.join(F.broadcast(df_t), "term")
+            .withColumn("n_docs", F.lit(int(st["n_docs"])))
+            .withColumn(
+                "avgdl",
+                F.lit(float(st["total_len"])) / F.lit(int(st["n_docs"])),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            )
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum(qz6(F.col("contrib")).cast("decimal(38,6)")).alias("score_dec"))
+        )
+        return (
+            scored.withColumn(
+                "score",
+                F.expr(
+                    "cast(floor(score_dec * 1000000 + 0.5) as bigint)"
+                    " / cast(1000000 as double)"
+                ),
+            )
+            .orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+            .limit(k)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+                ),
+            )
+            .select("doc_id", "score", "rnk")
+        )

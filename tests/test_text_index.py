@@ -1,0 +1,66 @@
+"""TextIndex: persisted term-partitioned postings must reproduce the
+one-shot BM25 operator exactly, and its queries must partition-prune."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.search import bm25_topk
+from distributedvectordatabase_spark.plans import scan_partition_filters
+from distributedvectordatabase_spark.sources.tables import load_table
+from distributedvectordatabase_spark.sources.text_index import TextIndex
+from tests.conftest import SF_SMALL
+
+TERMS = ["dup", "vector", "query"]
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    docs = load_table(spark, "documents", SF_SMALL)
+    ix = TextIndex(str(tmp_path_factory.mktemp("tix") / "index"), n_buckets=16)
+    ix.build(docs)
+    return ix
+
+
+def test_index_bm25_matches_oneshot_exactly(spark, index):
+    docs = load_table(spark, "documents", SF_SMALL)
+    want = [
+        (r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(docs, TERMS, k=10).collect()
+    ]
+    got = [
+        (r.doc_id, r.score, r.rnk)
+        for r in index.bm25(spark, TERMS, k=10).collect()
+    ]
+    assert got == want  # bitwise-identical scores, same ranking
+
+
+def test_index_query_prunes_partitions(spark, index):
+    df = index.bm25(spark, TERMS, k=5)
+    pf = scan_partition_filters(df)
+    assert any("term_bucket" in f for f in pf), pf
+
+
+def test_index_stats_sidecar(spark, index):
+    st = index.stats()
+    docs = load_table(spark, "documents", SF_SMALL)
+    assert st["n_docs"] == docs.count()
+    assert st["n_buckets"] == 16
+    assert st["total_len"] > 0
+
+
+def test_index_requires_terms(spark, index):
+    with pytest.raises(ValueError):
+        index.bm25(spark, [])
+
+
+def test_index_single_term_reads_one_bucket(spark, index):
+    """A single-term query must touch exactly one term_bucket."""
+    df = index.bm25(spark, ["vector"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition filter present and mentions the bucket column
+    assert "term_bucket" in plan
+    rows = df.collect()
+    assert len(rows) == 5
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
