@@ -237,6 +237,17 @@ def main() -> None:
         bm = bm25_topk(docs, ["w7", "w42", "w4999"], k=10)
         timings["bm25_topk"] = timed_min(lambda: bm.count())
 
+        # indexed form: pay tokenize+tf once, then queries partition-
+        # prune to the terms' hash buckets
+        from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+        tix = TextIndex(os.path.join(tmp, "text_index"), n_buckets=32)
+        t0 = time.perf_counter()
+        tix.build(docs)
+        timings["text_index_build"] = round(time.perf_counter() - t0, 3)
+        bq = tix.bm25(spark, ["w7", "w42", "w4999"], k=10)
+        timings["bm25_indexed"] = timed_min(lambda: bq.count())
+
     print(
         json.dumps(
             {

@@ -92,6 +92,40 @@ class TextIndex:
                 f,
             )
 
+    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Incrementally index new documents: their postings append to
+        the same bucketed layout and the stats sidecar accumulates.
+        Per-term document frequencies are derived at query time from
+        the postings themselves, so appends need no df merge step —
+        after append, queries are indistinguishable from a fresh
+        build over the union (pinned by tests). Caller owns doc-id
+        uniqueness (same contract as VectorStore.append)."""
+        st = self.stats()
+        toks = F.expr(T.tokens(text_col, T.SPARK))
+        base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        n_new, len_new = base.agg(F.count("*"), F.sum(F.size("toks"))).first()
+        postings = (
+            base.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            )
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        (
+            postings.repartition("term_bucket")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(self._postings_path)
+        )
+        st["n_docs"] = int(st["n_docs"]) + int(n_new)
+        st["total_len"] = int(st["total_len"]) + int(len_new or 0)
+        with open(self._stats_path, "w") as f:
+            json.dump(st, f)
+
     def stats(self) -> dict:
         with open(self._stats_path) as f:
             return json.load(f)

@@ -64,3 +64,24 @@ def test_index_single_term_reads_one_bucket(spark, index):
     rows = df.collect()
     assert len(rows) == 5
     assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_append_equals_fresh_build(spark, tmp_path):
+    """build(half) + append(half) must answer queries identically to
+    build(all) — df derives from postings, stats accumulate."""
+    docs = load_table(spark, "documents", SF_SMALL)
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = TextIndex(str(tmp_path / "inc"), n_buckets=8)
+    inc.build(lo)
+    inc.append(hi)
+
+    full = TextIndex(str(tmp_path / "full"), n_buckets=8)
+    full.build(docs)
+
+    assert inc.stats()["n_docs"] == full.stats()["n_docs"]
+    assert inc.stats()["total_len"] == full.stats()["total_len"]
+    a = [(r.doc_id, r.score, r.rnk) for r in inc.bm25(spark, TERMS, k=10).collect()]
+    b = [(r.doc_id, r.score, r.rnk) for r in full.bm25(spark, TERMS, k=10).collect()]
+    assert a == b
