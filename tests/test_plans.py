@@ -195,3 +195,28 @@ def test_bm25_plan_shape(spark):
     assert has_broadcast(df)
     for s in scan_read_schema(df):
         assert "lang" not in s and "source" not in s, f"payload not pruned: {s}"
+
+
+def test_no_catalog_query_plans_a_cartesian_or_shuffled_join(spark):
+    """Standing sweep over EVERY declared query at sf0.001: no
+    CartesianProduct ever (the scale-killer), and at this size every
+    join must resolve to a broadcast form (AQE + hints working) — a
+    SortMergeJoin on kilobyte inputs means a hint or statistic
+    regressed. BroadcastNestedLoopJoin is allowed only where a side is
+    a one-row aggregate (bm25's corpus-stats crossJoin)."""
+    from distributedvectordatabase_spark.catalog import build_catalog
+
+    allowed_bnlj = {"doc_bm25_topk"}
+    offenders = {}
+    for name, q in build_catalog().items():
+        plan = q.run(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "SortMergeJoin" in plan:
+            bad.append("SortMergeJoin")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
