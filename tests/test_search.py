@@ -184,3 +184,51 @@ def test_rrf_fuse_batched_by_query(spark):
         assert [(r.doc_id, r.rrf_score, r.rnk) for r in batch] == [
             (r.doc_id, r.rrf_score, r.rnk) for r in single
         ]
+
+
+def test_bm25_property_random_corpora(spark):
+    """Randomized corpora vs the reference implementation: scores agree
+    to quantization tolerance and ranking order matches exactly under
+    the (score desc, id) tie-break."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    corpus_strategy = st.dictionaries(
+        keys=st.integers(min_value=1, max_value=50),
+        values=st.lists(words, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+    terms_strategy = st.lists(words, min_size=1, max_size=3)
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus=corpus_strategy, terms=terms_strategy)
+    def run(corpus, terms):
+        pdf = pd.DataFrame(
+            {"doc_id": list(corpus), "text": [corpus[i] for i in corpus]}
+        )
+        df = spark.createDataFrame(pdf, "doc_id long, text string")
+        got = bm25_topk(df, terms, k=100).collect()
+        want = _bm25_ref(corpus, terms)
+        assert {r.doc_id for r in got} == set(want)
+        # quantized-score tolerance: each per-term contribution is
+        # floor-quantized at 1e-6, so totals drift <= |terms| * 1e-6
+        for r in got:
+            assert abs(r.score - want[r.doc_id]) <= len(set(terms)) * 1e-6 + 1e-9
+        # rank agreement, skipping orderings that quantization slack
+        # could legitimately permute: the operator sums per-term
+        # QUANTIZED contributions while the reference quantizes the
+        # raw total, so two docs within slack of each other may order
+        # either way — only adjacent pairs separated by more than the
+        # slack must agree
+        q = lambda x: __import__("math").floor(x * 1e6 + 0.5) / 1e6
+        slack = 2 * len(set(terms)) * 1e-6
+        order = sorted(want, key=lambda d: (-q(want[d]), d))
+        got_ids = [r.doc_id for r in got]
+        for i in range(len(order) - 1):
+            a, b = order[i], order[i + 1]
+            if q(want[a]) - q(want[b]) > slack:
+                assert got_ids.index(a) < got_ids.index(b), (a, b)
+
+    run()
