@@ -15,7 +15,11 @@ Two kinds of entries:
 Money aggregations cast to DECIMAL before summing: double summation
 order differs between engines (Spark partial aggs vs DuckDB sequential)
 and at 60k+ rows the drift exceeds the 1e-6 canonical rounding; decimal
-sums are exact and therefore engine-independent.
+sums are exact and therefore engine-independent. The cast itself goes
+through `_dec`, which floor-quantizes the double FIRST — a raw
+``cast(double as decimal)`` rounds shortest-repr half-up in Spark but
+exact-binary in DuckDB and diverges at half boundaries (r4,
+tests/test_engine_parity.py).
 
 Float canonicalization is floor-based (`_qz` for doubles, `_dq` for
 exact decimals, `_qz_col`/`_qz_py` twins for DataFrame/Python sides) —
