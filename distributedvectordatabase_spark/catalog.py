@@ -1725,7 +1725,13 @@ def _run_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _gate_tmp_path("dvdb_store_gate", sf_dir)
     vs = VectorStore(path, _LSH)
-    vs.write(load_table(spark, "embeddings", sf_dir))
+    # build once per testdata fingerprint (_gate_tmp_path keys the dir
+    # by source mtime+size, so a regenerated sf_dir gets a fresh build;
+    # Spark's parquet writer drops _SUCCESS on commit, making it the
+    # completed-build marker — same pattern as the IVF gate's centroid
+    # sidecar check)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        vs.write(load_table(spark, "embeddings", sf_dir))
     counts = (
         vs.read(spark)
         .groupBy("shard_id")
