@@ -52,7 +52,6 @@ HEADLINE = [
     "tpch_q5_nation_revenue",
     "tpch_q17_small_qty",
     "customer_rank_analytics",
-    "customer_set_ops",
     "returnflag_pivot_unpivot",
     "decontam_overlap",
     "semantic_search_topk",
@@ -61,6 +60,7 @@ HEADLINE = [
     "lineitem_price_stats",
     "doc_tfidf_top3",
     "doc_bm25_topk",
+    "doc_chunks",
     "doc_sample_fingerprint",
     "embedding_neardup",
     "setsim_pairs",
@@ -75,9 +75,11 @@ EXTRA = [
     "dedup_minhash",
     "ann_ivf_topk",
     "events_approx_distinct",
-    # ceded its gate slot to doc_bm25_topk in r4 (catalog.py); still
-    # exact-checked in tests and measured here
+    # ceded gate slots in r4 (catalog.py); still exact-checked in
+    # tests and measured here
     "events_value_histogram",
+    "customer_set_ops",
+    "doc_packs",
 ]
 
 

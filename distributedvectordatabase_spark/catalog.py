@@ -499,6 +499,99 @@ def bm25_oracle_sql(
     """
 
 
+CHUNK_MAX_TOKENS = 32
+CHUNK_OVERLAP = 8
+PACK_BUDGET = 256
+
+
+def _q_doc_chunks(d: str) -> str:
+    """Sliding-window document chunking (training-data shaping): at
+    most CHUNK_MAX_TOKENS tokens per chunk, stride = max - overlap.
+    Oracle twin of operators/chunking.chunk_documents."""
+    mt, ov = CHUNK_MAX_TOKENS, CHUNK_OVERLAP
+    stride = mt - ov
+    tok = T.tokens("text", d)
+    tok_col = T.tokens("col", SPARK)
+    tok_chunk = T.tokens("chunk_text", DUCKDB)
+    if d == SPARK:
+        return f"""
+        WITH b AS (
+          SELECT doc_id, {tok} AS toks FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 transform(
+                   sequence(0, cast(1 + ceil(greatest(size(toks) - {mt}, 0) / {stride}) as int) - 1),
+                   i -> concat_ws(' ', slice(toks, i * {stride} + 1, {mt}))
+                 ) AS chunk
+          FROM b
+        )
+        SELECT doc_id, pos AS chunk_id, col AS chunk_text,
+               size({tok_col}) AS n_tokens
+        FROM c LATERAL VIEW posexplode(chunk) AS pos, col
+        """
+    return f"""
+    WITH b AS (
+      SELECT doc_id, {tok} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, cast(1 + ceil(greatest(len(toks) - {mt}, 0) / {stride}) as int)),
+               i -> array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {mt}), ' ')
+             ) AS chunk
+      FROM b
+    ),
+    e AS (
+      SELECT doc_id, generate_subscripts(chunk, 1) - 1 AS chunk_id,
+             unnest(chunk) AS chunk_text
+      FROM c
+    )
+    SELECT doc_id, chunk_id, chunk_text, len({tok_chunk}) AS n_tokens FROM e
+    """
+
+
+def _run_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates operators/chunking.chunk_documents (the DataFrame form)."""
+    from distributedvectordatabase_spark.operators.chunking import chunk_documents
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir),
+        max_tokens=CHUNK_MAX_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+def _q_doc_packs(d: str) -> str:
+    """Token-budget sequence packing by cumulative-sum segmentation
+    within each language group (oracle twin of
+    operators/chunking.pack_documents)."""
+    tok = T.tokens("text", d)
+    ln = "size" if d == SPARK else "len"
+    return f"""
+    WITH b AS (
+      SELECT lang, doc_id, {ln}({tok}) AS n_tokens FROM documents
+    )
+    SELECT lang,
+           cast(floor((sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / {PACK_BUDGET}) as int) AS pack_id,
+           doc_id, n_tokens
+    FROM b
+    """
+
+
+def _run_doc_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedvectordatabase_spark.operators.chunking import pack_documents
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return pack_documents(
+        load_table(spark, "documents", sf_dir), budget=PACK_BUDGET
+    )
+
+
 def _run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ranked retrieval (BM25 top-k) — the text-side twin of
     vector kNN and the second leg of hybrid search. Gates
@@ -2234,6 +2327,8 @@ def build_catalog() -> dict[str, Query]:
         Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
         # lexical ranked retrieval (north star: hybrid search's text leg)
         Query("doc_bm25_topk", _run_bm25, bm25_oracle_sql()),
+        # training-data shaping (north star): sliding-window chunking
+        Query("doc_chunks", _run_doc_chunks, _q_doc_chunks(DUCKDB)),
         _sql_query("doc_sample_fingerprint", _q_doc_sample_fingerprint),
         # dedup family (X2/X3 + north star); shingle MinHash is the
         # headline scale path (unigram form stays bench-only — see bench.py)
@@ -2292,7 +2387,6 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("order_window_ranks", _q_order_window_ranks),
-        _sql_query("customer_set_ops", _q_customer_set_ops),
         Query(
             "returnflag_pivot_unpivot",
             _run_returnflag_unpivot,
@@ -2301,10 +2395,16 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
         # position 51+: past the driver's 50-gate cap, but still
-        # exact-checked by tests/test_catalog.py and benched. The
-        # histogram ceded its slot to doc_bm25_topk in r4 — binning
-        # arithmetic is events/lineitem-stats coverage, while BM25 is a
-        # whole new capability family (ranked retrieval).
+        # exact-checked by tests/test_catalog.py (and benched where in
+        # bench.py's lists). Slot cessions, r4: events_value_histogram →
+        # doc_bm25_topk (binning arithmetic is events/lineitem-stats
+        # coverage; BM25 is a whole new capability family);
+        # customer_set_ops → doc_chunks (INTERSECT/EXCEPT is one of 12
+        # remaining relational gates; chunking is a core training-data
+        # shaping op). doc_packs joins the overflow as chunking's
+        # companion (same module, exact-checked).
         _sql_query("events_value_histogram", _q_events_value_histogram),
+        _sql_query("customer_set_ops", _q_customer_set_ops),
+        Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
     ]
     return {q.name: q for q in qs}

@@ -2,6 +2,7 @@
 # refits KMeans per call (plan-shape demo); the production IVF path is
 # sources.ivf_store.IVFStore (build once, partition-pruned probes).
 from distributedvectordatabase_spark.operators.asof import asof_join
+from distributedvectordatabase_spark.operators.chunking import chunk_documents, pack_documents
 from distributedvectordatabase_spark.operators.components import connected_components
 from distributedvectordatabase_spark.operators.dedup import (
     brute_cosine_neardup_pairs,
@@ -44,6 +45,8 @@ from distributedvectordatabase_spark.operators.stats import (
 __all__ = [
     "asof_join",
     "bm25_topk",
+    "chunk_documents",
+    "pack_documents",
     "hybrid_topk",
     "rrf_fuse",
     "filtered_knn",

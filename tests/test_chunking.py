@@ -1,0 +1,97 @@
+"""Unit tests for operators/chunking (chunk_documents, pack_documents)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.chunking import (
+    chunk_documents,
+    pack_documents,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}),
+        "doc_id long, text string",
+    )
+
+
+def test_chunks_short_doc_is_single_chunk(spark):
+    df = _df(spark, [(1, "a b c")])
+    rows = chunk_documents(df, max_tokens=8, overlap=2).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0
+    assert rows[0].chunk_text == "a b c"
+    assert rows[0].n_tokens == 3
+
+
+def test_chunks_empty_doc_yields_one_empty_chunk(spark):
+    df = _df(spark, [(1, "")])
+    rows = chunk_documents(df, max_tokens=8, overlap=2).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == ""
+    assert rows[0].n_tokens == 0
+
+
+def test_chunks_overlap_and_coverage(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = _df(spark, [(1, " ".join(words))])
+    rows = sorted(
+        chunk_documents(df, max_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 2 over 10 tokens: windows starting at 0,2,4,6 (ceil((10-4)/2)=3, +1)
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w2 w3 w4 w5"
+    assert rows[-1].chunk_text == "w6 w7 w8 w9"
+    # consecutive windows share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text.split(" ")[-2:] == b.chunk_text.split(" ")[:2]
+    # every source token appears in some chunk
+    covered = {t for r in rows for t in r.chunk_text.split(" ")}
+    assert covered == set(words)
+
+
+def test_chunks_validates_params(spark):
+    df = _df(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0, overlap=0)
+
+
+def test_pack_budget_invariant(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, 41),
+            "lang": ["en" if i % 2 else "de" for i in range(1, 41)],
+            "text": [" ".join(["x"] * (5 + 7 * (i % 9))) for i in range(1, 41)],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, lang string, text string")
+    out = pack_documents(df, budget=40).toPandas()
+    # invariant: per (lang, pack), total < budget + max member
+    g = out.groupby(["lang", "pack_id"])["n_tokens"]
+    for (lang, pack), s in g:
+        assert s.sum() < 40 + s.max(), (lang, pack, s.sum(), s.max())
+    # packs are contiguous id ranges per lang
+    for lang, grp in out.groupby("lang"):
+        grp = grp.sort_values("doc_id")
+        assert (grp["pack_id"].diff().fillna(0) >= 0).all()
+    # every doc packed exactly once
+    assert len(out) == 40
+
+
+def test_pack_oversized_doc_gets_own_packs(spark):
+    df = spark.createDataFrame(
+        [(1, "en", " ".join(["x"] * 100)), (2, "en", "x x")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r.pack_id for r in pack_documents(df, budget=40).collect()}
+    # the 100-token doc occupies pack 0 alone; the next doc starts past it
+    assert out[1] == 0
+    assert out[2] > 0
