@@ -95,3 +95,28 @@ def test_pack_oversized_doc_gets_own_packs(spark):
     # the 100-token doc occupies pack 0 alone; the next doc starts past it
     assert out[1] == 0
     assert out[2] > 0
+
+
+def test_chunk_then_index_retrieval_composes(spark, tmp_path):
+    """RAG-shaped composition: chunk the corpus, index the CHUNKS in a
+    TextIndex, and chunk-level BM25 must equal the one-shot operator
+    over the chunk frame — operators compose without glue code."""
+    from distributedvectordatabase_spark.operators.search import bm25_topk
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    chunks = (
+        chunk_documents(docs, max_tokens=16, overlap=4)
+        .select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    ix = TextIndex(str(tmp_path / "chunk_ix"), n_buckets=8)
+    ix.build(chunks)
+    terms = ["vector", "query"]
+    want = [(r.doc_id, r.score, r.rnk) for r in bm25_topk(chunks, terms, k=10).collect()]
+    got = [(r.doc_id, r.score, r.rnk) for r in ix.bm25(spark, terms, k=10).collect()]
+    assert got == want
+    assert len(got) == 10
