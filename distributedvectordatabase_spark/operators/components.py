@@ -82,11 +82,26 @@ def connected_components(
     )
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # both sides are distinct sets: equal count + empty difference
-        # ⇒ equal sets ⇒ star-forest fixpoint reached.
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
-            cur = nxt
-            break
+        # Convergence = the edge set IS a star forest, checked directly
+        # on nxt instead of diffing against cur — this detects the
+        # fixpoint on the round that PRODUCES it, saving one full
+        # large+small-star round (4 shuffles + checkpoint) every call.
+        # Soundness: small-star output always orients child→min
+        # (dst < src by construction), so if additionally every src has
+        # exactly one dst and no dst ever appears as a src, the edges
+        # are disjoint two-level stars whose root is smaller than every
+        # child — i.e. min-rooted stars, on which both star operations
+        # are identities (the SoCC'14 fixpoint). Conversely the
+        # algorithm's fixpoint is exactly such a forest, so the check
+        # is necessary too — no early or late stop.
+        multi = nxt.groupBy("src").agg(F.count("*").alias("n")).where("n > 1")
+        if multi.isEmpty():
+            roots_as_src = nxt.select(F.col("dst").alias("src")).distinct().join(
+                nxt.select("src").distinct(), "src"
+            )
+            if roots_as_src.isEmpty():
+                cur = nxt
+                break
         cur = nxt
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

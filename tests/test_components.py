@@ -193,3 +193,18 @@ def test_minhash_neardup_join_cross_corpus(spark):
             want.add((r.doc_b, r.doc_a, r.jaccard))
     assert got == want
     assert len(got) > 0  # the testdata's planted dups must cross the split
+
+
+def test_chain_graph_needs_multiple_rounds_and_converges(spark):
+    """A 64-node chain is the multi-round worst case for star
+    contraction (diameter >> 1) — the star-forest convergence check
+    must not stop early on it."""
+    import distributedvectordatabase_spark.operators.components as C
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = C.connected_components(edges)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert {r.component for r in rows} == {0}
