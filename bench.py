@@ -80,6 +80,7 @@ EXTRA = [
     "events_value_histogram",
     "customer_set_ops",
     "doc_packs",
+    "mix_weighted_sources",
 ]
 
 

@@ -592,6 +592,99 @@ def _run_doc_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture for the mix_weighted_sources gate: upsample src0 2.5 epochs,
+# sample src1 down to 25%, drop src2, keep the other 17 sources at 1.0.
+# Exercises every rate regime (integer replication, fractional Bernoulli
+# epoch, pure downsample, drop, default).
+MIX_RATES: dict[str, float] = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+MIX_DEFAULT_RATE = 1.0
+MIX_SALT = "mix"
+
+
+def _q_mix_weighted(d: str) -> str:
+    """Oracle twin of operators/mixing.mix_corpus + mixture_report:
+    deterministic per-source epoch expansion via the shared md5 grid
+    hash, audited per source (input/output size, epochs, token mass,
+    achieved rate). Sources dropped by rate 0 still report a row."""
+    import math
+
+    def grid(r: float) -> float:
+        return round(r * 1_000_000) / 1_000_000
+
+    full_arms = " ".join(
+        f"WHEN '{s}' THEN {math.floor(grid(r))}" for s, r in MIX_RATES.items()
+    )
+    frac_arms = " ".join(
+        f"WHEN '{s}' THEN cast({grid(r) - math.floor(grid(r))!r} as double)"
+        for s, r in MIX_RATES.items()
+    )
+    d_full = math.floor(grid(MIX_DEFAULT_RATE))
+    d_frac = grid(MIX_DEFAULT_RATE) - d_full
+    n_epoch_rows = max(
+        math.ceil(grid(r)) for r in [*MIX_RATES.values(), MIX_DEFAULT_RATE]
+    )
+    epoch_values = ", ".join(f"({e})" for e in range(n_epoch_rows))
+    u = (
+        "("
+        + T.hash64(
+            "concat(cast(doc_id as string), ':', cast(epoch as string), "
+            f"':', '{MIX_SALT}')",
+            d,
+        )
+        + " % 1000000) / cast(1000000 as double)"
+    )
+    toks = T.tokens("text", d)
+    return f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE source {full_arms} ELSE {d_full} END AS n_full,
+             CASE source {frac_arms} ELSE cast({d_frac!r} as double) END AS frac,
+             {_asize(d)}({toks}) AS n_toks
+      FROM documents
+    ),
+    mixed AS (
+      SELECT r.source, r.doc_id, e.epoch, r.n_toks
+      FROM rated r CROSS JOIN (VALUES {epoch_values}) AS e(epoch)
+      WHERE e.epoch < r.n_full + (CASE WHEN r.frac > 0 THEN 1 ELSE 0 END)
+        AND (e.epoch < r.n_full OR {u} < r.frac)
+    ),
+    agg AS (
+      SELECT source, count(*) AS docs_out, max(epoch) + 1 AS epochs_used,
+             cast(sum(n_toks) as bigint) AS weight_out
+      FROM mixed GROUP BY source
+    ),
+    inp AS (
+      SELECT source, count(doc_id) AS docs_in FROM documents GROUP BY source
+    )
+    SELECT inp.source,
+           docs_in,
+           coalesce(docs_out, cast(0 as bigint)) AS docs_out,
+           coalesce(epochs_used, 0) AS epochs_used,
+           coalesce(weight_out, cast(0 as bigint)) AS weight_out,
+           {_qz('cast(coalesce(docs_out, 0) as double) / docs_in')} AS rate_achieved
+    FROM inp LEFT JOIN agg ON inp.source = agg.source
+    """
+
+
+def _run_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates operators/mixing (deterministic weighted source mixing)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.mixing import (
+        mix_corpus,
+        mixture_report,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    mixed = mix_corpus(
+        docs, MIX_RATES, default_rate=MIX_DEFAULT_RATE, salt=MIX_SALT
+    ).withColumn("n_toks", F.expr(f"{_asize(SPARK)}({T.tokens('text', SPARK)})"))
+    return mixture_report(docs, mixed, weight_col="n_toks").select(
+        "source", "docs_in", "docs_out", "epochs_used", "weight_out", "rate_achieved"
+    )
+
+
 def _run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ranked retrieval (BM25 top-k) — the text-side twin of
     vector kNN and the second leg of hybrid search. Gates
@@ -2406,5 +2499,8 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("events_value_histogram", _q_events_value_histogram),
         _sql_query("customer_set_ops", _q_customer_set_ops),
         Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
+        # r4 tail: deterministic weighted source mixing (the missing
+        # training-pipeline piece — epoch-expanded mixture sampling).
+        Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
     ]
     return {q.name: q for q in qs}
