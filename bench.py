@@ -81,6 +81,7 @@ EXTRA = [
     "customer_set_ops",
     "doc_packs",
     "mix_weighted_sources",
+    "strat_sample_quota",
 ]
 
 

@@ -685,6 +685,46 @@ def _run_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_K = 5
+STRAT_SALT = "strat"
+
+
+def _q_strat_sample(d: str) -> str:
+    """Oracle twin of operators/mixing.stratified_sample: exact
+    per-source quota of STRAT_K docs, ranked by the (id, salt) grid
+    hash with id tie-break — the full-window form, which the Spark
+    side's survivor-prefilter path must equal exactly."""
+    u = (
+        "("
+        + T.hash64(f"concat(cast(doc_id as string), ':', '{STRAT_SALT}')", d)
+        + " % 1000000) / cast(1000000 as double)"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, lang, n_chars, {u} AS u FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+               AS sample_rank
+      FROM h
+    )
+    SELECT doc_id, source, lang, n_chars, sample_rank
+    FROM r WHERE sample_rank <= {STRAT_K}
+    """
+
+
+def _run_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates operators/mixing.stratified_sample (prefilter scale path)."""
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(docs, STRAT_K, salt=STRAT_SALT).select(
+        "doc_id", "source", "lang", "n_chars", "sample_rank"
+    )
+
+
 def _run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ranked retrieval (BM25 top-k) — the text-side twin of
     vector kNN and the second leg of hybrid search. Gates
@@ -2502,5 +2542,6 @@ def build_catalog() -> dict[str, Query]:
         # r4 tail: deterministic weighted source mixing (the missing
         # training-pipeline piece — epoch-expanded mixture sampling).
         Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
+        Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
     ]
     return {q.name: q for q in qs}

@@ -3,7 +3,11 @@
 # sources.ivf_store.IVFStore (build once, partition-pruned probes).
 from distributedvectordatabase_spark.operators.asof import asof_join
 from distributedvectordatabase_spark.operators.chunking import chunk_documents, pack_documents
-from distributedvectordatabase_spark.operators.mixing import mix_corpus, mixture_report
+from distributedvectordatabase_spark.operators.mixing import (
+    mix_corpus,
+    mixture_report,
+    stratified_sample,
+)
 from distributedvectordatabase_spark.operators.components import connected_components
 from distributedvectordatabase_spark.operators.dedup import (
     brute_cosine_neardup_pairs,
@@ -50,6 +54,7 @@ __all__ = [
     "pack_documents",
     "mix_corpus",
     "mixture_report",
+    "stratified_sample",
     "hybrid_topk",
     "rrf_fuse",
     "filtered_knn",

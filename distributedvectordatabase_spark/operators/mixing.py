@@ -110,6 +110,84 @@ def mix_corpus(
     return out.where(keep)
 
 
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    strata_cols: tuple[str, ...] = ("source",),
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    prefilter: bool | None = None,
+    prefilter_safety: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(k, n_stratum)`` rows per stratum, deterministically.
+
+    Rows rank within each stratum by the (id, salt) grid hash (ties
+    broken by id, so the sample is total-ordered and reproducible
+    across engines, runs, and cluster layouts — ``TABLESAMPLE`` and
+    ``rand(seed)`` are neither). Output adds ``sample_rank`` (1-based
+    within the stratum).
+
+    Scale path (``prefilter=True``, the default when k is small): the
+    naive window form shuffles the *whole table* on the strata key to
+    rank rows that mostly lose. Because the hash is uniform, the k
+    winners of a stratum of n rows almost surely sit below
+    ``safety * k / n`` on the u grid, and the prefilter is a prefix of
+    the u-order — so keeping ``u <= safety * k / n`` (per-stratum n
+    from a cheap count-aggregate, broadcast back) and ranking only the
+    survivors is *provably exact whenever enough survivors exist*,
+    which is verified with one more count: if any stratum comes up
+    short (P ≈ Binomial(n, ck/n) < k — vanishing at safety 4), the
+    operator falls back to the full window for correctness. Shuffled
+    bytes drop from O(table) to O(strata · safety · k).
+    """
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    u = (
+        F.pmod(
+            F.expr(hash64(f"concat(cast({id_col} as string), ':', '{salt}')", SPARK)),
+            F.lit(_U_GRID),
+        )
+        / F.lit(float(_U_GRID))
+    ).alias("_u")
+    w = Window.partitionBy(*strata_cols).orderBy("_u", id_col)
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k)
+            .drop("_u")
+        )
+
+    hashed = df.withColumn("_u", u)
+    if prefilter is False:
+        return ranked(hashed)
+
+    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
+    thresh = F.least(
+        F.lit(1.0), F.lit(prefilter_safety) * F.lit(float(k)) / F.col("_n")
+    )
+    survivors = (
+        hashed.join(F.broadcast(counts), list(strata_cols))
+        .where(F.col("_u") <= thresh)
+        .cache()
+    )
+    short = (
+        survivors.groupBy(*strata_cols)
+        .agg(F.count("*").alias("_m"), F.first("_n").alias("_n"))
+        .where(F.col("_m") < F.least(F.lit(k), F.col("_n")))
+        .limit(1)
+        .count()
+    )
+    if short:
+        # vanishing-probability path, kept for exactness (not silently
+        # approximate): rank the full table instead
+        return ranked(hashed)
+    return ranked(survivors).drop("_n")
+
+
 def mixture_report(
     df: DataFrame,
     mixed: DataFrame,

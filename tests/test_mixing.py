@@ -105,6 +105,51 @@ def test_report_accounts_for_dropped_sources(spark, docs):
     assert rep["src0"]["rate_achieved"] == 2.0
 
 
+def test_stratified_exact_quota(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    out = stratified_sample(docs, 3)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == set(sizes)
+    for s, n in sizes.items():
+        assert per[s] == min(3, n), s
+
+
+def test_stratified_prefilter_equals_full_window(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    fast = stratified_sample(docs, 4).select("doc_id", "source", "sample_rank")
+    full = stratified_sample(docs, 4, prefilter=False).select(
+        "doc_id", "source", "sample_rank"
+    )
+    assert fast.exceptAll(full).count() == 0
+    assert full.exceptAll(fast).count() == 0
+
+
+def test_stratified_quota_exceeding_stratum_returns_all(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    out = stratified_sample(docs, 10_000)
+    assert out.count() == docs.count()
+
+
+def test_stratified_deterministic_across_layout(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    a = stratified_sample(docs, 5).select("doc_id", "sample_rank")
+    b = stratified_sample(docs.repartition(17), 5).select("doc_id", "sample_rank")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_stratified_rejects_bad_k(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_sample(docs, 0)
+
+
 def test_plan_has_no_shuffle(spark, docs):
     """mix_corpus is map-side only: explode + filter, no exchange."""
     plan = mix_corpus(docs, {"src0": 2.5})._jdf.queryExecution().executedPlan().toString()

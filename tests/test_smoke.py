@@ -25,6 +25,7 @@ DOCUMENTED_OVERFLOW = {
     "customer_set_ops",
     "doc_packs",
     "mix_weighted_sources",
+    "strat_sample_quota",
 }
 
 
