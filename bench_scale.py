@@ -248,6 +248,30 @@ def main() -> None:
         bq = tix.bm25(spark, ["w7", "w42", "w4999"], k=10)
         timings["bm25_indexed"] = timed_min(lambda: bq.count())
 
+        # mixture sampling at scale: epoch expansion is map-side only
+        # (should track the scan rate); stratified quota compares the
+        # survivor-prefilter path against the full-window form it must
+        # equal (the win is the shuffle: O(strata·k) vs O(corpus) rows)
+        from distributedvectordatabase_spark.operators.mixing import (
+            mix_corpus,
+            stratified_sample,
+        )
+
+        sdocs = docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+        )
+        timings["mix_corpus_2p5x"] = timed_min(
+            lambda: mix_corpus(sdocs, {"src0": 2.5, "src1": 0.25}).count()
+        )
+        # construction inside the lambda: the prefilter's sufficiency
+        # count is part of the path's real cost
+        timings["strat_sample_prefilter"] = timed_min(
+            lambda: stratified_sample(sdocs, 100).count()
+        )
+        timings["strat_sample_full_window"] = timed_min(
+            lambda: stratified_sample(sdocs, 100, prefilter=False).count()
+        )
+
     print(
         json.dumps(
             {

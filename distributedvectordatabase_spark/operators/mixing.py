@@ -128,18 +128,30 @@ def stratified_sample(
     ``rand(seed)`` are neither). Output adds ``sample_rank`` (1-based
     within the stratum).
 
-    Scale path (``prefilter=True``, the default when k is small): the
-    naive window form shuffles the *whole table* on the strata key to
-    rank rows that mostly lose. Because the hash is uniform, the k
-    winners of a stratum of n rows almost surely sit below
-    ``safety * k / n`` on the u grid, and the prefilter is a prefix of
-    the u-order — so keeping ``u <= safety * k / n`` (per-stratum n
-    from a cheap count-aggregate, broadcast back) and ranking only the
-    survivors is *provably exact whenever enough survivors exist*,
-    which is verified with one more count: if any stratum comes up
-    short (P ≈ Binomial(n, ck/n) < k — vanishing at safety 4), the
-    operator falls back to the full window for correctness. Shuffled
-    bytes drop from O(table) to O(strata · safety · k).
+    ``id_col`` must uniquely identify rows (it is both the rank
+    tie-break and the joinback key).
+
+    Scale shape: the ranking decision needs only (strata, id) — so the
+    window runs on that *narrow* projection (Parquet column-pruning
+    skips the payload columns entirely) and the winners join back to
+    the full table, which is scanned once with no shuffle (the winner
+    side is O(strata · k) rows — AQE broadcasts it). Never shuffles a
+    payload byte; at 1M × ~500 B local docs that's timing-neutral
+    (the avoided shuffle was already page-cache cheap, BASELINE.md)
+    but it is the form that survives multi-KB documents and real
+    network shuffle.
+
+    On top of that, ``prefilter`` (the default) shrinks the *ranked*
+    row count too: because the hash is uniform, the k winners of a
+    stratum of n rows almost surely sit below ``safety * k / n`` on
+    the u grid, and that predicate keeps a prefix of the u-order — so
+    ranking only rows with ``u <= safety * k / n`` (per-stratum n from
+    a cheap count-aggregate, broadcast back) is *provably exact
+    whenever enough survivors exist*, which one more count verifies;
+    any shortfall (P ≈ Binomial(n, ck/n) < k — vanishing at safety 4)
+    falls back to the full narrow window for correctness. Rank-shuffle
+    rows drop from O(table) to O(strata · safety · k) — decisive when
+    the narrow projection alone is still terabytes.
     """
     if k <= 0:
         raise ValueError("k must be >= 1")
@@ -153,39 +165,39 @@ def stratified_sample(
         / F.lit(float(_U_GRID))
     ).alias("_u")
     w = Window.partitionBy(*strata_cols).orderBy("_u", id_col)
+    narrow = df.select(*strata_cols, id_col).withColumn("_u", u)
 
-    def ranked(frame: DataFrame) -> DataFrame:
+    def winners_of(pool: DataFrame) -> DataFrame:
         return (
-            frame.withColumn("sample_rank", F.row_number().over(w))
+            pool.withColumn("sample_rank", F.row_number().over(w))
             .where(F.col("sample_rank") <= k)
-            .drop("_u")
+            .select(id_col, "sample_rank")
         )
 
-    hashed = df.withColumn("_u", u)
-    if prefilter is False:
-        return ranked(hashed)
+    pool = narrow
+    if prefilter is not False:
+        counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
+        thresh = F.least(
+            F.lit(1.0), F.lit(prefilter_safety) * F.lit(float(k)) / F.col("_n")
+        )
+        survivors = (
+            narrow.join(F.broadcast(counts), list(strata_cols))
+            .where(F.col("_u") <= thresh)
+            .cache()
+        )
+        short = (
+            survivors.groupBy(*strata_cols)
+            .agg(F.count("*").alias("_m"), F.first("_n").alias("_n"))
+            .where(F.col("_m") < F.least(F.lit(k), F.col("_n")))
+            .limit(1)
+            .count()
+        )
+        # shortfall is the vanishing-probability path, kept for
+        # exactness (not silently approximate): rank the full narrow
+        # projection instead
+        pool = narrow if short else survivors.drop("_n")
 
-    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
-    thresh = F.least(
-        F.lit(1.0), F.lit(prefilter_safety) * F.lit(float(k)) / F.col("_n")
-    )
-    survivors = (
-        hashed.join(F.broadcast(counts), list(strata_cols))
-        .where(F.col("_u") <= thresh)
-        .cache()
-    )
-    short = (
-        survivors.groupBy(*strata_cols)
-        .agg(F.count("*").alias("_m"), F.first("_n").alias("_n"))
-        .where(F.col("_m") < F.least(F.lit(k), F.col("_n")))
-        .limit(1)
-        .count()
-    )
-    if short:
-        # vanishing-probability path, kept for exactness (not silently
-        # approximate): rank the full table instead
-        return ranked(hashed)
-    return ranked(survivors).drop("_n")
+    return df.join(winners_of(pool), id_col)
 
 
 def mixture_report(
