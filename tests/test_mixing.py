@@ -143,6 +143,22 @@ def test_stratified_deterministic_across_layout(spark, docs):
     assert b.exceptAll(a).count() == 0
 
 
+def test_stratified_shortfall_falls_back_to_exact(spark, docs):
+    """A starved prefilter (safety « 1 keeps ~k/10 rows per stratum)
+    must detect the shortfall and fall back to the full window — the
+    result stays exact, never silently approximate."""
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    starved = stratified_sample(docs, 10, prefilter_safety=0.1).select(
+        "doc_id", "source", "sample_rank"
+    )
+    full = stratified_sample(docs, 10, prefilter=False).select(
+        "doc_id", "source", "sample_rank"
+    )
+    assert starved.exceptAll(full).count() == 0
+    assert full.exceptAll(starved).count() == 0
+
+
 def test_stratified_rejects_bad_k(spark, docs):
     from distributedvectordatabase_spark.operators.mixing import stratified_sample
 
