@@ -1,5 +1,6 @@
 # Process gates (VERDICT r2: run before every snapshot/commit).
-# smoke: seconds — catalog builds, ≤50 entries, oracles PREPARE, entry() runs
+# smoke: seconds — catalog builds (50-gate window + documented overflow),
+#        oracles PREPARE, entry() runs
 # check: the full driver-gate simulation (every query vs DuckDB at sf0.01)
 # bench: the BENCH contract at $SPARK_GRAFT_SF_DIR (default sf0.1) — run on
 #        an idle machine; concurrent Spark work inflates timings ~2.7x
