@@ -1,3 +1,9 @@
+from distributedvectordatabase_spark.sources.export import (
+    export_shards,
+    read_manifest,
+    read_shards,
+    verify_export,
+)
 from distributedvectordatabase_spark.sources.ivf_store import IVFStore
 from distributedvectordatabase_spark.sources.jsonwire import (
     read_insert_payloads,
@@ -19,4 +25,8 @@ __all__ = [
     "VectorStore",
     "IVFStore",
     "TextIndex",
+    "export_shards",
+    "read_manifest",
+    "read_shards",
+    "verify_export",
 ]

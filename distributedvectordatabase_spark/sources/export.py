@@ -1,0 +1,135 @@
+"""Sharded training-data export sink with a verifiable manifest.
+
+The end of the north-star pipeline (SURVEY §2.5): after curation,
+chunking, packing and mixing, the corpus leaves the engine as a set
+of *training shards* a data loader streams sequentially. The sink's
+contracts are the ones that matter at 100 TB:
+
+- **Deterministic placement**: ``shard = md5-hash(id) mod n_shards``
+  — a document lands in the same shard on any cluster layout, any
+  run, any engine (same grid hash as the mixing/sampling family), so
+  re-exports are diffable and a resumed export is consistent.
+- **Deterministic within-shard order**: rows are sorted by a content-
+  free hash of the id inside each shard (a reproducible interleave —
+  sorted-by-id order would replay curation order, which is usually
+  source-clustered; the hash order is a deterministic shuffle).
+- **One writer task per shard**: the exchange hash-partitions on the
+  shard column, so every shard directory is written by exactly one
+  task as one file run — no cross-task interleaving to make order
+  ambiguous.
+- **Manifest**: per-shard row counts (plus optional summed weight,
+  e.g. token counts) written next to the data; ``verify_export``
+  re-aggregates the data and compares, so a truncated or partial
+  write is detectable before a training run consumes it.
+
+The payload format is Parquet (columnar, splittable, schema-carrying)
+— the idiomatic Spark sink; a JSONL re-serialization is a trivial
+per-shard map a loader can do on the fly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.functions.text import SPARK, hash64
+
+MANIFEST_DIR = "_manifest"
+DATA_DIR = "data"
+
+
+def _shard_col(id_col: str, n_shards: int):
+    h = hash64(f"cast({id_col} as string)", SPARK)
+    return F.pmod(F.expr(h), F.lit(n_shards)).cast("int")
+
+
+def _order_col(id_col: str):
+    return F.expr(hash64(f"concat(cast({id_col} as string), ':order')", SPARK))
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` deterministic Parquet shards plus a
+    manifest; returns the manifest DataFrame (shard, n_rows[, weight]).
+
+    ``id_col`` must uniquely identify rows (it is the placement and
+    order key). The write is all-or-nothing per directory (Spark's
+    job-commit protocol); the manifest is written after the data, so
+    a manifest's presence implies the data committed.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be >= 1")
+    sharded = df.withColumn("shard", _shard_col(id_col, n_shards)).withColumn(
+        "_ord", _order_col(id_col)
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord", id_col)
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(path, DATA_DIR))
+    )
+    spark = df.sparkSession
+    manifest = _aggregate_manifest(
+        spark.read.parquet(os.path.join(path, DATA_DIR)), weight_col
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, MANIFEST_DIR)
+    )
+    return read_manifest(spark, path)
+
+
+def _aggregate_manifest(data: DataFrame, weight_col: str | None) -> DataFrame:
+    aggs = [F.count("*").alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("long").alias("weight"))
+    out = data.groupBy("shard").agg(*aggs)
+    if weight_col is not None:
+        # record WHICH column the weight summed, so verify_export can
+        # re-aggregate without out-of-band knowledge
+        out = out.withColumn("weight_src", F.lit(weight_col))
+    return out
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+
+
+def read_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read the export back; ``shards`` partition-prunes to a subset
+    (a loader resuming mid-run reads only what it still needs)."""
+    data = spark.read.parquet(os.path.join(path, DATA_DIR))
+    if shards is not None:
+        data = data.where(F.col("shard").isin([int(s) for s in shards]))
+    return data
+
+
+def verify_export(spark: SparkSession, path: str) -> None:
+    """Re-aggregate the data and compare against the manifest; raises
+    ``ValueError`` on any divergence (missing shard, row-count or
+    weight mismatch — a truncated write a loader must not consume)."""
+    manifest = read_manifest(spark, path)
+    weight_src = None
+    if "weight_src" in manifest.columns:
+        weight_src = manifest.select("weight_src").first()[0]
+    data = spark.read.parquet(os.path.join(path, DATA_DIR))
+    if weight_src is not None and weight_src not in data.columns:
+        raise ValueError(
+            f"manifest records weight column {weight_src!r} not present in the data"
+        )
+    got = _aggregate_manifest(data, weight_src)
+    diff = got.exceptAll(manifest).unionAll(manifest.exceptAll(got))
+    bad = diff.limit(1).collect()
+    if bad:
+        raise ValueError(f"export does not match its manifest, e.g. {bad[0]}")

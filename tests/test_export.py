@@ -1,0 +1,93 @@
+"""sources/export: sharded training-export sink contracts —
+deterministic placement and order, manifest verification, pruned
+resume reads."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.sources.export import (
+    export_shards,
+    read_manifest,
+    read_shards,
+    verify_export,
+)
+from distributedvectordatabase_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    yield str(tmp_path / "export")
+
+
+def test_round_trip_preserves_rows(spark, docs, out_dir):
+    export_shards(docs, out_dir, n_shards=N_SHARDS)
+    back = read_shards(spark, out_dir).drop("shard")
+    assert back.count() == docs.count()
+    assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+
+
+def test_placement_and_order_are_layout_independent(spark, docs, out_dir):
+    a_dir, b_dir = out_dir + "_a", out_dir + "_b"
+    export_shards(docs, a_dir, n_shards=N_SHARDS)
+    export_shards(docs.repartition(11), b_dir, n_shards=N_SHARDS)
+
+    def shard_sequences(path):
+        seqs = {}
+        for d in sorted(glob.glob(os.path.join(path, "data", "shard=*"))):
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            assert len(files) == 1, f"expected one file per shard, got {files}"
+            seqs[os.path.basename(d)] = pq.read_table(files[0])["doc_id"].to_pylist()
+        return seqs
+
+    a, b = shard_sequences(a_dir), shard_sequences(b_dir)
+    assert set(a) == set(b) and len(a) == N_SHARDS
+    for shard, seq in a.items():
+        assert seq == b[shard], f"{shard} order differs across layouts"
+    shutil.rmtree(a_dir, ignore_errors=True)
+    shutil.rmtree(b_dir, ignore_errors=True)
+
+
+def test_manifest_counts_and_weight(spark, docs, out_dir):
+    man = export_shards(docs, out_dir, n_shards=N_SHARDS, weight_col="n_chars")
+    rows = {r["shard"]: r for r in man.collect()}
+    assert len(rows) == N_SHARDS
+    assert sum(r["n_rows"] for r in rows.values()) == docs.count()
+    total_w = docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(r["weight"] for r in rows.values()) == total_w
+    verify_export(spark, out_dir)
+
+
+def test_verify_detects_missing_shard(spark, docs, out_dir):
+    export_shards(docs, out_dir, n_shards=N_SHARDS, weight_col="n_chars")
+    victim = sorted(glob.glob(os.path.join(out_dir, "data", "shard=*")))[0]
+    shutil.rmtree(victim)
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        verify_export(spark, out_dir)
+
+
+def test_read_shards_partition_prunes(spark, docs, out_dir):
+    export_shards(docs, out_dir, n_shards=N_SHARDS)
+    sub = read_shards(spark, out_dir, shards=[1, 2])
+    assert set(r["shard"] for r in sub.select("shard").distinct().collect()) == {1, 2}
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "shard" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_bad_n_shards_rejected(spark, docs, out_dir):
+    with pytest.raises(ValueError, match="n_shards"):
+        export_shards(docs, out_dir, n_shards=0)
