@@ -174,7 +174,7 @@ def stratified_sample(
             .select(id_col, "sample_rank")
         )
 
-    pool = narrow
+    pool, cached = narrow, None
     if prefilter is not False:
         counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
         thresh = F.least(
@@ -185,19 +185,38 @@ def stratified_sample(
             .where(F.col("_u") <= thresh)
             .cache()
         )
+        # Shortfall check LEFT-joins the full per-stratum counts against
+        # the survivor counts: a stratum whose rows ALL landed above the
+        # threshold has no survivor group at all (P ≈ e^(-safety·k) per
+        # stratum), and grouping survivors alone would silently drop it.
+        surv_counts = survivors.groupBy(*strata_cols).agg(
+            F.count("*").alias("_m")
+        )
         short = (
-            survivors.groupBy(*strata_cols)
-            .agg(F.count("*").alias("_m"), F.first("_n").alias("_n"))
-            .where(F.col("_m") < F.least(F.lit(k), F.col("_n")))
+            counts.join(surv_counts, list(strata_cols), "left")
+            .where(
+                F.coalesce(F.col("_m"), F.lit(0))
+                < F.least(F.lit(k), F.col("_n"))
+            )
             .limit(1)
             .count()
         )
         # shortfall is the vanishing-probability path, kept for
         # exactness (not silently approximate): rank the full narrow
         # projection instead
-        pool = narrow if short else survivors.drop("_n")
+        if short:
+            survivors.unpersist()
+        else:
+            pool, cached = survivors.drop("_n"), survivors
 
-    return df.join(winners_of(pool), id_col)
+    winners = winners_of(pool)
+    if cached is not None:
+        # Materialize the O(strata·k) winner set eagerly so the cached
+        # survivor projection can be released now instead of leaking in
+        # executor storage for the session's lifetime.
+        winners = winners.localCheckpoint(eager=True)
+        cached.unpersist()
+    return df.join(winners, id_col)
 
 
 def mixture_report(

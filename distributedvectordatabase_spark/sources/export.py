@@ -67,6 +67,14 @@ def export_shards(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be >= 1")
+    clash = {"shard", "_ord"} & set(df.columns)
+    if clash:
+        # withColumn would silently OVERWRITE these, corrupting the
+        # exported payload and its placement — refuse instead.
+        raise ValueError(
+            f"df already has reserved export column(s) {sorted(clash)}; "
+            "rename them before export_shards"
+        )
     sharded = df.withColumn("shard", _shard_col(id_col, n_shards)).withColumn(
         "_ord", _order_col(id_col)
     )

@@ -101,6 +101,7 @@ class TextIndex:
         build over the union (pinned by tests). Caller owns doc-id
         uniqueness (same contract as VectorStore.append)."""
         st = self.stats()
+        n_buckets = self._persisted_buckets(st)
         toks = F.expr(T.tokens(text_col, T.SPARK))
         base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         n_new, len_new = base.agg(F.count("*"), F.sum(F.size("toks"))).first()
@@ -112,7 +113,7 @@ class TextIndex:
             .agg(F.count("*").alias("tf"))
             .withColumn(
                 "term_bucket",
-                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
             )
         )
         (
@@ -129,6 +130,16 @@ class TextIndex:
     def stats(self) -> dict:
         with open(self._stats_path) as f:
             return json.load(f)
+
+    def _persisted_buckets(self, st: dict) -> int:
+        """The bucket count the index was BUILT with is the only one
+        that maps terms to the right partitions; a TextIndex reopened
+        with a different constructor value (e.g. the default 32) must
+        not silently prune the wrong partitions and drop postings.
+        Adopts the persisted value and keeps self in sync."""
+        persisted = int(st.get("n_buckets", self.n_buckets))
+        self.n_buckets = persisted
+        return persisted
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._postings_path)
@@ -151,6 +162,7 @@ class TextIndex:
         terms = sorted(set(terms))
         k = max(int(k), 1)
         st = self.stats()
+        n_buckets = self._persisted_buckets(st)
 
         # literal bucket list -> Parquet partition pruning at the scan
         buckets = sorted(
@@ -160,7 +172,7 @@ class TextIndex:
                     [(t,) for t in terms], "term string"
                 )
                 .select(
-                    F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                     .cast("int")
                     .alias("b")
                 )

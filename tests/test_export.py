@@ -91,3 +91,13 @@ def test_read_shards_partition_prunes(spark, docs, out_dir):
 def test_bad_n_shards_rejected(spark, docs, out_dir):
     with pytest.raises(ValueError, match="n_shards"):
         export_shards(docs, out_dir, n_shards=0)
+
+
+def test_reserved_column_collision_rejected(spark, docs, out_dir):
+    """Regression: a pre-existing 'shard' or '_ord' column would be
+    silently overwritten (corrupting payload + placement); the sink
+    must refuse instead."""
+    with pytest.raises(ValueError, match="reserved export column"):
+        export_shards(docs.withColumn("shard", F.lit(0)), out_dir, n_shards=2)
+    with pytest.raises(ValueError, match="reserved export column"):
+        export_shards(docs.withColumn("_ord", F.lit(0)), out_dir, n_shards=2)

@@ -159,6 +159,30 @@ def test_stratified_shortfall_falls_back_to_exact(spark, docs):
     assert full.exceptAll(starved).count() == 0
 
 
+def test_stratified_fully_starved_stratum_not_dropped(spark, docs):
+    """Regression: a stratum whose rows ALL hash above the prefilter
+    threshold produces no survivor group at all; the shortfall check
+    must see it as _m = 0 (left join against the full counts), not
+    skip it and silently drop the stratum from the sample.
+
+    k=1 at safety 0.5 gives thresh = 0.005 on ~100-row strata, so
+    P(stratum fully starved) ≈ 0.6 — with 5 sources some strata are
+    empty and some are not, which is exactly the shape the original
+    survivors-only group-by missed."""
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    out = stratified_sample(docs, 1, prefilter_safety=0.5).select(
+        "doc_id", "source", "sample_rank"
+    )
+    full = stratified_sample(docs, 1, prefilter=False).select(
+        "doc_id", "source", "sample_rank"
+    )
+    n_sources = docs.select("source").distinct().count()
+    assert out.select("source").distinct().count() == n_sources
+    assert out.exceptAll(full).count() == 0
+    assert full.exceptAll(out).count() == 0
+
+
 def test_stratified_rejects_bad_k(spark, docs):
     from distributedvectordatabase_spark.operators.mixing import stratified_sample
 

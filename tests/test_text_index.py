@@ -66,6 +66,43 @@ def test_index_single_term_reads_one_bucket(spark, index):
     assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
 
 
+def test_reopen_with_wrong_buckets_uses_persisted(spark, index):
+    """Regression: an index built with 16 buckets but reopened with the
+    default constructor value must still prune the RIGHT partitions —
+    the persisted n_buckets is authoritative, or postings silently
+    vanish from query results."""
+    reopened = TextIndex(index.path)  # default n_buckets=32 != 16
+    want = [
+        (r.doc_id, r.score, r.rnk)
+        for r in index.bm25(spark, TERMS, k=10).collect()
+    ]
+    got = [
+        (r.doc_id, r.score, r.rnk)
+        for r in reopened.bm25(spark, TERMS, k=10).collect()
+    ]
+    assert got == want
+    assert reopened.n_buckets == 16  # synced to the persisted value
+
+
+def test_append_after_reopen_lands_in_right_buckets(spark, tmp_path):
+    """append on a reopened index (wrong constructor buckets) must hash
+    terms with the persisted bucket count, or appended postings land
+    in partitions queries never read."""
+    docs = load_table(spark, "documents", SF_SMALL)
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    ix = TextIndex(str(tmp_path / "reopen"), n_buckets=8)
+    ix.build(lo)
+    TextIndex(str(tmp_path / "reopen")).append(hi)  # default 32 != 8
+
+    full = TextIndex(str(tmp_path / "full8"), n_buckets=8)
+    full.build(docs)
+    a = [(r.doc_id, r.score, r.rnk) for r in TextIndex(str(tmp_path / "reopen")).bm25(spark, TERMS, k=10).collect()]
+    b = [(r.doc_id, r.score, r.rnk) for r in full.bm25(spark, TERMS, k=10).collect()]
+    assert a == b
+
+
 def test_append_equals_fresh_build(spark, tmp_path):
     """build(half) + append(half) must answer queries identically to
     build(all) — df derives from postings, stats accumulate."""
