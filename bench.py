@@ -73,6 +73,7 @@ HEADLINE = [
 # catalog resolve through EXTRA_RUNNERS.
 EXTRA = [
     "dedup_minhash",
+    "dedup_minhash_capped",
     "ann_ivf_topk",
     "events_approx_distinct",
     # ceded gate slots in r4 (catalog.py); still exact-checked in
@@ -108,31 +109,55 @@ def main() -> None:
     catalog["lsh_buckets"].run(spark, sf_dir).count()
     spark.range(int(cpus)).mapInPandas(lambda it: it, schema="id long").count()
 
-    # min-of-N per query: the VM shows CPU-steal noise (BASELINE.md), so a
-    # single shot conflates scheduler jitter with the plan's real cost.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # min-of-N per query (headline convention since r5; BASELINE.md):
+    # the VM shows multiplicative CPU-steal noise with 34-60 s spreads
+    # on identical plans, so the MINIMUM is the honest steady-state
+    # estimate; the MEDIAN is emitted alongside so round-over-round
+    # deltas separate plan changes from scheduler weather without
+    # prose caveats.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     from distributedvectordatabase_spark.catalog import (
         _run_ann_ivf,
         _run_events_approx_distinct,
     )
 
+    def _run_dedup_minhash_capped(spark, sf_dir):
+        # the saturated-vocab worst case with the per-band-key cap
+        # (operators/dedup.minhash_band_pairs) bounding the pair
+        # output — measured next to the uncapped form above it
+        from distributedvectordatabase_spark.operators.dedup import (
+            minhash_neardup_pairs,
+        )
+        from distributedvectordatabase_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", sf_dir)
+        return minhash_neardup_pairs(
+            docs, threshold=0.9, bands=2, rows=6, max_band_freq=500
+        )
+
     extra_runners = {
         "ann_ivf_topk": _run_ann_ivf,
         "events_approx_distinct": _run_events_approx_distinct,
+        "dedup_minhash_capped": _run_dedup_minhash_capped,
     }
 
-    def time_query(name: str) -> float:
+    def time_query(name: str) -> tuple[float, float]:
         run = catalog[name].run if name in catalog else extra_runners[name]
-        best = float("inf")
+        times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             run(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return round(times[0], 4), round(times[len(times) // 2], 4)
 
-    timings = {name: time_query(name) for name in HEADLINE}
-    extra = {name: time_query(name) for name in EXTRA}
+    timed = {name: time_query(name) for name in HEADLINE}
+    timed_extra = {name: time_query(name) for name in EXTRA}
+    timings = {name: t[0] for name, t in timed.items()}
+    medians = {name: t[1] for name, t in timed.items()}
+    extra = {name: t[0] for name, t in timed_extra.items()}
+    extra_medians = {name: t[1] for name, t in timed_extra.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -142,7 +167,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median": medians,
+                "value_median": round(sum(medians.values()), 4),
                 "extra": extra,
+                "extra_median": extra_medians,
                 "sf": sf,
             }
         )

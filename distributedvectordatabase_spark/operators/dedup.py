@@ -84,15 +84,52 @@ def _band_explode(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def minhash_band_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+def minhash_hot_band_keys(
+    sig_df: DataFrame, bands: int, rows: int, max_band_freq: int
+) -> DataFrame:
+    """(band, band_key, freq) for band keys shared by MORE than
+    ``max_band_freq`` documents — the audit surface for the banding
+    cap below. On a healthy corpus this is empty or tiny (a band key
+    is 3 chained min-hashes; mass collisions mean the key carries no
+    discriminative signal, the saturated-unigram worst case)."""
+    return (
+        _band_explode(sig_df, bands, rows)
+        .groupBy("band", "band_key")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") > int(max_band_freq))
+    )
+
+
+def minhash_band_pairs(
+    sig_df: DataFrame, bands: int, rows: int, max_band_freq: int | None = None
+) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
     The exploded bands are self-equi-joined on (band, band_key) —
     Catalyst plans a shuffle hash join on the band key, which is the
     scalable path: work is proportional to matching pairs per bucket,
     not to n².
+
+    ``max_band_freq`` bounds the worst case: a band key shared by f
+    documents emits f·(f-1)/2 candidate pairs, so ONE saturated key
+    (low-vocab corpora: median pairwise Jaccard 0.63 on the driver
+    testdata's unigram sets) sends the pair OUTPUT near-quadratic —
+    AQE skew handling can rebalance the shuffle but not shrink the
+    output. Keys above the cap are excluded from candidate generation
+    (a mass-collision key carries no discriminative signal; a true
+    near-dup pair is still found via any of its other bands — recall
+    vs the uncapped form is measured and pinned in tests/test_lsh.py).
+    The hot-key set is tiny by construction (≤ n·bands/cap keys), so
+    it broadcasts as an anti-join and the exploded bands are never
+    re-shuffled. Use :func:`minhash_hot_band_keys` to audit what a
+    given cap drops.
     """
     exploded = _band_explode(sig_df, bands, rows)
+    if max_band_freq is not None:
+        hot = minhash_hot_band_keys(sig_df, bands, rows, max_band_freq).select(
+            "band", "band_key"
+        )
+        exploded = exploded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -118,15 +155,21 @@ def minhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
     Columns: (doc_a, doc_b, jaccard) with jaccard rounded to 1e-6,
     filtered to >= threshold. Mirrors catalog._q_dedup_minhash exactly
-    (catalog._q_dedup_minhash_shingle with ``shingle_n``)."""
+    (catalog._q_dedup_minhash_shingle with ``shingle_n``).
+
+    ``max_band_freq`` excludes mass-collision band keys from candidate
+    generation (see :func:`minhash_band_pairs`) — the bound on the
+    saturated-vocab worst case; leave ``None`` for the exact-LSH
+    semantics the catalog oracle reproduces."""
     toks = tokenized(docs, text_col, id_col, shingle_n=shingle_n).cache()
     sigs = minhash_signatures(toks, bands * rows).cache()
-    cand = minhash_band_pairs(sigs, bands, rows)
+    cand = minhash_band_pairs(sigs, bands, rows, max_band_freq=max_band_freq)
     ta = toks.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"),
         F.size("toks").alias("sz_a"),

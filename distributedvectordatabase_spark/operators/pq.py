@@ -138,6 +138,8 @@ def pq_train(
     seed: int = 42,
     iters: int = 20,
     id_col: str = "vec_id",
+    cell_centroids: np.ndarray | None = None,
+    cell_col: str = "cell_id",
 ) -> PQCodebook:
     """Train PQ codebooks on a deterministic bounded sample of ``df``.
 
@@ -151,14 +153,23 @@ def pq_train(
     sort, so the merge cost is O(s) regardless of corpus size (1.5 s
     on the same corpus). Raises if the vector dimension is not
     divisible by ``m``.
+
+    With ``cell_centroids`` (an (n_cells, dim) array; ``cell_col``
+    must hold each row's cell id), the codebooks are trained on the
+    RESIDUALS ``x - centroid[cell]`` — the standard IVFPQ formulation
+    (Jégou et al. §IV-A / FAISS IndexIVFPQ): residuals concentrate
+    around 0 with far smaller per-cell spread than raw vectors, so the
+    same code budget quantizes a smaller domain and ADC recall rises.
     """
     ksub = 2 ** int(nbits)
     s = int(sample)
     md5 = F.md5(F.col(id_col).cast("string"))
+    extra = [F.col(cell_col)] if cell_centroids is not None else []
     cand = df.select(
         F.col(vec_col),
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("_h"),
         md5.alias("_md5"),
+        *extra,
     )
     n = df.count()
     if n > 1.5 * s:
@@ -170,8 +181,13 @@ def pq_train(
     # order by the full digest: the 32-bit prefix alone collides at
     # birthday rates over a 64k sample, which would leave the order
     # partition-dependent within tied prefixes
-    rows = cand.orderBy("_md5").limit(s).select(vec_col).collect()
+    sel = [vec_col] + ([cell_col] if cell_centroids is not None else [])
+    rows = cand.orderBy("_md5").limit(s).select(*sel).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if cell_centroids is not None:
+        MU = np.asarray(cell_centroids, dtype=np.float64)
+        cells = np.array([int(r[1]) for r in rows])
+        X = X - MU[cells]
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -189,27 +205,42 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple = (),
+    cell_centroids: np.ndarray | None = None,
+    cell_col: str = "cell_id",
 ) -> DataFrame:
     """Encode vectors to (id, codes[, keep_cols...]) — codes is an
     array<int> of length m with values in [0, 2^nbits). One scan, no
     shuffle: per Arrow batch, an argmin against the broadcast codebooks
     per subspace. ``keep_cols`` (e.g. an IVF ``cell_id``) ride along so
-    a partitioned compressed table needs no joinback."""
+    a partitioned compressed table needs no joinback.
+
+    With ``cell_centroids`` each row's RESIDUAL ``x - centroid[cell]``
+    is encoded instead of the raw vector (IVFPQ; the codebook must
+    have been trained with the same centroids)."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(cb.centroids)
+    MU = (
+        np.asarray(cell_centroids, dtype=np.float64)
+        if cell_centroids is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast((cb.centroids, MU))
     m, dsub = cb.m, cb.dsub
     keep = list(keep_cols)
+    if MU is not None and cell_col not in keep:
+        keep.append(cell_col)
     keep_schema = "".join(
         f", {c} {dict(df.dtypes)[c]}" for c in keep
     )
 
     def encode(batches):
-        C = bc.value  # (m, ksub, dsub)
+        C, MU = bc.value  # (m, ksub, dsub), (n_cells, dim) | None
         cn = np.einsum("mkd,mkd->mk", C, C)  # (m, ksub)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf[vec_col].values), dtype=np.float64)
+            if MU is not None:
+                X = X - MU[pdf[cell_col].values.astype(np.int64)]
             S = X.reshape(len(X), m, dsub)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
@@ -223,7 +254,10 @@ def pq_encode(
     out = df.select(id_col, vec_col, *keep).mapInPandas(
         encode, schema=f"_id long, codes array<int>{keep_schema}"
     )
-    return out.withColumnRenamed("_id", id_col)
+    out = out.withColumnRenamed("_id", id_col)
+    if MU is not None and cell_col not in keep_cols:
+        out = out.drop(cell_col)
+    return out
 
 
 def pq_reconstruction_mse(
@@ -231,20 +265,33 @@ def pq_reconstruction_mse(
     cb: PQCodebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_centroids: np.ndarray | None = None,
+    cell_col: str = "cell_id",
 ) -> float:
     """Mean squared reconstruction error of the codebooks over ``df`` —
-    the compression-quality number to track against nbits/m choices."""
+    the compression-quality number to track against nbits/m choices.
+    With ``cell_centroids`` the error is measured on residual encoding
+    (reconstruction = centroid + decoded residual), so raw-vs-residual
+    MSE is directly comparable."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(cb.centroids)
+    MU = (
+        np.asarray(cell_centroids, dtype=np.float64)
+        if cell_centroids is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast((cb.centroids, MU))
     m, dsub = cb.m, cb.dsub
+    cols = [id_col, vec_col] + ([cell_col] if MU is not None else [])
 
     def err(batches):
-        C = bc.value
+        C, MU = bc.value
         cn = np.einsum("mkd,mkd->mk", C, C)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf[vec_col].values), dtype=np.float64)
+            if MU is not None:
+                X = X - MU[pdf[cell_col].values.astype(np.int64)]
             S = X.reshape(len(X), m, dsub)
             sq = np.zeros(len(X))
             for j in range(m):
@@ -255,7 +302,7 @@ def pq_reconstruction_mse(
             yield pd.DataFrame({"sq": sq, "n": [1] * len(X)})
 
     agg = (
-        df.select(id_col, vec_col)
+        df.select(*cols)
         .mapInPandas(err, schema="sq double, n long")
         .agg(F.sum("sq").alias("s"), F.sum("n").alias("n"))
         .first()
@@ -276,6 +323,7 @@ def pq_search(
     vec_col: str = "embedding",
     shard_col: str | None = None,
     cand_map: dict[int, frozenset] | None = None,
+    cell_centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k over the compressed (id, codes) table: approximate
     squared-L2 where each corpus vector is its PQ reconstruction.
@@ -299,14 +347,24 @@ def pq_search(
     same ADC scan (exactly like the exact path's pruned search) —
     this is what IVFStore.knn_pq uses to compose IVF partition pruning
     with PQ compression into IVFPQ.
+
+    With ``cell_centroids`` the codes are RESIDUAL codes (IVFPQ,
+    Jégou et al. §IV-A): the estimated distance for a row in cell c is
+    ``||(q - centroid_c) - recon(codes)||²``, so the lookup table is
+    built per (query, probed cell) — ``(q - μ_c)`` subvector vs every
+    subspace centroid — and each row gathers from its own cell's
+    table. ``shard_col`` must name the cell column in ``codes``.
     """
     k = max(int(k), 1)
+    if cell_centroids is not None and shard_col is None:
+        raise ValueError("residual pq_search needs shard_col (the cell column)")
     if rerank:
         if corpus is None:
             raise ValueError("rerank requires the raw-vector corpus DataFrame")
         short = pq_search(codes, cb, queries, k=int(rerank) * k, id_col=id_col,
                           qid_col=qid_col, qvec_col=qvec_col,
-                          shard_col=shard_col, cand_map=cand_map)
+                          shard_col=shard_col, cand_map=cand_map,
+                          cell_centroids=cell_centroids)
         from distributedvectordatabase_spark.operators.knn import _dist_expr
 
         cand = short.select("qid", "neighbor_id").join(
@@ -328,16 +386,46 @@ def pq_search(
     if Q.ndim != 2 or Q.shape[1] != cb.dim:
         raise ValueError(f"query dim {Q.shape} != codebook dim {cb.dim}")
     m, dsub, ksub = cb.m, cb.dsub, cb.ksub
-    # per-query subspace LUTs: (nq, m, ksub) squared distances
     C = cb.centroids
-    QS = Q.reshape(len(Q), m, dsub)
-    lut = np.empty((len(Q), m, ksub))
-    for j in range(m):
-        lut[:, j, :] = (
-            np.einsum("ij,ij->i", QS[:, j, :], QS[:, j, :])[:, None]
-            - 2.0 * (QS[:, j, :] @ C[j].T)
-            + np.einsum("kd,kd->k", C[j], C[j])[None, :]
-        )
+    cellpos = None
+    if cell_centroids is not None:
+        MU = np.asarray(cell_centroids, dtype=np.float64)
+        if cand_map is not None:
+            cells_used = sorted({int(c) for s in cand_map.values() for c in s})
+        else:
+            cells_used = list(range(len(MU)))
+        lut_bytes = len(Q) * len(cells_used) * m * ksub * 8
+        if lut_bytes > 1 << 30:
+            raise ValueError(
+                f"residual ADC LUT would be {lut_bytes >> 20} MB "
+                f"({len(Q)} queries × {len(cells_used)} cells × {m}×{ksub}); "
+                "lower n_probe or split the query batch"
+            )
+        # per-(query, probed-cell) LUTs over the residual domain:
+        # lut[q, c, j, :] = ||(q - μ_c)_subj - C_j||²
+        QR = Q[:, None, :] - MU[cells_used][None, :, :]  # (nq, nc, dim)
+        QS = QR.reshape(len(Q) * len(cells_used), m, dsub)
+        flat = np.empty((len(QS), m, ksub))
+        for j in range(m):
+            flat[:, j, :] = (
+                np.einsum("ij,ij->i", QS[:, j, :], QS[:, j, :])[:, None]
+                - 2.0 * (QS[:, j, :] @ C[j].T)
+                + np.einsum("kd,kd->k", C[j], C[j])[None, :]
+            )
+        lut = flat.reshape(len(Q), len(cells_used), m, ksub)
+        cellpos = np.full(max(cells_used) + 1, -1, dtype=np.int64)
+        for i, c in enumerate(cells_used):
+            cellpos[c] = i
+    else:
+        # per-query subspace LUTs: (nq, m, ksub) squared distances
+        QS = Q.reshape(len(Q), m, dsub)
+        lut = np.empty((len(Q), m, ksub))
+        for j in range(m):
+            lut[:, j, :] = (
+                np.einsum("ij,ij->i", QS[:, j, :], QS[:, j, :])[:, None]
+                - 2.0 * (QS[:, j, :] @ C[j].T)
+                + np.einsum("kd,kd->k", C[j], C[j])[None, :]
+            )
     spark = codes.sparkSession
     if cand_map is not None:
         n_shards = max((s for ss in cand_map.values() for s in ss), default=-1) + 1
@@ -347,21 +435,41 @@ def pq_search(
                 allowed_lut[i, s] = True
     else:
         allowed_lut = None
-    bc = spark.sparkContext.broadcast((qids, lut, allowed_lut))
+    bc = spark.sparkContext.broadcast((qids, lut, allowed_lut, cellpos))
     take = 2 * k
 
     def scan(batches):
-        qids, lut, allowed_lut = bc.value
+        qids, lut, allowed_lut, cellpos = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].values.astype(np.int64)
             cd = np.array(list(pdf["codes"].values), dtype=np.int64)  # (n, m)
-            # gather: D[q, i] = sum_j lut[q, j, cd[i, j]]
-            D = np.zeros((len(qids), len(ids)))
-            for j in range(m):
-                D += lut[:, j, cd[:, j]]
-            np.maximum(D, 0.0, out=D)
+            if cellpos is not None:
+                # residual mode: each row gathers from ITS cell's LUT.
+                # The codes table is partitionBy(cell) so a batch is
+                # almost always one cell — the per-cell loop runs once.
+                shards = pdf[shard_col].values.astype(np.int64)
+                pos = np.full(len(shards), -1, dtype=np.int64)
+                in_r = (shards >= 0) & (shards < len(cellpos))
+                pos[in_r] = cellpos[shards[in_r]]
+                D = np.full((len(qids), len(ids)), np.inf)
+                for pv in np.unique(pos):
+                    if pv < 0:
+                        continue  # cell outside the probed set
+                    idx = np.nonzero(pos == pv)[0]
+                    sub = cd[idx]
+                    Dsub = np.zeros((len(qids), len(idx)))
+                    for j in range(m):
+                        Dsub += lut[:, pv, j, sub[:, j]]
+                    np.maximum(Dsub, 0.0, out=Dsub)
+                    D[:, idx] = Dsub
+            else:
+                # gather: D[q, i] = sum_j lut[q, j, cd[i, j]]
+                D = np.zeros((len(qids), len(ids)))
+                for j in range(m):
+                    D += lut[:, j, cd[:, j]]
+                np.maximum(D, 0.0, out=D)
             if allowed_lut is not None:
                 shards = pdf[shard_col].values.astype(np.int64)
                 in_range = (shards >= 0) & (shards < allowed_lut.shape[1])
@@ -378,7 +486,9 @@ def pq_search(
                 }
             )
 
-    cols = [id_col, "codes"] + ([shard_col] if cand_map is not None else [])
+    cols = [id_col, "codes"] + (
+        [shard_col] if (cand_map is not None or cellpos is not None) else []
+    )
     partial = codes.select(*cols).mapInPandas(
         scan, schema="qid long, neighbor_id long, dist double"
     )

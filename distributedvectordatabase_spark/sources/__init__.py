@@ -10,6 +10,7 @@ from distributedvectordatabase_spark.sources.jsonwire import (
     read_query_payload,
 )
 from distributedvectordatabase_spark.sources.npz import read_npz, write_npz
+from distributedvectordatabase_spark.sources.sig_store import SigStore
 from distributedvectordatabase_spark.sources.tables import TABLES, load_table, load_tables
 from distributedvectordatabase_spark.sources.text_index import TextIndex
 from distributedvectordatabase_spark.sources.vector_store import VectorStore
@@ -25,6 +26,7 @@ __all__ = [
     "VectorStore",
     "IVFStore",
     "TextIndex",
+    "SigStore",
     "export_shards",
     "read_manifest",
     "read_shards",

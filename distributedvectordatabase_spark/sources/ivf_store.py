@@ -131,7 +131,8 @@ class IVFStore:
             try:
                 (
                     pq_encode(out, self.pq_codebook(), id_col=self.id_col,
-                              vec_col=self.vec_col, keep_cols=("cell_id",))
+                              vec_col=self.vec_col, keep_cols=("cell_id",),
+                              cell_centroids=C if self.pq_is_residual() else None)
                     .write.mode("append")
                     .partitionBy("cell_id")
                     .parquet(self._pq_path)
@@ -175,29 +176,46 @@ class IVFStore:
 
     # -- IVFPQ ---------------------------------------------------------------
 
-    def build_pq(self, spark: SparkSession, m: int = 16, nbits: int = 6) -> None:
+    def build_pq(
+        self,
+        spark: SparkSession,
+        m: int = 16,
+        nbits: int = 6,
+        residual: bool = True,
+    ) -> None:
         """Train PQ codebooks over the built store and write the
         compressed (id, codes) table, cell-partitioned like the raw
         one — together they form an IVFPQ index: cell routing prunes
         partitions, ADC scans only codes, rerank probes raw vectors
         for the shortlist ids alone. ``append`` keeps the codes table
         in sync by encoding new rows with the existing codebook;
-        re-run build_pq to refresh codebooks after heavy drift."""
+        re-run build_pq to refresh codebooks after heavy drift.
+
+        ``residual=True`` (default — the standard IVFPQ formulation,
+        Jégou et al. §IV-A / FAISS IndexIVFPQ) trains and encodes the
+        residual ``x - centroid[cell]`` instead of the raw vector:
+        per-cell residuals span a much smaller domain than the corpus,
+        so the same m·nbits budget loses less to quantization and ADC
+        recall rises (see tests/test_ivf_store.py raw-vs-residual
+        comparison). ``residual=False`` keeps the raw-vector encoding
+        for A/B measurement."""
         import json as _json
 
         from distributedvectordatabase_spark.operators.pq import pq_encode, pq_train
 
         df = self.read(spark)
-        cb = pq_train(df, vec_col=self.vec_col, m=m, nbits=nbits, id_col=self.id_col)
+        MU = self.centroids() if residual else None
+        cb = pq_train(df, vec_col=self.vec_col, m=m, nbits=nbits,
+                      id_col=self.id_col, cell_centroids=MU)
         (
             pq_encode(df, cb, id_col=self.id_col, vec_col=self.vec_col,
-                      keep_cols=("cell_id",))
+                      keep_cols=("cell_id",), cell_centroids=MU)
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(self._pq_path)
         )
         with open(self._pq_codebook_path, "w") as f:
-            _json.dump(cb.to_dict(), f)
+            _json.dump({**cb.to_dict(), "residual": bool(residual)}, f)
 
     def pq_codebook(self):
         import json as _json
@@ -206,6 +224,12 @@ class IVFStore:
 
         with open(self._pq_codebook_path) as f:
             return PQCodebook.from_dict(_json.load(f))
+
+    def pq_is_residual(self) -> bool:
+        import json as _json
+
+        with open(self._pq_codebook_path) as f:
+            return bool(_json.load(f).get("residual", False))
 
     def knn_pq(
         self,
@@ -243,6 +267,7 @@ class IVFStore:
             id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
             rerank=rerank, corpus=corpus, vec_col=self.vec_col,
             shard_col="cell_id", cand_map=cand_map,
+            cell_centroids=C if self.pq_is_residual() else None,
         )
 
     # -- query ---------------------------------------------------------------

@@ -197,3 +197,85 @@ def test_ivfpq_append_keeps_codes_in_sync(spark, tmp_path):
     top = store.knn_pq(spark, q, k=3, n_probe=4, rerank=2).collect()
     best = min(top, key=lambda r: r.rnk)
     assert best.neighbor_id == 450 and best.dist <= 1e-6
+
+
+@pytest.fixture(scope="module")
+def built_pq_raw(spark, tmp_path_factory):
+    """Same corpus/params as built_pq but raw-vector (non-residual)
+    encoding — the r4 formulation, kept for A/B comparison."""
+    store = IVFStore(str(tmp_path_factory.mktemp("ivfpq_raw") / "idx"), n_cells=8)
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    store.build_pq(spark, m=16, nbits=6, residual=False)
+    return store
+
+
+def test_residual_flag_persisted(spark, built_pq, built_pq_raw):
+    assert built_pq.pq_is_residual() is True
+    assert built_pq_raw.pq_is_residual() is False
+
+
+def test_residual_adc_recall_not_worse_than_raw(spark, built_pq, built_pq_raw):
+    """The point of residual encoding (Jégou §IV-A): at the same code
+    budget, encoding x - centroid[cell] quantizes a smaller domain, so
+    raw-ADC recall (rerank=0 — no exact rescue) must not drop below
+    the raw-vector formulation's, and reconstruction MSE must be
+    strictly lower."""
+    from distributedvectordatabase_spark.operators.pq import pq_reconstruction_mse
+
+    qs = queries_fixture(spark, SF_SMALL, n=20)
+    exact = knn(load_table(spark, "embeddings", SF_SMALL), qs, k=K)
+    r_res = recall_at_k(exact, built_pq.knn_pq(spark, qs, k=K, n_probe=8, rerank=0), K)
+    r_raw = recall_at_k(
+        exact, built_pq_raw.knn_pq(spark, qs, k=K, n_probe=8, rerank=0), K
+    )
+    assert r_res >= r_raw - 1e-9, (r_res, r_raw)
+    assert r_res >= 0.5, r_res
+
+    mse_res = pq_reconstruction_mse(
+        built_pq.read(spark), built_pq.pq_codebook(),
+        cell_centroids=built_pq.centroids(),
+    )
+    mse_raw = pq_reconstruction_mse(built_pq_raw.read(spark), built_pq_raw.pq_codebook())
+    assert mse_res < mse_raw, (mse_res, mse_raw)
+
+
+def test_residual_self_query_rank1_without_rerank(spark, built_pq):
+    """Residual ADC alone (no exact rerank) must still put a corpus
+    vector first for its own query — quantization error is far below
+    the nearest-neighbor gap on this corpus."""
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    rows = built_pq.knn_pq(spark, qs, k=3, n_probe=8, rerank=0).collect()
+    by_q = {r.qid: r for r in rows if r.rnk == 1}
+    assert all(r.neighbor_id == qid for qid, r in by_q.items())
+
+
+def test_residual_search_partition_independent(spark, built_pq):
+    """Residual ADC distances are fixed-order sums per row, so results
+    must not change when the codes table is read differently (the
+    per-cell LUT gather handles multi-cell batches identically)."""
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    a = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in built_pq.knn_pq(spark, qs, k=5, n_probe=4, rerank=0).collect()
+    )
+    from distributedvectordatabase_spark.operators.pq import pq_search
+
+    # same search, codes repartitioned to mix cells inside batches
+    C = built_pq.centroids()
+    import numpy as np
+
+    qrows = qs.collect()
+    cand_map = {}
+    for r in qrows:
+        qv = np.asarray(list(r.qvec), dtype=np.float64)
+        order = np.argsort(((C - qv) ** 2).sum(axis=1))[:4]
+        cand_map[int(r.qid)] = frozenset(int(c) for c in order)
+    codes = spark.read.parquet(built_pq._pq_path).repartition(7)
+    b = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in pq_search(
+            codes, built_pq.pq_codebook(), qs, k=5,
+            shard_col="cell_id", cand_map=cand_map, cell_centroids=C,
+        ).collect()
+    )
+    assert a == b
