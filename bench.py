@@ -83,6 +83,7 @@ EXTRA = [
     "doc_packs",
     "mix_weighted_sources",
     "strat_sample_quota",
+    "strat_sample_weighted",
 ]
 
 

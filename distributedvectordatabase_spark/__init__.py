@@ -24,6 +24,7 @@ Catalyst provides pushdown, pruning, AQE, and whole-stage codegen.
 """
 
 from distributedvectordatabase_spark.session import get_spark
+from distributedvectordatabase_spark.sql import sql
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "sql"]
 __version__ = "0.1.0"

@@ -725,6 +725,51 @@ def _run_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATW_K = 5
+STRATW_SALT = "stratw"
+
+
+def _q_strat_sample_weighted(d: str) -> str:
+    """Oracle twin of stratified_sample(weight_col=...): per-source
+    probability-proportional-to-weight order sample (Ohlsson sequential
+    Poisson) — rank key u / n_chars, k smallest win. The key is one
+    IEEE division of engine-identical operands, so ordering (and the
+    sample) is bit-exact across engines; the E-S u^(1/w) form would
+    need pow/log, which is not."""
+    u = (
+        "("
+        + T.hash64(f"concat(cast(doc_id as string), ':', '{STRATW_SALT}')", d)
+        + " % 1000000) / cast(1000000 as double)"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars, {u} / cast(n_chars as double) AS key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+               AS sample_rank
+      FROM h
+    )
+    SELECT doc_id, source, n_chars, sample_rank
+    FROM r WHERE sample_rank <= {STRATW_K}
+    """
+
+
+def _run_strat_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates operators/mixing.stratified_sample's weighted path
+    (weight-aware survivor prefilter must equal the full window)."""
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(
+        docs, STRATW_K, salt=STRATW_SALT, weight_col="n_chars"
+    ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
 def _run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ranked retrieval (BM25 top-k) — the text-side twin of
     vector kNN and the second leg of hybrid search. Gates
@@ -2543,5 +2588,13 @@ def build_catalog() -> dict[str, Query]:
         # training-pipeline piece — epoch-expanded mixture sampling).
         Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
         Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
+        # r5: probability-proportional-to-weight order sampling
+        # (Ohlsson sequential Poisson; the weighted mixture-sampling
+        # shape). Past the gate cap — strict-checked locally.
+        Query(
+            "strat_sample_weighted",
+            _run_strat_sample_weighted,
+            _q_strat_sample_weighted(DUCKDB),
+        ),
     ]
     return {q.name: q for q in qs}

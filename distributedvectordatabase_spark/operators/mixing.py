@@ -119,6 +119,7 @@ def stratified_sample(
     salt: str = "strat",
     prefilter: bool | None = None,
     prefilter_safety: float = 4.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exactly ``min(k, n_stratum)`` rows per stratum, deterministically.
 
@@ -152,6 +153,22 @@ def stratified_sample(
     falls back to the full narrow window for correctness. Rank-shuffle
     rows drop from O(table) to O(strata · safety · k) — decisive when
     the narrow projection alone is still terabytes.
+
+    ``weight_col`` switches to probability-proportional-to-weight
+    order sampling (Ohlsson's *sequential Poisson sampling*, the
+    order-sampling sibling of Efraimidis-Spirakis): each row's rank
+    key becomes ``u / w`` and the k SMALLEST keys win, so a row with
+    twice the weight is ~twice as likely to be drawn — the shape of
+    mixture sampling where documents carry quality weights. The key
+    is deliberately ``u / w`` (one correctly-rounded IEEE division of
+    engine-identical operands) rather than the E-S ``u^(1/w)`` form,
+    whose pow/log evaluation is not bit-reproducible across engines —
+    the two induce the same inclusion ORDER family, and u/w keeps the
+    sample oracle-exact. Rows with NULL or non-positive weight are
+    excluded (weight 0 = never sampled, mirroring mix rate 0). The
+    prefilter stays provably exact: survivors keep ``u <= t·w`` with
+    ``t = safety·k / Σw`` (a key-prefix, expected safety·k rows), and
+    the same shortfall count falls back to the full window.
     """
     if k <= 0:
         raise ValueError("k must be >= 1")
@@ -164,8 +181,16 @@ def stratified_sample(
         )
         / F.lit(float(_U_GRID))
     ).alias("_u")
-    w = Window.partitionBy(*strata_cols).orderBy("_u", id_col)
-    narrow = df.select(*strata_cols, id_col).withColumn("_u", u)
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        key = (F.col("_u") / F.col(weight_col).cast("double")).alias("_key")
+        narrow = df.select(*strata_cols, id_col, weight_col).withColumn(
+            "_u", u
+        ).withColumn("_key", key)
+        w = Window.partitionBy(*strata_cols).orderBy("_key", id_col)
+    else:
+        narrow = df.select(*strata_cols, id_col).withColumn("_u", u)
+        w = Window.partitionBy(*strata_cols).orderBy("_u", id_col)
 
     def winners_of(pool: DataFrame) -> DataFrame:
         return (
@@ -176,13 +201,23 @@ def stratified_sample(
 
     pool, cached = narrow, None
     if prefilter is not False:
-        counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
-        thresh = F.least(
-            F.lit(1.0), F.lit(prefilter_safety) * F.lit(float(k)) / F.col("_n")
-        )
+        aggs = [F.count("*").alias("_n")]
+        if weight_col is not None:
+            aggs.append(F.sum(F.col(weight_col).cast("double")).alias("_sw"))
+        counts = df.groupBy(*strata_cols).agg(*aggs)
+        if weight_col is not None:
+            # survivors keep u <= t·w (⇔ key = u/w <= t): a prefix of
+            # the key order, expected safety·k rows per stratum
+            t = F.lit(prefilter_safety) * F.lit(float(k)) / F.col("_sw")
+            keep = F.col("_u") <= t * F.col(weight_col).cast("double")
+        else:
+            thresh = F.least(
+                F.lit(1.0), F.lit(prefilter_safety) * F.lit(float(k)) / F.col("_n")
+            )
+            keep = F.col("_u") <= thresh
         survivors = (
             narrow.join(F.broadcast(counts), list(strata_cols))
-            .where(F.col("_u") <= thresh)
+            .where(keep)
             .cache()
         )
         # Shortfall check LEFT-joins the full per-stratum counts against
@@ -207,7 +242,7 @@ def stratified_sample(
         if short:
             survivors.unpersist()
         else:
-            pool, cached = survivors.drop("_n"), survivors
+            pool, cached = survivors.drop("_n", "_sw"), survivors
 
     winners = winners_of(pool)
     if cached is not None:

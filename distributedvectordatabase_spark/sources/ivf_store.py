@@ -41,12 +41,22 @@ class IVFStore:
     def __init__(
         self,
         path: str,
-        n_cells: int = 16,
+        n_cells: int | None = None,
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ):
         self.path = path
+        # reopening a built store: the persisted centroid sidecar's
+        # n_cells is authoritative (same reopen contract as
+        # VectorStore/_lsh.json); an explicit argument wins for builds
+        if n_cells is None:
+            cpath = os.path.join(path, "_centroids.json")
+            if os.path.exists(cpath):
+                with open(cpath) as f:
+                    n_cells = int(json.load(f)["n_cells"])
+            else:
+                n_cells = 16
         self.n_cells = n_cells
         self.seed = seed
         self.id_col = id_col

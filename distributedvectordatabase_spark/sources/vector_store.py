@@ -29,6 +29,7 @@ which collide across shards (shard/shard_node.py:49,77-80).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,15 +48,53 @@ class VectorStore:
         self,
         path: str,
         lsh: SignLSH | None = None,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
+        id_col: str | None = None,
+        vec_col: str | None = None,
         files_per_shard: int = 4,
     ):
         self.path = path
+        # The store's LSH config (projection seed/shape) determines the
+        # on-disk shard assignment, so on reopen the persisted sidecar
+        # is authoritative: a default-constructed SignLSH against a
+        # store built with different parameters would silently bucket
+        # queries wrong (the TextIndex reopen bug class). An EXPLICIT
+        # lsh argument still wins — callers who pass one own the match.
+        cfg = None
+        if lsh is None or id_col is None or vec_col is None:
+            cfg_path = os.path.join(path, "_lsh.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    cfg = json.load(f)
+        if lsh is None and cfg is not None:
+            lsh = SignLSH(
+                dim=int(cfg["dim"]),
+                num_fns=int(cfg["num_fns"]),
+                num_tables=int(cfg["num_tables"]),
+                seed=int(cfg["seed"]),
+            )
         self.lsh = lsh or SignLSH()
-        self.id_col = id_col
-        self.vec_col = vec_col
+        self.id_col = id_col or (cfg or {}).get("id_col", "vec_id")
+        self.vec_col = vec_col or (cfg or {}).get("vec_col", "embedding")
         self.files_per_shard = files_per_shard
+
+    @property
+    def _lsh_config_path(self) -> str:
+        return os.path.join(self.path, "_lsh.json")
+
+    def _write_lsh_config(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._lsh_config_path, "w") as f:
+            json.dump(
+                {
+                    "dim": self.lsh.dim,
+                    "num_fns": self.lsh.num_fns,
+                    "num_tables": self.lsh.num_tables,
+                    "seed": self.lsh.seed,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
 
     # -- ingest -------------------------------------------------------------
 
@@ -93,6 +132,7 @@ class VectorStore:
     def _write(self, df: DataFrame, mode: str, validate_dim: bool) -> None:
         try:
             self._prepare(df, validate_dim).write.mode(mode).partitionBy("shard_id").parquet(self.path)
+            self._write_lsh_config()
         except Exception as e:  # surface the in-flight dim check typed
             if validate_dim and "dimension mismatch" in str(e):
                 raise DimensionMismatchError(
@@ -136,6 +176,11 @@ class VectorStore:
             .partitionBy("shard_id")
             .parquet(tmp)
         )
+        if os.path.exists(self._lsh_config_path):
+            shutil.copy(
+                self._lsh_config_path,
+                os.path.join(tmp, os.path.basename(self._lsh_config_path)),
+            )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 

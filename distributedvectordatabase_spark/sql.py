@@ -1,0 +1,191 @@
+"""SQL-facing kNN sugar: ``knn('<store>', <vector>, k)`` as a table.
+
+The reference's entire user surface is one query-by-vector call
+(`coordinator_server.py:76-141`: POST /search {"vector": [...], "k"}).
+The Spark-side mirror should be one SQL line, so SQL users never touch
+the Python store classes:
+
+    from distributedvectordatabase_spark.sql import sql
+    sql(spark, "SELECT * FROM knn('/path/to/store', array(0.1, ...), 10)")
+
+``knn(...)`` is rewritten — not interpreted per-row — into the store's
+pruned search plan (the same DataFrame `VectorStore.knn` /
+`IVFStore.knn` returns) registered as a temp view and substituted into
+the query text, so the executed plan keeps every property the Python
+path has: partition pruning on the probed shards/cells, Arrow partial
+top-k before the exchange, TakeOrderedAndProject for the single-query
+top-k (asserted in tests/test_sql_sugar.py). A Python UDTF could not
+do this: a worker-side function cannot launch a distributed scan.
+
+Grammar (a table factor, case-insensitive name):
+
+    knn('<store_path>', <vector expr>, <k> [, <probes> [, '<metric>']])
+
+- ``store_path``: a string literal; the store kind is detected from
+  its sidecar (``_lsh.json`` → LSH-bucketed VectorStore,
+  ``_centroids.json`` → IVFStore).
+- ``vector expr``: any SQL expression evaluating to a numeric array
+  (e.g. ``array(0.1, 0.2)`` or a scalar subquery).
+- ``k``: integer literal.
+- ``probes``: optional integer — ``num_candidates`` for the LSH store
+  (default 2), ``n_probe`` for the IVF store (default 4).
+- ``metric``: optional string literal, ``'l2sq'`` (default) or
+  ``'cosine'``.
+
+Result columns: (neighbor_id, dist, rnk) — usable anywhere a table is.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_KNN_TOKEN = re.compile(r"(?i)(?<![A-Za-z0-9_])knn\s*\(")
+_VIEW_IDS = itertools.count()
+
+
+def _balanced_span(text: str, open_paren: int) -> int:
+    """Index just past the ')' matching ``text[open_paren] == '('``,
+    honoring single-quoted strings."""
+    depth, i, n = 0, open_paren, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in knn(...) call")
+
+
+def _split_args(argtext: str) -> list[str]:
+    """Top-level comma split, honoring nesting and quoted strings."""
+    args, depth, cur, i, n = [], 0, [], 0, len(argtext)
+    while i < n:
+        ch = argtext[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and argtext[j] != "'":
+                j += 1
+            cur.append(argtext[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _string_literal(arg: str, what: str) -> str:
+    if len(arg) >= 2 and arg[0] == "'" and arg[-1] == "'":
+        return arg[1:-1]
+    raise ValueError(f"knn(...) {what} must be a string literal, got {arg!r}")
+
+
+def _knn_view(spark: SparkSession, args: list[str]) -> str:
+    if not 3 <= len(args) <= 5:
+        raise ValueError(
+            "knn(...) takes (store_path, vector, k[, probes[, metric]]), "
+            f"got {len(args)} arguments"
+        )
+    path = _string_literal(args[0], "store path")
+    k = int(args[2])
+    probes = int(args[3]) if len(args) >= 4 else None
+    metric = _string_literal(args[4], "metric") if len(args) == 5 else "l2sq"
+
+    # evaluate the vector expression once, driver-side (it is a literal
+    # or scalar subquery — the per-row form would be a different op)
+    vec = spark.sql(
+        f"SELECT cast({args[1]} as array<double>) AS v"
+    ).first()[0]
+    if vec is None:
+        raise ValueError(f"knn(...) vector expression evaluated to NULL: {args[1]}")
+
+    vec = [float(x) for x in vec]
+
+    # One query → the knn_single plan: prune the scan to the probed
+    # shards/cells (literal IN → Catalyst partition pruning), then
+    # ORDER BY dist LIMIT k → TakeOrderedAndProject (per-partition
+    # bounded heap + driver merge, no full sort, no shuffle). This is
+    # the exact plan shape the Python path produces for one query.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn_single
+
+    if os.path.exists(os.path.join(path, "_centroids.json")):
+        import numpy as np
+
+        from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+        store = IVFStore(path)  # sidecar-config reopen
+        C = store.centroids()
+        qv = np.asarray(vec, dtype=np.float64)
+        n_probe = probes if probes else 4
+        cells = [
+            int(c) for c in np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
+        ]
+        corpus = store.read(spark).filter(F.col("cell_id").isin(cells))
+    elif os.path.exists(os.path.join(path, "_lsh.json")):
+        from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+        store = VectorStore(path)  # sidecar-config reopen
+        shards = store.lsh.candidate_shards(vec, probes if probes else 2)
+        corpus = store.read(spark).filter(F.col("shard_id").isin(shards))
+    else:
+        raise ValueError(
+            f"no vector store found at {path!r} (expected an _lsh.json "
+            "or _centroids.json sidecar)"
+        )
+    res = knn_single(
+        corpus, vec, k=k, metric=metric,
+        id_col=store.id_col, vec_col=store.vec_col,
+    ).withColumn(
+        # rnk over the ≤k surviving rows (post-limit — a singleton
+        # window over k rows, not a corpus sort)
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())),
+    )
+    name = f"_knn_sugar_{next(_VIEW_IDS)}"
+    res.select("neighbor_id", "dist", "rnk").createOrReplaceTempView(name)
+    return name
+
+
+def rewrite(spark: SparkSession, query: str) -> str:
+    """Replace every ``knn(...)`` table factor in ``query`` with the
+    name of a temp view holding the store's pruned search plan."""
+    out, pos = [], 0
+    while True:
+        m = _KNN_TOKEN.search(query, pos)
+        if not m:
+            out.append(query[pos:])
+            return "".join(out)
+        open_paren = query.index("(", m.start())
+        end = _balanced_span(query, open_paren)
+        args = _split_args(query[open_paren + 1 : end - 1])
+        out.append(query[pos : m.start()])
+        out.append(_knn_view(spark, args))
+        pos = end
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """``spark.sql`` with the ``knn(...)`` table-factor extension."""
+    return spark.sql(rewrite(spark, query))

@@ -194,3 +194,57 @@ def test_plan_has_no_shuffle(spark, docs):
     """mix_corpus is map-side only: explode + filter, no exchange."""
     plan = mix_corpus(docs, {"src0": 2.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_prefilter_equals_full_window(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    wd = load_table(spark, "documents", SF_DIR).select("doc_id", "source", "n_chars")
+    fast = stratified_sample(wd, 4, weight_col="n_chars").select(
+        "doc_id", "source", "sample_rank"
+    )
+    full = stratified_sample(wd, 4, weight_col="n_chars", prefilter=False).select(
+        "doc_id", "source", "sample_rank"
+    )
+    assert fast.exceptAll(full).count() == 0
+    assert full.exceptAll(fast).count() == 0
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark, docs):
+    """PPS order sampling: doubling a row's weight ~doubles its draw
+    odds, so the sampled rows' mean weight must exceed the population
+    mean (statistically overwhelming over 20 strata × wide weights)."""
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    wd = load_table(spark, "documents", SF_DIR).select("doc_id", "source", "n_chars")
+    got = stratified_sample(wd, 3, weight_col="n_chars")
+    mean_sample = got.agg(F.avg("n_chars")).first()[0]
+    mean_pop = wd.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_pop
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+
+    wd = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    got = stratified_sample(wd, 1000, weight_col="w")
+    assert got.where(F.col("doc_id") % 2 == 0).count() == 0
+    # all positive-weight rows sampled at quota >= stratum size
+    assert got.count() == wd.where(F.col("w") > 0).count()
+
+
+def test_weighted_sample_layout_independent(spark, docs):
+    from distributedvectordatabase_spark.operators.mixing import stratified_sample
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    wd = load_table(spark, "documents", SF_DIR).select("doc_id", "source", "n_chars")
+    a = stratified_sample(wd, 5, weight_col="n_chars").select("doc_id", "sample_rank")
+    b = stratified_sample(wd.repartition(17), 5, weight_col="n_chars").select(
+        "doc_id", "sample_rank"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

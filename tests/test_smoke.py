@@ -26,6 +26,7 @@ DOCUMENTED_OVERFLOW = {
     "doc_packs",
     "mix_weighted_sources",
     "strat_sample_quota",
+    "strat_sample_weighted",
 }
 
 

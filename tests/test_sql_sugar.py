@@ -1,0 +1,111 @@
+"""knn(...) SQL table-factor sugar: one SQL line must produce rows
+identical to the Python store API, with the same physical plan
+properties (partition pruning, TakeOrderedAndProject top-k) — the
+SQL-facing mirror of the reference's single query-by-vector call
+(coordinator_server.py:76-141)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.plans import (
+    has_take_ordered,
+    scan_partition_filters,
+)
+from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+from distributedvectordatabase_spark.sources.tables import load_table
+from distributedvectordatabase_spark.sources.vector_store import VectorStore
+from distributedvectordatabase_spark.sql import rewrite, sql
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    base = tmp_path_factory.mktemp("sqlsugar")
+    vs = VectorStore(str(base / "lsh"))
+    vs.write(emb)
+    ivf = IVFStore(str(base / "ivf"), n_cells=8)
+    ivf.build(emb)
+    return vs, ivf
+
+
+def _vec(spark, vid: int) -> tuple[str, list[float]]:
+    row = (
+        load_table(spark, "embeddings", SF_SMALL)
+        .filter(F.col("vec_id") == vid)
+        .first()
+    )
+    xs = [float(x) for x in row.embedding]
+    return "array(" + ", ".join(repr(x) for x in xs) + ")", xs
+
+
+def _vec_sql(spark, vid: int) -> str:
+    return _vec(spark, vid)[0]
+
+
+def test_knn_sql_matches_store_api(spark, stores):
+    vs, _ = stores
+    vec, xs = _vec(spark, 7)
+    got = sql(spark, f"SELECT * FROM knn('{vs.path}', {vec}, 5)").collect()
+    q = spark.createDataFrame([(0, xs)], "qid long, qvec array<double>")
+    want = vs.knn(spark, q, k=5).select("neighbor_id", "dist", "rnk").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got and min(r.rnk for r in got) == 1
+    # self-query: the stored vector itself is rank 1
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rnk)][0] == 7
+
+
+def test_knn_sql_plan_pruned_and_take_ordered(spark, stores):
+    vs, _ = stores
+    vec = _vec_sql(spark, 3)
+    df = sql(spark, f"SELECT * FROM knn('{vs.path}', {vec}, 5)")
+    assert has_take_ordered(df)
+    pf = scan_partition_filters(df)
+    assert any("shard_id" in f for f in pf), pf
+
+
+def test_knn_sql_ivf_store_and_composability(spark, stores):
+    """knn(...) detects the IVF store from its sidecar and composes
+    with ordinary SQL (joins, filters) like any table."""
+    _, ivf = stores
+    vec = _vec_sql(spark, 11)
+    df = sql(
+        spark,
+        f"""
+        SELECT r.neighbor_id, r.rnk, e.embedding
+        FROM knn('{ivf.path}', {vec}, 3, 8) r
+        JOIN parquet.`{SF_SMALL}/embeddings.parquet` e
+          ON e.vec_id = r.neighbor_id
+        ORDER BY r.rnk
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0].neighbor_id == 11  # full probe → exact self-hit
+    pf = scan_partition_filters(df)
+    assert any("cell_id" in f for f in pf), pf
+
+
+def test_knn_sql_metric_and_errors(spark, stores):
+    vs, _ = stores
+    vec = _vec_sql(spark, 2)
+    cos = sql(
+        spark, f"SELECT * FROM knn('{vs.path}', {vec}, 4, 2, 'cosine')"
+    ).collect()
+    assert len(cos) == 4
+    with pytest.raises(ValueError, match="no vector store"):
+        sql(spark, "SELECT * FROM knn('/nonexistent', array(1.0), 3)")
+    with pytest.raises(ValueError, match="string literal"):
+        sql(spark, "SELECT * FROM knn(unquoted_path, array(1.0), 3)")
+    with pytest.raises(ValueError, match="takes"):
+        sql(spark, f"SELECT * FROM knn('{vs.path}', {vec})")
+
+
+def test_rewrite_leaves_plain_sql_untouched(spark):
+    q = "SELECT count(*) FROM range(3) WHERE id < 2"
+    assert rewrite(spark, q) == q
+    # 'knn' as part of a longer identifier must not trigger
+    q2 = "SELECT my_knn(x) FROM t"
+    assert rewrite(spark, q2) == q2
