@@ -32,6 +32,13 @@ from distributedvectordatabase_spark.operators.multimodal import (
     sample_frames,
 )
 from distributedvectordatabase_spark.operators.setsim import similarity_join
+from distributedvectordatabase_spark.operators.opq import (
+    OPQModel,
+    fit_rotation,
+    opq_encode,
+    opq_search,
+    opq_train,
+)
 from distributedvectordatabase_spark.operators.pca import pca_reduce
 from distributedvectordatabase_spark.operators.pq import (
     pq_encode,
@@ -77,6 +84,11 @@ __all__ = [
     "sample_frames",
     "pca_reduce",
     "pq_train",
+    "OPQModel",
+    "fit_rotation",
+    "opq_train",
+    "opq_encode",
+    "opq_search",
     "pq_encode",
     "pq_search",
     "pq_reconstruction_mse",

@@ -140,6 +140,7 @@ def pq_train(
     id_col: str = "vec_id",
     cell_centroids: np.ndarray | None = None,
     cell_col: str = "cell_id",
+    rotation: np.ndarray | None = None,
 ) -> PQCodebook:
     """Train PQ codebooks on a deterministic bounded sample of ``df``.
 
@@ -160,6 +161,15 @@ def pq_train(
     (Jégou et al. §IV-A / FAISS IndexIVFPQ): residuals concentrate
     around 0 with far smaller per-cell spread than raw vectors, so the
     same code budget quantizes a smaller domain and ADC recall rises.
+
+    With ``rotation`` (a (dim, dim) orthogonal matrix, e.g. the
+    sign-canonical PCA basis from operators/opq.fit_rotation) the
+    sample is rotated before k-means — OPQ-lite (Ge et al., "Optimized
+    Product Quantization", CVPR 2013, the PCA-initialized variant):
+    an orthogonal change of basis preserves every L2 distance exactly
+    but aligns the subspace split with the data's principal axes, so
+    the per-subspace quantizers stop fighting correlated coordinates.
+    The same matrix must be passed to pq_encode / pq_search.
     """
     ksub = 2 ** int(nbits)
     s = int(sample)
@@ -188,6 +198,8 @@ def pq_train(
         MU = np.asarray(cell_centroids, dtype=np.float64)
         cells = np.array([int(r[1]) for r in rows])
         X = X - MU[cells]
+    if rotation is not None:
+        X = X @ np.asarray(rotation, dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -207,6 +219,7 @@ def pq_encode(
     keep_cols: tuple = (),
     cell_centroids: np.ndarray | None = None,
     cell_col: str = "cell_id",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode vectors to (id, codes[, keep_cols...]) — codes is an
     array<int> of length m with values in [0, 2^nbits). One scan, no
@@ -216,14 +229,17 @@ def pq_encode(
 
     With ``cell_centroids`` each row's RESIDUAL ``x - centroid[cell]``
     is encoded instead of the raw vector (IVFPQ; the codebook must
-    have been trained with the same centroids)."""
+    have been trained with the same centroids). ``rotation`` applies
+    the OPQ-lite basis change after the residual subtract (must match
+    pq_train)."""
     spark = df.sparkSession
     MU = (
         np.asarray(cell_centroids, dtype=np.float64)
         if cell_centroids is not None
         else None
     )
-    bc = spark.sparkContext.broadcast((cb.centroids, MU))
+    R = np.asarray(rotation, dtype=np.float64) if rotation is not None else None
+    bc = spark.sparkContext.broadcast((cb.centroids, MU, R))
     m, dsub = cb.m, cb.dsub
     keep = list(keep_cols)
     if MU is not None and cell_col not in keep:
@@ -233,7 +249,7 @@ def pq_encode(
     )
 
     def encode(batches):
-        C, MU = bc.value  # (m, ksub, dsub), (n_cells, dim) | None
+        C, MU, R = bc.value  # (m, ksub, dsub), (n_cells, dim) | None, (dim, dim) | None
         cn = np.einsum("mkd,mkd->mk", C, C)  # (m, ksub)
         for pdf in batches:
             if len(pdf) == 0:
@@ -241,6 +257,8 @@ def pq_encode(
             X = np.array(list(pdf[vec_col].values), dtype=np.float64)
             if MU is not None:
                 X = X - MU[pdf[cell_col].values.astype(np.int64)]
+            if R is not None:
+                X = X @ R
             S = X.reshape(len(X), m, dsub)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
@@ -267,24 +285,27 @@ def pq_reconstruction_mse(
     vec_col: str = "embedding",
     cell_centroids: np.ndarray | None = None,
     cell_col: str = "cell_id",
+    rotation: np.ndarray | None = None,
 ) -> float:
     """Mean squared reconstruction error of the codebooks over ``df`` —
     the compression-quality number to track against nbits/m choices.
     With ``cell_centroids`` the error is measured on residual encoding
     (reconstruction = centroid + decoded residual), so raw-vs-residual
-    MSE is directly comparable."""
+    MSE is directly comparable; ``rotation`` measures in the OPQ basis
+    (orthogonal, so the MSE is the original-space MSE too)."""
     spark = df.sparkSession
     MU = (
         np.asarray(cell_centroids, dtype=np.float64)
         if cell_centroids is not None
         else None
     )
-    bc = spark.sparkContext.broadcast((cb.centroids, MU))
+    R = np.asarray(rotation, dtype=np.float64) if rotation is not None else None
+    bc = spark.sparkContext.broadcast((cb.centroids, MU, R))
     m, dsub = cb.m, cb.dsub
     cols = [id_col, vec_col] + ([cell_col] if MU is not None else [])
 
     def err(batches):
-        C, MU = bc.value
+        C, MU, R = bc.value
         cn = np.einsum("mkd,mkd->mk", C, C)
         for pdf in batches:
             if len(pdf) == 0:
@@ -292,6 +313,8 @@ def pq_reconstruction_mse(
             X = np.array(list(pdf[vec_col].values), dtype=np.float64)
             if MU is not None:
                 X = X - MU[pdf[cell_col].values.astype(np.int64)]
+            if R is not None:
+                X = X @ R
             S = X.reshape(len(X), m, dsub)
             sq = np.zeros(len(X))
             for j in range(m):
@@ -324,6 +347,7 @@ def pq_search(
     shard_col: str | None = None,
     cand_map: dict[int, frozenset] | None = None,
     cell_centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k over the compressed (id, codes) table: approximate
     squared-L2 where each corpus vector is its PQ reconstruction.
@@ -364,7 +388,7 @@ def pq_search(
         short = pq_search(codes, cb, queries, k=int(rerank) * k, id_col=id_col,
                           qid_col=qid_col, qvec_col=qvec_col,
                           shard_col=shard_col, cand_map=cand_map,
-                          cell_centroids=cell_centroids)
+                          cell_centroids=cell_centroids, rotation=rotation)
         from distributedvectordatabase_spark.operators.knn import _dist_expr
 
         cand = short.select("qid", "neighbor_id").join(
@@ -387,6 +411,7 @@ def pq_search(
         raise ValueError(f"query dim {Q.shape} != codebook dim {cb.dim}")
     m, dsub, ksub = cb.m, cb.dsub, cb.ksub
     C = cb.centroids
+    R = np.asarray(rotation, dtype=np.float64) if rotation is not None else None
     cellpos = None
     if cell_centroids is not None:
         MU = np.asarray(cell_centroids, dtype=np.float64)
@@ -404,6 +429,8 @@ def pq_search(
         # per-(query, probed-cell) LUTs over the residual domain:
         # lut[q, c, j, :] = ||(q - μ_c)_subj - C_j||²
         QR = Q[:, None, :] - MU[cells_used][None, :, :]  # (nq, nc, dim)
+        if R is not None:
+            QR = QR @ R  # OPQ basis change (orthogonal: L2-preserving)
         QS = QR.reshape(len(Q) * len(cells_used), m, dsub)
         flat = np.empty((len(QS), m, ksub))
         for j in range(m):
@@ -418,6 +445,8 @@ def pq_search(
             cellpos[c] = i
     else:
         # per-query subspace LUTs: (nq, m, ksub) squared distances
+        if R is not None:
+            Q = Q @ R  # OPQ basis change (orthogonal: L2-preserving)
         QS = Q.reshape(len(Q), m, dsub)
         lut = np.empty((len(Q), m, ksub))
         for j in range(m):

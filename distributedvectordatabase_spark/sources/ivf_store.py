@@ -142,7 +142,8 @@ class IVFStore:
                 (
                     pq_encode(out, self.pq_codebook(), id_col=self.id_col,
                               vec_col=self.vec_col, keep_cols=("cell_id",),
-                              cell_centroids=C if self.pq_is_residual() else None)
+                              cell_centroids=C if self.pq_is_residual() else None,
+                              rotation=self.pq_rotation())
                     .write.mode("append")
                     .partitionBy("cell_id")
                     .parquet(self._pq_path)
@@ -186,12 +187,32 @@ class IVFStore:
 
     # -- IVFPQ ---------------------------------------------------------------
 
+    def _residual_df(self, df: DataFrame, MU: np.ndarray) -> DataFrame:
+        """(id, _resid) — residual vectors as a column, for fitting the
+        OPQ rotation in residual space. One Arrow pass, no shuffle."""
+        from pyspark.sql.functions import pandas_udf
+
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(MU)
+
+        @pandas_udf("array<double>")
+        def resid(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+            M = bc.value
+            X = np.array(list(vecs.values), dtype=np.float64)
+            X = X - M[cells.values.astype(np.int64)]
+            return pd.Series(list(X))
+
+        return df.select(
+            self.id_col, resid(F.col(self.vec_col), F.col("cell_id")).alias("_resid")
+        )
+
     def build_pq(
         self,
         spark: SparkSession,
         m: int = 16,
         nbits: int = 6,
         residual: bool = True,
+        opq: bool = False,
     ) -> None:
         """Train PQ codebooks over the built store and write the
         compressed (id, codes) table, cell-partitioned like the raw
@@ -208,24 +229,46 @@ class IVFStore:
         so the same m·nbits budget loses less to quantization and ADC
         recall rises (see tests/test_ivf_store.py raw-vs-residual
         comparison). ``residual=False`` keeps the raw-vector encoding
-        for A/B measurement."""
+        for A/B measurement.
+
+        ``opq=True`` additionally fits an orthogonal PCA rotation (on
+        the residuals when ``residual``, else the raw vectors —
+        operators/opq.fit_rotation) and trains/encodes in that basis:
+        OPQ-IVFPQ-lite (Ge et al. CVPR 2013, PCA-initialized variant).
+        The rotation is L2-preserving, so distances and rerank
+        semantics are unchanged — only quantization error drops. The
+        matrix persists in the codebook sidecar; append/knn_pq apply
+        it automatically."""
         import json as _json
 
         from distributedvectordatabase_spark.operators.pq import pq_encode, pq_train
 
         df = self.read(spark)
         MU = self.centroids() if residual else None
+        R = None
+        if opq:
+            from distributedvectordatabase_spark.operators.opq import fit_rotation
+
+            base = (
+                self._residual_df(df, MU).withColumnRenamed("_resid", "_fitvec")
+                if residual
+                else df.select(self.id_col, F.col(self.vec_col).alias("_fitvec"))
+            )
+            R = fit_rotation(base, vec_col="_fitvec", id_col=self.id_col, m=m)
         cb = pq_train(df, vec_col=self.vec_col, m=m, nbits=nbits,
-                      id_col=self.id_col, cell_centroids=MU)
+                      id_col=self.id_col, cell_centroids=MU, rotation=R)
         (
             pq_encode(df, cb, id_col=self.id_col, vec_col=self.vec_col,
-                      keep_cols=("cell_id",), cell_centroids=MU)
+                      keep_cols=("cell_id",), cell_centroids=MU, rotation=R)
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(self._pq_path)
         )
+        side = {**cb.to_dict(), "residual": bool(residual)}
+        if R is not None:
+            side["rotation"] = R.tolist()
         with open(self._pq_codebook_path, "w") as f:
-            _json.dump({**cb.to_dict(), "residual": bool(residual)}, f)
+            _json.dump(side, f)
 
     def pq_codebook(self):
         import json as _json
@@ -240,6 +283,13 @@ class IVFStore:
 
         with open(self._pq_codebook_path) as f:
             return bool(_json.load(f).get("residual", False))
+
+    def pq_rotation(self) -> np.ndarray | None:
+        import json as _json
+
+        with open(self._pq_codebook_path) as f:
+            r = _json.load(f).get("rotation")
+        return np.array(r, dtype=np.float64) if r is not None else None
 
     def knn_pq(
         self,
@@ -278,6 +328,7 @@ class IVFStore:
             rerank=rerank, corpus=corpus, vec_col=self.vec_col,
             shard_col="cell_id", cand_map=cand_map,
             cell_centroids=C if self.pq_is_residual() else None,
+            rotation=self.pq_rotation(),
         )
 
     # -- query ---------------------------------------------------------------
