@@ -248,6 +248,32 @@ def main() -> None:
         bq = tix.bm25(spark, ["w7", "w42", "w4999"], k=10)
         timings["bm25_indexed"] = timed_min(lambda: bq.count())
 
+        # persistent signature store: pay corpus signatures once, then
+        # each ingest batch joins against pruned band buckets instead
+        # of recomputing the corpus side (vs minhash_neardup_join which
+        # recomputes it per batch)
+        from distributedvectordatabase_spark.operators.dedup import (
+            minhash_neardup_join,
+        )
+        from distributedvectordatabase_spark.sources.sig_store import SigStore
+
+        batch = docs.filter(is_bench)  # ~1/16 of docs as the "new" batch
+        corpus_side = docs.filter(~is_bench)
+        sig = SigStore(
+            os.path.join(tmp, "sig_store"), bands=4, rows=3, shingle_n=3,
+            n_buckets=32,
+        )
+        t0 = time.perf_counter()
+        sig.build(corpus_side)
+        timings["sig_store_build"] = round(time.perf_counter() - t0, 3)
+        sj = sig.join_batch(batch, threshold=0.7)
+        timings["sig_store_join_batch"] = timed_min(lambda: sj.count())
+        oneshot = minhash_neardup_join(
+            batch, corpus_side, threshold=0.7, bands=4, rows=3, shingle_n=3
+        )
+        timings["minhash_join_oneshot"] = timed_min(lambda: oneshot.count())
+        text_stats["sig_store_batch_hits"] = sj.count()
+
         # mixture sampling at scale: epoch expansion is map-side only
         # (should track the scan rate); stratified quota compares the
         # survivor-prefilter path against the full-window form it must

@@ -32,7 +32,14 @@ KW = dict(threshold=0.9, bands=2, rows=6)
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, "documents", SF_SMALL).cache()
+    # cache for the module, but UNPERSIST at teardown: Spark's
+    # CacheManager substitutes InMemoryRelation for any later query
+    # over the same plan fragment, which would silently break the
+    # plan-shape (column-pruning) assertions in tests/test_plans.py
+    # run in the same session
+    df = load_table(spark, "documents", SF_SMALL).cache()
+    yield df
+    df.unpersist()
 
 
 def _pairs(df):
