@@ -318,3 +318,111 @@ def stream_knn_serve(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_ingest(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    sig_path: str,
+    *,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 3,
+    shingle_n: int | None = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming incremental NEAR-dup curation: each micro-batch of new
+    documents is checked against the accumulated corpus via the
+    persistent :class:`~...sources.sig_store.SigStore` (band-bucket
+    pruned join — the corpus is never re-signed), survivors land in the
+    sink and their signatures append to the store, so batch N+1 is
+    deduped against everything batch 0..N kept. The streaming form of
+    the curation loop `stream_dedup_documents` covers for EXACT dups.
+
+    Keep rule (deterministic): a document is dropped if it near-dups
+    (verified Jaccard ≥ threshold) any previously KEPT corpus document,
+    or any same-batch document with a smaller id (greedy keep-first —
+    the same rule class as the exact-dedup keep-first; batch-sequential
+    fold equivalence is pinned in tests/test_streaming.py).
+
+    Exactly-once shape: each batch overwrites its own ``batch=<id>``
+    sink directory (replays rewrite identical bytes), and a marker file
+    next to the signature store records the last batch whose signatures
+    committed — a replayed batch id ≤ marker skips the append. The sink
+    write, signature append, and marker write are not atomic: a crash
+    between them replays the whole batch; the sink overwrite is
+    idempotent, and a crash after the signature append but before the
+    marker re-appends duplicate signature rows — detectable
+    (corpus_toks count > sink count) and repairable by rebuilding the
+    store from the sink (signatures are derived data, same contract as
+    IVFStore.append's codes table).
+    """
+    import json
+    import os
+
+    from distributedvectordatabase_spark.operators.dedup import (
+        minhash_neardup_pairs,
+    )
+    from distributedvectordatabase_spark.sources.sig_store import SigStore
+
+    marker_path = os.path.join(sig_path, "_ingest_marker.json")
+
+    def committed_batch() -> int:
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                return int(json.load(f)["batch_id"])
+        return -1
+
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= committed_batch():
+            return  # replayed batch whose signatures already committed
+        if batch_df.isEmpty():
+            return
+        sig = SigStore(
+            sig_path, bands=bands, rows=rows, shingle_n=shingle_n
+        )
+        batch = batch_df
+        # 1) drop docs near-dupping the accumulated corpus
+        if os.path.exists(os.path.join(sig_path, "_config.json")):
+            hits = sig.join_batch(
+                batch, threshold=threshold, id_col=id_col, text_col=text_col
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            batch = batch.join(hits, id_col, "left_anti")
+        # 2) greedy keep-first within the batch (drop the larger id of
+        # every verified pair)
+        pairs = minhash_neardup_pairs(
+            batch, threshold=threshold, bands=bands, rows=rows,
+            text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        )
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = batch.join(losers, id_col, "left_anti")
+        # pin the survivor set: the sink write and the signature append
+        # must see the SAME rows even if the source is non-deterministic
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+        if os.path.exists(os.path.join(sig_path, "_config.json")):
+            sig.append(survivors, id_col=id_col, text_col=text_col)
+        else:
+            sig.build(survivors, id_col=id_col, text_col=text_col)
+        with open(marker_path, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -388,3 +388,85 @@ def test_stream_knn_serve_matches_batch_and_resumes(spark, tmp_path):
     assert all_res.count() == 8 * 5
     # batch partition column discovered from the directory layout
     assert all_res.select("batch").distinct().count() == 2
+
+
+def test_stream_neardup_ingest_matches_sequential_fold(spark, tmp_path):
+    """Streaming near-dup curation over the SigStore must equal the
+    sequential batch fold of the same keep rule: drop a doc if it
+    verified-near-dups any previously KEPT doc or a smaller-id doc in
+    its own batch — and the signature store must accumulate exactly
+    the survivors."""
+    from distributedvectordatabase_spark.operators.dedup import (
+        minhash_neardup_join,
+        minhash_neardup_pairs,
+    )
+    from distributedvectordatabase_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        land(b, f"f{i}")
+
+    kw = dict(threshold=0.7, bands=4, rows=3, shingle_n=3)
+    sink = str(tmp_path / "sink")
+    sig_path = str(tmp_path / "sig")
+    q = stream_neardup_ingest(
+        spark, str(src), sink, str(tmp_path / "ckpt"), sig_path,
+        max_files_per_trigger=1, **kw,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()}
+
+    # sequential fold oracle (file order == doc_id % 3 order because
+    # maxFilesPerTrigger=1 consumes files in landing order)
+    kept: set[int] = set()
+    kept_df = None
+    for b in batches:
+        if kept_df is not None:
+            hits = minhash_neardup_join(b, kept_df, **kw)
+            drop = {r.new_id for r in hits.select("new_id").distinct().collect()}
+            b = b.filter(~F.col("doc_id").isin(list(drop)) if drop else F.lit(True))
+        pairs = minhash_neardup_pairs(b, **kw)
+        losers = {r.doc_b for r in pairs.select("doc_b").distinct().collect()}
+        if losers:
+            b = b.filter(~F.col("doc_id").isin(list(losers)))
+        kept |= {r.doc_id for r in b.select("doc_id").collect()}
+        kept_df = docs.filter(F.col("doc_id").isin(list(kept)))
+
+    assert got == kept
+    assert len(got) > 0 and len(got) < docs.count()  # something dropped
+
+    # the signature store holds exactly the survivors
+    from distributedvectordatabase_spark.sources.sig_store import SigStore
+
+    sig = SigStore(sig_path)
+    assert {
+        r.doc_id for r in sig.corpus_toks(spark).select("doc_id").collect()
+    } == got
+
+    # replay idempotency: re-running the finished stream with the same
+    # checkpoint adds nothing to sink or store
+    q = stream_neardup_ingest(
+        spark, str(src), sink, str(tmp_path / "ckpt"), sig_path,
+        max_files_per_trigger=1, **kw,
+    )
+    q.awaitTermination(180)
+    assert {r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()} == got
+    assert sig.corpus_toks(spark).count() == len(got)
