@@ -60,6 +60,7 @@ HEADLINE = [
     "lineitem_price_stats",
     "doc_tfidf_top3",
     "doc_bm25_topk",
+    "hybrid_rrf_topk",
     "doc_chunks",
     "doc_sample_fingerprint",
     "embedding_neardup",

@@ -786,6 +786,80 @@ def _run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_K = 10
+HYBRID_FETCH = 40
+RRF_C = 60
+
+
+def _run_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end-to-end (the reference's whole user surface
+    is query-by-vector, coordinator_server.py:76-141; real systems pair
+    it with a lexical leg): exact cosine kNN over embeddings + BM25
+    over documents, fused with reciprocal-rank fusion. Gates
+    operators/search.hybrid_topk (and through it rrf_fuse), with the
+    semantic leg ranked on the 1e-6-quantized distance so rank
+    positions — the only thing RRF consumes — are engine-deterministic
+    (see hybrid_topk's dist_quantize doc)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.search import hybrid_topk
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    qvec = corpus.filter(F.col("vec_id") == 0).first().embedding
+    out = hybrid_topk(
+        docs,
+        corpus,
+        qvec,
+        list(BM25_TERMS),
+        k=HYBRID_K,
+        fetch_k=HYBRID_FETCH,
+        rrf_c=RRF_C,
+        metric="cosine",
+        dist_quantize=6,
+    )
+    return out.select("doc_id", _qz_col("rrf_score").alias("rrf_score"), "rnk")
+
+
+def hybrid_rrf_oracle_sql(
+    k: int = HYBRID_K, fetch: int = HYBRID_FETCH, c: int = RRF_C
+) -> str:
+    """DuckDB twin of the hybrid gate: same over-fetch depth per leg,
+    same quantized-distance semantic ranking, same BM25 leg as
+    bm25_oracle_sql, same full-outer RRF (a missing leg contributes 0).
+    1.0/(c + rank) on exact integer ranks is two correctly-rounded IEEE
+    ops, so the raw fused score is engine-identical and safe to rank on."""
+    cd = _cos_dist("q.qvec", "e.embedding", DUCKDB)
+    cf = repr(float(c))
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    vd AS (
+      SELECT e.vec_id AS doc_id, {_qz(cd)} AS qdist
+      FROM q CROSS JOIN embeddings e
+      ORDER BY {cd}, e.vec_id
+      LIMIT {fetch}
+    ),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY qdist, doc_id) AS rnk FROM vd
+    ),
+    txt AS (SELECT doc_id, rnk FROM ({bm25_oracle_sql(k=fetch)}) b),
+    fused AS (
+      SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+             coalesce(1.0 / ({cf} + v.rnk), 0.0)
+             + coalesce(1.0 / ({cf} + t.rnk), 0.0) AS rrf
+      FROM vec v FULL OUTER JOIN txt t ON v.doc_id = t.doc_id
+    )
+    SELECT doc_id, {_qz('rrf')} AS rrf_score, rnk
+    FROM (
+      SELECT doc_id, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    ) x
+    WHERE rnk <= {k}
+    """
+
+
 def _q_decontam(d: str) -> str:
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap):
     a deterministic md5 key split carves ~1/16 of documents out as the
@@ -2596,5 +2670,9 @@ def build_catalog() -> dict[str, Query]:
             _run_strat_sample_weighted,
             _q_strat_sample_weighted(DUCKDB),
         ),
+        # r5: hybrid retrieval (cosine kNN + BM25, RRF-fused) — the
+        # composed search surface. Past the gate cap — strict-checked
+        # locally like the rest of the overflow.
+        Query("hybrid_rrf_topk", _run_hybrid_rrf, hybrid_rrf_oracle_sql()),
     ]
     return {q.name: q for q in qs}

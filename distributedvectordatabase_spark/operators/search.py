@@ -166,30 +166,34 @@ def rrf_fuse(
     each leg carrying per-query ranks, and the fusion joins and ranks
     per query — one plan for the whole batch, no driver loop.
 
-    The fusion is a full outer join plus one fixed-shape arithmetic
-    expression — no aggregation, so the score is deterministic (no
-    summation-order dependence) and engine-portable. RRF only consumes
-    RANKS, which makes it the right fusion for legs whose scores live
-    on incomparable scales (cosine distance vs BM25) — no score
-    normalization step, nothing to tune but ``c``.
+    The fusion is a union plus one sum-by-id — full-outer-join
+    SEMANTICS (the union covers ids present on either leg) without a
+    join operator: full outer can't broadcast in Spark, so the join
+    form would force a sort-merge even on two k-row legs, while the
+    union form is a single hash aggregation on (by, id). The score
+    stays deterministic: each id aggregates at most TWO doubles, and
+    IEEE addition of two values is commutative, so no
+    summation-order dependence exists to worry about. RRF only
+    consumes RANKS, which makes it the right fusion for legs whose
+    scores live on incomparable scales (cosine distance vs BM25) — no
+    score normalization step, nothing to tune but ``c``.
 
     Scale note: single-query inputs are ≤ k rows, trivially
     broadcastable; batched inputs are O(n_queries · k) rows and the
-    join/rank both key on (by, id) — still tiny relative to any corpus.
+    aggregation/rank both key on (by, id) — still tiny relative to
+    any corpus.
     """
     c = float(c)
     by = list(by)
     k = max(int(k), 1)
-    fa = a.select(*by, F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_a"))
-    fb = b.select(*by, F.col(id_col).alias("id"), F.col(rnk_col).alias("rnk_b"))
+    contrib = F.lit(1.0) / (F.lit(c) + F.col(rnk_col))
+    fa = a.select(*by, F.col(id_col).alias("id"), contrib.alias("contrib"))
+    fb = b.select(*by, F.col(id_col).alias("id"), contrib.alias("contrib"))
     w = Window.partitionBy(*by).orderBy(F.col("rrf_score").desc(), F.col("id"))
     return (
-        fa.join(fb, [*by, "id"], "full_outer")
-        .withColumn(
-            "rrf_score",
-            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_a")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_b")), F.lit(0.0)),
-        )
+        fa.unionByName(fb)
+        .groupBy(*by, "id")
+        .agg(F.sum("contrib").alias("rrf_score"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(*by, F.col("id").alias(id_col), "rrf_score", "rnk")
@@ -209,6 +213,7 @@ def hybrid_topk(
     text_col: str = "text",
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dist_quantize: int | None = None,
 ) -> DataFrame:
     """Single-query hybrid search: the semantic leg (exact kNN over the
     embedding table, operators/knn.knn_single) and the lexical leg
@@ -219,17 +224,29 @@ def hybrid_topk(
     BOTH legs can beat one ranked highly on a single leg. Embedding ids
     are assumed to be document ids (the testdata contract; pass a
     mapping join upstream otherwise).
+
+    ``dist_quantize`` (decimals) ranks the semantic leg on the
+    quantized distance with the id tie-break instead of the raw
+    double. RRF consumes rank POSITIONS, so an ulp-level distance
+    difference between runs/engines/BLAS builds would otherwise flip
+    a rank and move the fused score by a quantum — quantized ranking
+    makes the fusion reproducible wherever the distances agree to the
+    grain (the engine-parity guarantee the kNN gates pin).
     """
     from distributedvectordatabase_spark.operators.knn import knn_single
 
     fetch = int(fetch_k) if fetch_k is not None else 4 * max(int(k), 1)
+    dist_order = F.col("dist")
+    if dist_quantize is not None:
+        m = float(10 ** int(dist_quantize))
+        dist_order = F.floor(dist_order * F.lit(m) + F.lit(0.5)) / F.lit(m)
     vec_leg = knn_single(
         embeddings, query_vector, k=fetch, metric=metric,
         id_col=emb_id_col, vec_col=vec_col,
     ).select(
         F.col("neighbor_id").alias(id_col),
         F.row_number()
-        .over(Window.orderBy(F.col("dist"), F.col("neighbor_id")))
+        .over(Window.orderBy(dist_order, F.col("neighbor_id")))
         .alias("rnk"),
     )
     text_leg = bm25_topk(docs, terms, k=fetch, id_col=id_col, text_col=text_col)
