@@ -25,6 +25,22 @@ single task owns a whole shard.
 Deviation (SURVEY §4): auto-generated IDs are globally unique
 (max_id + monotonic offset), not the reference's per-shard counters
 which collide across shards (shard/shard_node.py:49,77-80).
+
+Beyond the reference (which has no delete/update endpoint —
+coordinator_server.py exposes only add_vectors/search/stats):
+merge-on-read DELETE/UPSERT, the operation a training-data store
+needs for take-downs. Every written row carries a ``_gen``
+generation; ``delete()`` appends (id, gen) tombstones to the hidden
+``_tombstones/`` sidecar (underscore-prefixed, so Spark's file index
+never scans it as data); ``read()`` drops a row when a tombstone for
+its id has gen >= the row's — one broadcast join of a tiny
+aggregated tombstone table above the scan, so shard partition
+pruning and filter pushdown are unaffected. ``compact()`` folds
+tombstones in physically and clears them. The delete gen is
+persisted to the sidecar config BEFORE tombstones are written and
+the write gen only AFTER a successful data write, so a crash
+anywhere leaves at most an unused gen number, never a resurrected
+or wrongly-killed row.
 """
 
 from __future__ import annotations
@@ -81,7 +97,19 @@ class VectorStore:
     def _lsh_config_path(self) -> str:
         return os.path.join(self.path, "_lsh.json")
 
-    def _write_lsh_config(self) -> None:
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "_tombstones")
+
+    def _gen(self) -> int:
+        """Last persisted write/delete generation (0 for a new or
+        pre-generation store)."""
+        if os.path.exists(self._lsh_config_path):
+            with open(self._lsh_config_path) as f:
+                return int(json.load(f).get("gen", 0))
+        return 0
+
+    def _write_lsh_config(self, gen: int | None = None) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(self._lsh_config_path, "w") as f:
             json.dump(
@@ -92,13 +120,14 @@ class VectorStore:
                     "seed": self.lsh.seed,
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
+                    "gen": self._gen() if gen is None else int(gen),
                 },
                 f,
             )
 
     # -- ingest -------------------------------------------------------------
 
-    def _prepare(self, df: DataFrame, validate_dim: bool) -> DataFrame:
+    def _prepare(self, df: DataFrame, validate_dim: bool, gen: int = 1) -> DataFrame:
         """``validate_dim`` is free: the bucketing pandas_udf checks the
         vector length in-flight (SignLSH.bucket_udf), so validation
         costs zero extra scans — the old eager form pre-scanned the
@@ -107,6 +136,7 @@ class VectorStore:
         DimensionMismatchError by write()/append()."""
         if self.id_col not in df.columns:
             df = df.withColumn(self.id_col, F.monotonically_increasing_id())
+        df = df.withColumn("_gen", F.lit(int(gen)))
         out = self.lsh.assign(df, vec_col=self.vec_col, out="shard_id")
         # Spread each shard over several writer tasks so one task never
         # owns a whole shard directory (skew + parallelism at scale).
@@ -130,9 +160,21 @@ class VectorStore:
         )
 
     def _write(self, df: DataFrame, mode: str, validate_dim: bool) -> None:
+        if mode == "append" and os.path.exists(self._lsh_config_path):
+            raw = df.sparkSession.read.parquet(self.path)
+            if "_gen" not in raw.columns:
+                raise ValueError(
+                    "store predates delete support (no _gen column); run "
+                    "compact(spark) once to upgrade before appending"
+                )
+        gen = self._gen() + 1
         try:
-            self._prepare(df, validate_dim).write.mode(mode).partitionBy("shard_id").parquet(self.path)
-            self._write_lsh_config()
+            self._prepare(df, validate_dim, gen=gen).write.mode(mode).partitionBy("shard_id").parquet(self.path)
+            # gen persisted only AFTER the data lands: a crash mid-write
+            # leaves the counter unbumped, and a later delete at this
+            # same gen number correctly covers the orphan rows (the
+            # survival rule is strict row._gen > tombstone gen)
+            self._write_lsh_config(gen=gen)
         except Exception as e:  # surface the in-flight dim check typed
             if validate_dim and "dimension mismatch" in str(e):
                 raise DimensionMismatchError(
@@ -149,7 +191,20 @@ class VectorStore:
         the current max id, globally unique."""
         spark = df.sparkSession
         if self.id_col not in df.columns and os.path.exists(self.path):
-            start = self.read(spark).agg(F.max(self.id_col)).first()[0] or 0
+            # max over the RAW rows plus tombstoned ids — a deleted id
+            # must never be reissued (its tombstone would silently kill
+            # the new row)
+            start = (
+                spark.read.parquet(self.path).agg(F.max(self.id_col)).first()[0]
+                or 0
+            )
+            if os.path.exists(self._tombstone_path):
+                t = (
+                    spark.read.parquet(self._tombstone_path)
+                    .agg(F.max(self.id_col))
+                    .first()[0]
+                )
+                start = max(start, t or 0)
             df = df.withColumn(
                 self.id_col, F.monotonically_increasing_id() + F.lit(start + 1)
             )
@@ -164,13 +219,18 @@ class VectorStore:
         time. Compaction restores the build-time layout: read,
         repartition on (shard_id, spread), rewrite. The new copy is
         fully materialized in a sibling directory before the old one is
-        removed, so a failed compaction never loses the store."""
+        removed, so a failed compaction never loses the store.
+
+        Also folds tombstones in: only live rows are rewritten (with
+        their ``_gen``), and the swap drops the ``_tombstones/``
+        sidecar with the old directory — physical deletion happens
+        here, exactly like merge-on-read table formats."""
         import shutil
 
         tmp = self.path.rstrip("/") + "__compacting"
         spread = (F.abs(F.hash(self.id_col)) % self.files_per_shard).alias("_spread")
         (
-            self.read(spark)
+            self._read_live(spark)
             .repartition(self.lsh.num_tables * self.files_per_shard, F.col("shard_id"), spread)
             .write.mode("overwrite")
             .partitionBy("shard_id")
@@ -184,10 +244,69 @@ class VectorStore:
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
+    # -- delete / upsert ----------------------------------------------------
+
+    def delete(self, spark: SparkSession, ids) -> None:
+        """Merge-on-read delete: hide every current row whose id is in
+        ``ids`` (a list/iterable or a one-column DataFrame). O(deleted)
+        bytes written, nothing rewritten — ``compact()`` reclaims the
+        space. Rows appended AFTER the delete are untouched, so
+        delete-then-append of the same id is a well-defined upsert."""
+        gen = self._gen() + 1
+        # persist the gen BEFORE the tombstones exist: if we crashed
+        # between the two, a burned gen number is harmless, while the
+        # reverse order could hand a later append the tombstone's own
+        # gen and wrongly kill its rows
+        self._write_lsh_config(gen=gen)
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(self.id_col))
+        else:
+            tomb = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{self.id_col} long"
+            )
+        tomb.withColumn("_del_gen", F.lit(gen)).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._tombstone_path)
+
+    def upsert(self, df: DataFrame, validate_dim: bool = True) -> None:
+        """Replace-by-id: tombstone the incoming ids, then append the
+        new rows (their write gen is strictly greater than the delete
+        gen, so they survive the tombstone). Ids absent from the store
+        insert cleanly — the stray tombstones match nothing."""
+        if self.id_col not in df.columns:
+            raise ValueError(f"upsert requires an explicit {self.id_col!r} column")
+        self.delete(df.sparkSession, df.select(self.id_col))
+        self._write(df, "append", validate_dim)
+
     # -- read / query -------------------------------------------------------
 
+    def _read_live(self, spark: SparkSession) -> DataFrame:
+        """All live rows, ``_gen`` retained (internal; read() drops it).
+
+        The tombstone side aggregates to one row per deleted id and is
+        broadcast — deletes are rare relative to the corpus, and the
+        join sits ABOVE the scan, so shard_id partition pruning and
+        predicate pushdown on the store side are unaffected. If
+        tombstones ever grow large, compact() folds them away.
+        """
+        raw = spark.read.parquet(self.path)
+        if "_gen" not in raw.columns:  # pre-generation store
+            raw = raw.withColumn("_gen", F.lit(0))
+        if not os.path.exists(self._tombstone_path):
+            return raw
+        tomb = (
+            spark.read.parquet(self._tombstone_path)
+            .groupBy(self.id_col)
+            .agg(F.max("_del_gen").alias("_tomb_gen"))
+        )
+        return (
+            raw.join(F.broadcast(tomb), self.id_col, "left")
+            .filter(F.col("_tomb_gen").isNull() | (F.col("_gen") > F.col("_tomb_gen")))
+            .drop("_tomb_gen")
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return self._read_live(spark).drop("_gen")
 
     def knn(self, spark: SparkSession, queries: DataFrame, k: int = 10, pruned: bool = True,
             num_candidates: int = 2, metric: str = "l2sq", **kw) -> DataFrame:

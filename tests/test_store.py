@@ -111,3 +111,124 @@ def test_compact_shrinks_files_preserves_content(spark, tmp_path):
     assert n_after <= s.lsh.num_tables * s.files_per_shard
     after_rows = {(r.vec_id,) for r in s.read(spark).select("vec_id").collect()}
     assert after_rows == before_rows and len(after_rows) == 500
+
+
+def test_delete_hides_rows_and_knn_excludes(spark, tmp_path):
+    path = str(tmp_path / "del_store")
+    vs = VectorStore(path, SignLSH(dim=64))
+    vs.write(load_table(spark, "embeddings", SF_DIR))
+    vs.delete(spark, [0, 1, 2])
+    back = vs.read(spark)
+    assert back.count() == 497
+    assert back.filter(F.col("vec_id").isin([0, 1, 2])).count() == 0
+    # search never returns a deleted vector
+    queries = queries_fixture(spark, SF_DIR, n=5)
+    hits = vs.knn(spark, queries, k=10, pruned=False)
+    assert hits.filter(F.col("neighbor_id").isin([0, 1, 2])).count() == 0
+    # raw files untouched (merge-on-read: delete wrote only tombstones)
+    assert spark.read.parquet(path).count() == 500
+
+
+def test_delete_then_append_same_id_is_upsert(spark, tmp_path):
+    path = str(tmp_path / "upsert_store")
+    vs = VectorStore(path, SignLSH(dim=4))
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    vs.write(df)
+    new = spark.createDataFrame(
+        [(3, [9.0, 9.0, 9.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    vs.upsert(new)
+    back = vs.read(spark)
+    assert back.count() == 5  # still 5 live ids
+    got = back.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    assert [float(x) for x in got] == [9.0, 9.0, 9.0, 9.0]
+    # upserting a brand-new id inserts it
+    vs.upsert(
+        spark.createDataFrame(
+            [(42, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+        )
+    )
+    assert vs.read(spark).count() == 6
+
+
+def test_compact_folds_tombstones_physically(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "fold_store")
+    vs = VectorStore(path, SignLSH(dim=64))
+    vs.write(load_table(spark, "embeddings", SF_DIR))
+    vs.delete(spark, list(range(10)))
+    live_before = {r.vec_id for r in vs.read(spark).select("vec_id").collect()}
+    vs.compact(spark)
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    assert spark.read.parquet(path).count() == 490  # physically gone
+    assert {r.vec_id for r in vs.read(spark).select("vec_id").collect()} == live_before
+    # deletes keep working after the fold
+    vs.delete(spark, [10])
+    assert vs.read(spark).count() == 489
+
+
+def test_auto_id_never_reuses_a_deleted_id(spark, tmp_path):
+    path = str(tmp_path / "reuse_store")
+    vs = VectorStore(path, SignLSH(dim=4))
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    vs.write(df)
+    vs.delete(spark, [4])  # the max id
+    rng = np.random.RandomState(1)
+    vs.append(
+        spark.createDataFrame(
+            [(rng.standard_normal(4).astype(float).tolist(),)],
+            "embedding array<float>",
+        )
+    )
+    back = vs.read(spark)
+    assert back.count() == 5
+    new_id = back.agg(F.max("vec_id")).first()[0]
+    assert new_id > 4  # the tombstoned id was not reissued (and the new
+    # row is visible — a reissued id 4 would have been silently killed)
+
+
+def test_legacy_store_without_gen_column(spark, tmp_path):
+    """A store written before delete support (no _gen column): reads
+    treat every row as gen 0, delete works, and append demands the
+    compact() upgrade instead of mixing file schemas."""
+    import json as _json
+    import os
+
+    path = str(tmp_path / "legacy_store")
+    lsh = SignLSH(dim=4)
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    # simulate the old on-disk format: partitioned parquet + _lsh.json,
+    # no _gen column
+    lsh.assign(df, vec_col="embedding", out="shard_id").write.partitionBy(
+        "shard_id"
+    ).parquet(path)
+    with open(os.path.join(path, "_lsh.json"), "w") as f:
+        _json.dump(
+            {"dim": 4, "num_fns": lsh.num_fns, "num_tables": lsh.num_tables,
+             "seed": lsh.seed, "id_col": "vec_id", "vec_col": "embedding"},
+            f,
+        )
+    vs = VectorStore(path)
+    assert vs.read(spark).count() == 5
+    vs.delete(spark, [0])
+    assert vs.read(spark).count() == 4
+    with pytest.raises(ValueError, match="compact"):
+        vs.append(df.filter(F.col("vec_id") == 0).drop("vec_id"))
+    vs.compact(spark)  # the upgrade path: rewrites with _gen
+    assert "_gen" in spark.read.parquet(path).columns
+    vs.append(
+        spark.createDataFrame(
+            [([7.0, 7.0, 7.0, 7.0],)], "embedding array<float>"
+        )
+    )
+    assert vs.read(spark).count() == 5
