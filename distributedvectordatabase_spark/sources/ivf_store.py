@@ -66,6 +66,25 @@ class IVFStore:
     def _centroid_path(self) -> str:
         return os.path.join(self.path, "_centroids.json")
 
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "_tombstones")
+
+    def _gen(self) -> int:
+        """Last persisted write/delete generation (see
+        sources/tombstones.py for the ordering contract)."""
+        if os.path.exists(self._centroid_path):
+            with open(self._centroid_path) as f:
+                return int(json.load(f).get("gen", 0))
+        return 0
+
+    def _persist_gen(self, gen: int) -> None:
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        side["gen"] = int(gen)
+        with open(self._centroid_path, "w") as f:
+            json.dump(side, f)
+
     # underscore-prefixed entries are invisible to spark.read.parquet
     # on self.path, so the compressed table and its codebook can live
     # inside the store directory without polluting the raw scan
@@ -90,11 +109,19 @@ class IVFStore:
         model = KMeans(
             k=self.n_cells, seed=self.seed, featuresCol="_f", predictionCol="cell_id"
         ).fit(feats)
-        assigned = model.transform(feats).select(self.id_col, self.vec_col, "cell_id")
+        assigned = model.transform(feats).select(
+            self.id_col, self.vec_col, "cell_id"
+        ).withColumn("_gen", F.lit(1))
+        # the static overwrite drops the whole store dir, tombstones and
+        # sidecars included — a rebuild starts a fresh delete history
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(self.path)
         centers = [list(map(float, np.asarray(c))) for c in model.clusterCenters()]
         with open(self._centroid_path, "w") as f:
-            json.dump({"n_cells": self.n_cells, "seed": self.seed, "centers": centers}, f)
+            json.dump(
+                {"n_cells": self.n_cells, "seed": self.seed, "centers": centers,
+                 "gen": 1},
+                f,
+            )
 
     def centroids(self) -> np.ndarray:
         with open(self._centroid_path) as f:
@@ -116,9 +143,17 @@ class IVFStore:
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             return pd.Series(d2.argmin(axis=1), dtype="int32")
 
+        if os.path.exists(self._centroid_path):
+            raw_cols = df.sparkSession.read.parquet(self.path).columns
+            if "_gen" not in raw_cols:
+                raise ValueError(
+                    "store predates delete support (no _gen column); run "
+                    "compact(spark) once to upgrade before appending"
+                )
+        gen = self._gen() + 1
         out = df.select(self.id_col, self.vec_col).withColumn(
             "cell_id", nearest_cell(F.col(self.vec_col))
-        )
+        ).withColumn("_gen", F.lit(gen))
         has_pq = os.path.exists(self._pq_codebook_path)
         if has_pq:
             # pin the assigned batch so the raw write and the codes
@@ -141,7 +176,7 @@ class IVFStore:
             try:
                 (
                     pq_encode(out, self.pq_codebook(), id_col=self.id_col,
-                              vec_col=self.vec_col, keep_cols=("cell_id",),
+                              vec_col=self.vec_col, keep_cols=("cell_id", "_gen"),
                               cell_centroids=C if self.pq_is_residual() else None,
                               rotation=self.pq_rotation())
                     .write.mode("append")
@@ -150,6 +185,8 @@ class IVFStore:
                 )
             finally:
                 out.unpersist()
+        # gen persists only after the data lands (tombstones.py contract)
+        self._persist_gen(gen)
 
     def compact(self, spark: SparkSession, files_per_cell: int = 1) -> None:
         """Rewrite each cell into ``files_per_cell`` files. Appends leave
@@ -161,21 +198,25 @@ class IVFStore:
         tmp = self.path.rstrip("/") + "__compacting"
         spread = (F.abs(F.hash(self.id_col)) % files_per_cell).alias("_spread")
         (
-            self.read(spark)
+            self._read_live(spark)
             .repartition(self.n_cells * files_per_cell, F.col("cell_id"), spread)
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(tmp)
         )
-        # the centroid sidecar lives inside the store dir — carry it over,
-        # along with the IVFPQ sidecars if built (compaction only changes
-        # the raw table's file layout; the derived codes are untouched)
+        # the centroid sidecar lives inside the store dir — carry it
+        # over, along with the IVFPQ sidecars if built. Tombstones are
+        # NOT carried: this rewrite folds them into both tables (live
+        # codes rewritten below), so the swap is the physical delete.
         shutil.copy(
             self._centroid_path, os.path.join(tmp, os.path.basename(self._centroid_path))
         )
         if os.path.exists(self._pq_path):
-            shutil.copytree(
-                self._pq_path, os.path.join(tmp, os.path.basename(self._pq_path))
+            (
+                self._codes_live(spark)
+                .write.mode("overwrite")
+                .partitionBy("cell_id")
+                .parquet(os.path.join(tmp, os.path.basename(self._pq_path)))
             )
         if os.path.exists(self._pq_codebook_path):
             shutil.copy(
@@ -243,7 +284,9 @@ class IVFStore:
 
         from distributedvectordatabase_spark.operators.pq import pq_encode, pq_train
 
-        df = self.read(spark)
+        # live rows only, _gen retained: the codes table mirrors the raw
+        # rows' generations so later deletes filter both tables alike
+        df = self._read_live(spark)
         MU = self.centroids() if residual else None
         R = None
         if opq:
@@ -259,7 +302,7 @@ class IVFStore:
                       id_col=self.id_col, cell_centroids=MU, rotation=R)
         (
             pq_encode(df, cb, id_col=self.id_col, vec_col=self.vec_col,
-                      keep_cols=("cell_id",), cell_centroids=MU, rotation=R)
+                      keep_cols=("cell_id", "_gen"), cell_centroids=MU, rotation=R)
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(self._pq_path)
@@ -318,7 +361,7 @@ class IVFStore:
             order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
             cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
         probed = sorted({c for s in cand_map.values() for c in s})
-        codes = spark.read.parquet(self._pq_path).filter(
+        codes = self._codes_live(spark).drop("_gen").filter(
             F.col("cell_id").isin(probed)
         )
         corpus = self.read(spark).filter(F.col("cell_id").isin(probed))
@@ -331,10 +374,48 @@ class IVFStore:
             rotation=self.pq_rotation(),
         )
 
+    # -- delete / upsert -----------------------------------------------------
+
+    def delete(self, spark: SparkSession, ids) -> None:
+        """Merge-on-read delete (same mechanics as VectorStore.delete —
+        see sources/tombstones.py): tombstones filter BOTH the raw
+        table and the PQ codes table, so ADC shortlists never spend
+        slots on dead ids and ``rerank=0`` results stay correct.
+        ``compact()`` folds both tables physically."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            append_tombstones,
+        )
+
+        gen = self._gen() + 1
+        self._persist_gen(gen)  # gen durable BEFORE its tombstones exist
+        append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
+
+    def upsert(self, df: DataFrame) -> None:
+        """Replace-by-id: tombstone the incoming ids, then append (the
+        new rows' gen out-ranks the tombstone). Codes stay in sync via
+        append's encode path."""
+        self.delete(df.sparkSession, df.select(self.id_col))
+        self.append(df)
+
     # -- query ---------------------------------------------------------------
 
+    def _read_live(self, spark: SparkSession) -> DataFrame:
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        return filter_live(
+            spark, spark.read.parquet(self.path), self._tombstone_path, self.id_col
+        )
+
+    def _codes_live(self, spark: SparkSession) -> DataFrame:
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        return filter_live(
+            spark, spark.read.parquet(self._pq_path), self._tombstone_path,
+            self.id_col,
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return self._read_live(spark).drop("_gen")
 
     def knn(
         self,

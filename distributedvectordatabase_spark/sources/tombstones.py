@@ -1,0 +1,78 @@
+"""Shared merge-on-read tombstone mechanics for the stores.
+
+Both VectorStore and IVFStore implement delete the same way (the
+reference has no delete endpoint at all — coordinator_server.py
+exposes only add_vectors/search/stats — but a training-data store
+needs take-downs): every written row carries a ``_gen`` generation,
+``delete`` appends (id, ``_del_gen``) rows to a hidden
+``_tombstones/`` directory inside the store (underscore-prefixed, so
+Spark's file index never treats it as data), and reads drop a row
+when a tombstone for its id carries a gen >= the row's own. The
+filter is ONE broadcast join of the aggregated tombstone table above
+the scan — partition pruning and predicate pushdown on the store side
+are unaffected — and compaction folds tombstones in physically.
+
+Generation ordering makes the scheme crash-safe without transactions:
+a delete persists its gen to the store's config sidecar BEFORE its
+tombstones exist, a write persists its gen only AFTER its data lands,
+so any crash burns at most an unused gen number — never a resurrected
+row, never a wrongly-killed one (the survival rule is strict
+``row._gen > tombstone gen``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEN_COL = "_gen"
+DEL_GEN_COL = "_del_gen"
+
+
+def append_tombstones(
+    spark: SparkSession, tomb_dir: str, id_col: str, ids, gen: int
+) -> None:
+    """Record ``ids`` (list/iterable or one-column DataFrame) as
+    deleted-at-``gen``. O(deleted) bytes; nothing else is touched."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+    else:
+        tomb = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    tomb.withColumn(DEL_GEN_COL, F.lit(int(gen))).coalesce(1).write.mode(
+        "append"
+    ).parquet(tomb_dir)
+
+
+def filter_live(
+    spark: SparkSession, df: DataFrame, tomb_dir: str, id_col: str
+) -> DataFrame:
+    """Drop tombstoned rows from ``df`` (which carries ``_gen``; a
+    missing column means a pre-generation store — every row reads as
+    gen 0). Keeps ``_gen`` in the output so callers can rewrite or
+    re-filter; public read paths drop it themselves."""
+    if GEN_COL not in df.columns:
+        df = df.withColumn(GEN_COL, F.lit(0))
+    if not os.path.exists(tomb_dir):
+        return df
+    tomb = (
+        spark.read.parquet(tomb_dir)
+        .groupBy(id_col)
+        .agg(F.max(DEL_GEN_COL).alias("_tomb_gen"))
+    )
+    return (
+        df.join(F.broadcast(tomb), id_col, "left")
+        .filter(F.col("_tomb_gen").isNull() | (F.col(GEN_COL) > F.col("_tomb_gen")))
+        .drop("_tomb_gen")
+    )
+
+
+def max_tombstoned_id(spark: SparkSession, tomb_dir: str, id_col: str) -> int:
+    """Largest id ever deleted (0 if none) — auto-id allocation must
+    clear this too, or a reissued id would be silently killed by its
+    old tombstone."""
+    if not os.path.exists(tomb_dir):
+        return 0
+    v = spark.read.parquet(tomb_dir).agg(F.max(id_col)).first()[0]
+    return int(v or 0)

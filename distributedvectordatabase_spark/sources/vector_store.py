@@ -194,17 +194,17 @@ class VectorStore:
             # max over the RAW rows plus tombstoned ids — a deleted id
             # must never be reissued (its tombstone would silently kill
             # the new row)
+            from distributedvectordatabase_spark.sources.tombstones import (
+                max_tombstoned_id,
+            )
+
             start = (
                 spark.read.parquet(self.path).agg(F.max(self.id_col)).first()[0]
                 or 0
             )
-            if os.path.exists(self._tombstone_path):
-                t = (
-                    spark.read.parquet(self._tombstone_path)
-                    .agg(F.max(self.id_col))
-                    .first()[0]
-                )
-                start = max(start, t or 0)
+            start = max(
+                start, max_tombstoned_id(spark, self._tombstone_path, self.id_col)
+            )
             df = df.withColumn(
                 self.id_col, F.monotonically_increasing_id() + F.lit(start + 1)
             )
@@ -258,15 +258,11 @@ class VectorStore:
         # reverse order could hand a later append the tombstone's own
         # gen and wrongly kill its rows
         self._write_lsh_config(gen=gen)
-        if isinstance(ids, DataFrame):
-            tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(self.id_col))
-        else:
-            tomb = spark.createDataFrame(
-                [(int(i),) for i in ids], f"{self.id_col} long"
-            )
-        tomb.withColumn("_del_gen", F.lit(gen)).coalesce(1).write.mode(
-            "append"
-        ).parquet(self._tombstone_path)
+        from distributedvectordatabase_spark.sources.tombstones import (
+            append_tombstones,
+        )
+
+        append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
 
     def upsert(self, df: DataFrame, validate_dim: bool = True) -> None:
         """Replace-by-id: tombstone the incoming ids, then append the
@@ -289,20 +285,10 @@ class VectorStore:
         predicate pushdown on the store side are unaffected. If
         tombstones ever grow large, compact() folds them away.
         """
-        raw = spark.read.parquet(self.path)
-        if "_gen" not in raw.columns:  # pre-generation store
-            raw = raw.withColumn("_gen", F.lit(0))
-        if not os.path.exists(self._tombstone_path):
-            return raw
-        tomb = (
-            spark.read.parquet(self._tombstone_path)
-            .groupBy(self.id_col)
-            .agg(F.max("_del_gen").alias("_tomb_gen"))
-        )
-        return (
-            raw.join(F.broadcast(tomb), self.id_col, "left")
-            .filter(F.col("_tomb_gen").isNull() | (F.col("_gen") > F.col("_tomb_gen")))
-            .drop("_tomb_gen")
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        return filter_live(
+            spark, spark.read.parquet(self.path), self._tombstone_path, self.id_col
         )
 
     def read(self, spark: SparkSession) -> DataFrame:

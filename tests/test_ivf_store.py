@@ -124,7 +124,7 @@ def built_pq(spark, tmp_path_factory):
 def test_ivfpq_codes_partitioned_and_codebook_roundtrip(spark, built_pq):
     codes = spark.read.parquet(built_pq._pq_path)
     assert codes.count() == 500
-    assert set(codes.columns) == {"vec_id", "codes", "cell_id"}
+    assert set(codes.columns) == {"vec_id", "codes", "cell_id", "_gen"}
     cb = built_pq.pq_codebook()
     assert cb.centroids.shape == (16, 64, 4)  # m=16, ksub=2^6, dsub=64/16
     # codes and cell assignment agree with the raw table
@@ -279,3 +279,60 @@ def test_residual_search_partition_independent(spark, built_pq):
         ).collect()
     )
     assert a == b
+
+
+def test_delete_filters_raw_and_codes(spark, tmp_path):
+    """Tombstones must hide ids from BOTH the raw scan (ivf knn) and
+    the PQ codes (ADC-only search, rerank=0) — a dead id surviving in
+    the codes table would resurface whenever rerank is off."""
+    store = IVFStore(str(tmp_path / "ivf_del"), n_cells=4)
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    store.build(emb)
+    store.build_pq(spark, m=8, nbits=4)
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    victims = [int(r.neighbor_id) for r in store.knn(spark, qs, k=3, n_probe=4).collect()][:5]
+    store.delete(spark, victims)
+    assert store.read(spark).count() == 500 - len(set(victims))
+    got = store.knn(spark, qs, k=K, n_probe=4)
+    assert got.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    adc = store.knn_pq(spark, qs, k=K, n_probe=4, rerank=0)
+    assert adc.filter(F.col("neighbor_id").isin(victims)).count() == 0
+
+
+def test_upsert_moves_vector_and_keeps_codes_in_sync(spark, tmp_path):
+    """Upserting a vector with new coordinates must relocate it to the
+    new nearest cell and re-encode its codes: both search paths find
+    the NEW vector, never the old one."""
+    store = IVFStore(str(tmp_path / "ivf_up"), n_cells=4)
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    store.build(emb)
+    store.build_pq(spark, m=8, nbits=4)
+    # replace vec 7 with an exact copy of vec 123's embedding
+    target = emb.filter(F.col("vec_id") == 123).first().embedding
+    new = spark.createDataFrame([(7, list(target))], "vec_id long, embedding array<float>")
+    store.upsert(new)
+    assert store.read(spark).count() == 500
+    qs = spark.createDataFrame([(0, list(target))], "qid long, qvec array<float>")
+    res = store.knn(spark, qs, k=2, n_probe=4).collect()
+    # both 7 and 123 are now exactly at the query point
+    assert {r.neighbor_id for r in res} == {7, 123}
+    assert all(r.dist <= 1e-6 for r in res)
+    # the codes table carries exactly one live row for id 7
+    assert store._codes_live(spark).filter(F.col("vec_id") == 7).count() == 1
+
+
+def test_compact_folds_tombstones_in_both_tables(spark, tmp_path):
+    import os
+
+    store = IVFStore(str(tmp_path / "ivf_fold"), n_cells=4)
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    store.build_pq(spark, m=8, nbits=4)
+    store.delete(spark, list(range(20)))
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    before = {(r.qid, r.neighbor_id) for r in store.knn(spark, qs, k=K, n_probe=4).collect()}
+    store.compact(spark)
+    assert not os.path.exists(os.path.join(str(tmp_path / "ivf_fold"), "_tombstones"))
+    assert spark.read.parquet(store.path).count() == 480  # physically gone
+    assert spark.read.parquet(store._pq_path).count() == 480
+    after = {(r.qid, r.neighbor_id) for r in store.knn(spark, qs, k=K, n_probe=4).collect()}
+    assert after == before
