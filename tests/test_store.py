@@ -232,3 +232,18 @@ def test_legacy_store_without_gen_column(spark, tmp_path):
         )
     )
     assert vs.read(spark).count() == 5
+
+
+def test_delete_where_predicate_sweep(spark, tmp_path):
+    """Retention-style predicate delete: tombstones only LIVE matching
+    rows, returns the count, composes with prior deletes."""
+    path = str(tmp_path / "pred_store")
+    vs = VectorStore(path, SignLSH(dim=64))
+    vs.write(load_table(spark, "embeddings", SF_DIR))
+    vs.delete(spark, [0])  # id 0 already dead; predicate must not re-count it
+    n = vs.delete_where(spark, F.col("vec_id") < 10)
+    assert n == 9
+    assert vs.read(spark).count() == 490
+    # SQL-string predicate form, nothing left to match
+    assert vs.delete_where(spark, "vec_id < 10") == 0
+    assert vs.read(spark).count() == 490
