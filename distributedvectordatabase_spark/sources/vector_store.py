@@ -159,7 +159,20 @@ class VectorStore:
             self.lsh.num_tables * spread_n, F.col("shard_id"), spread
         )
 
+    @property
+    def _sink_log_path(self) -> str:
+        return os.path.join(self.path, "_spark_metadata")
+
     def _write(self, df: DataFrame, mode: str, validate_dim: bool) -> None:
+        if mode == "append" and os.path.exists(self._sink_log_path):
+            # FileStreamSink stores a transaction log; once present,
+            # batch reads list ONLY sink-logged files, so a batch
+            # append here would write rows no read can ever see
+            raise ValueError(
+                "store is an active streaming sink (_spark_metadata "
+                "present): batch-appended files would be invisible to "
+                "reads; run compact(spark) to finalize the sink first"
+            )
         if mode == "append" and os.path.exists(self._lsh_config_path):
             raw = df.sparkSession.read.parquet(self.path)
             if "_gen" not in raw.columns:
@@ -224,7 +237,14 @@ class VectorStore:
         Also folds tombstones in: only live rows are rewritten (with
         their ``_gen``), and the swap drops the ``_tombstones/``
         sidecar with the old directory — physical deletion happens
-        here, exactly like merge-on-read table formats."""
+        here, exactly like merge-on-read table formats.
+
+        On a store fed by ``stream_ingest_vectors`` this additionally
+        FINALIZES the streaming sink: the ``_spark_metadata``
+        transaction log is not carried over, so the store leaves the
+        sink era (batch append/upsert become legal) and the finished
+        stream cannot be resumed into it — by design, since a resumed
+        sink's fresh log would hide the compacted files."""
         import shutil
 
         tmp = self.path.rstrip("/") + "__compacting"

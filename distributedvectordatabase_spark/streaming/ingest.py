@@ -41,6 +41,15 @@ def stream_ingest_vectors(
     Parquet sink. ``available_now=True`` drains the backlog and stops
     (batch-incremental, the test/backfill mode); otherwise runs until
     stopped. Exactly-once via the checkpoint.
+
+    Delete interop: every row the stream lands carries the stream's
+    generation, persisted to the store config BEFORE the first batch
+    (the tombstone-side ordering — see sources/tombstones.py), so
+    deletes on a streamed store behave exactly as on a batch-written
+    one. One documented edge: a delete issued WHILE this stream runs
+    covers rows the stream lands after it too (they share the stream's
+    gen, which the delete out-ranks) — restart the stream to open a
+    fresh generation if that matters.
     """
     reader = spark.readStream
     if schema is not None:
@@ -51,7 +60,27 @@ def stream_ingest_vectors(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
-    bucketed = store.lsh.assign(stream, vec_col=store.vec_col, out="shard_id")
+    # a parquet streaming sink keeps a _spark_metadata transaction log
+    # and batch reads then list ONLY sink-logged files — so streaming
+    # into an existing batch-written store would instantly hide all its
+    # rows. Refuse; the store lifecycle is stream era → compact()
+    # finalize → batch era (see VectorStore.compact).
+    import glob as _glob
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(store.path, "_spark_metadata")):
+        if _glob.glob(_os.path.join(store.path, "shard_id=*")):
+            raise ValueError(
+                "store already holds batch-written data; a streaming sink's "
+                "_spark_metadata log would hide it from every read — stream "
+                "into a fresh path (or keep using batch append)"
+            )
+
+    gen = store._gen() + 1
+    store._write_lsh_config(gen=gen)  # durable before any row lands
+    bucketed = store.lsh.assign(
+        stream, vec_col=store.vec_col, out="shard_id"
+    ).withColumn("_gen", F.lit(gen))
 
     writer = (
         bucketed.writeStream.format("parquet")

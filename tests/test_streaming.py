@@ -470,3 +470,61 @@ def test_stream_neardup_ingest_matches_sequential_fold(spark, tmp_path):
     q.awaitTermination(180)
     assert {r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()} == got
     assert sig.corpus_toks(spark).count() == len(got)
+
+
+def test_streamed_store_delete_and_sink_finalize_lifecycle(spark, tmp_path):
+    """Streamed stores follow the sink lifecycle: rows carry the
+    stream's gen so merge-on-read delete works during the sink era;
+    batch append is REFUSED while _spark_metadata exists (sink-logged
+    reads would never see the appended file — the silent-loss bug this
+    guard closes); compact() finalizes the sink, after which append
+    re-inserting a deleted id works and survives its tombstone."""
+    import os
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+    from distributedvectordatabase_spark.streaming.ingest import (
+        stream_ingest_vectors,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMALL).limit(100)
+    src = tmp_path / "vin"
+    src.mkdir()
+    emb.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    # stream reads the flat dir of parquet files
+    for p in (src / "b0").iterdir():
+        if p.name.endswith(".parquet"):
+            shutil.move(str(p), src / "f0.parquet")
+    shutil.rmtree(src / "b0")
+
+    store = VectorStore(str(tmp_path / "vstore"), SignLSH(dim=64))
+    q = stream_ingest_vectors(
+        spark, str(src), store, str(tmp_path / "vckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert "_gen" in spark.read.parquet(store.path).columns
+    assert store.read(spark).count() == 100
+
+    # delete works during the sink era
+    store.delete(spark, [0, 1])
+    assert store.read(spark).count() == 98
+
+    # batch append during the sink era is refused, not silently lost
+    row = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="streaming sink"):
+        store.append(row)
+
+    # finalize: sink log folded away, batch era begins
+    store.compact(spark)
+    assert not os.path.exists(os.path.join(store.path, "_spark_metadata"))
+    assert store.read(spark).count() == 98
+    store.append(row)  # re-insert a deleted id: out-gens its tombstone
+    assert store.read(spark).count() == 99
+    assert store.read(spark).filter(F.col("vec_id") == 0).count() == 1
+
+    # and streaming into a batch-era store is refused for the same reason
+    with pytest.raises(ValueError, match="batch-written"):
+        stream_ingest_vectors(
+            spark, str(src), store, str(tmp_path / "vckpt2"), available_now=True
+        )
