@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from distributedvectordatabase_spark.functions import text as T
 
-__all__ = ["bm25_topk", "rrf_fuse", "hybrid_topk"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_batch",
+    "rrf_fuse",
+    "hybrid_topk",
+    "hybrid_topk_batch",
+]
 
 
 def _qz6(c):
@@ -147,6 +153,108 @@ def bm25_topk(
     )
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-k for a TABLE of term queries — search serving as one
+    batch job. ``queries`` carries (qid, terms array<string>); returns
+    (qid, id_col, score, rnk), rnk 1..k per qid by (score desc, id).
+    Row-identical per query to :func:`bm25_topk` (pinned in tests).
+
+    Plan shape at 100 TB — the corpus cost is paid ONCE for the whole
+    batch, not per query:
+    - the union vocabulary (small: distinct terms across queries) is
+      broadcast; the corpus is tokenized/exploded once and left-semi
+      filtered to it inside the scan stage — only matching tokens ever
+      shuffle.
+    - per-(doc, term) tf and the per-term df/idf and the per-(doc,
+      term) CONTRIBUTION are computed once, then fanned out to queries
+      by a broadcast (qid, term) join — a term shared by 100 queries
+      is scored once, joined 100 times.
+    - per-query top-k is one window over (qid), input already pruned
+      to candidate docs.
+
+    Scores use the same quantize-then-exact-decimal-sum discipline as
+    bm25_topk, so they are aggregation-order independent and equal to
+    the single-query scores bit for bit.
+    """
+    k = max(int(k), 1)
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
+        )
+        .distinct()  # BM25 bag form: a repeated query term weighs once
+    )
+    vocab = qterms.select("term").distinct()
+
+    toks = F.expr(T.tokens(text_col, T.SPARK))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("total_len")
+    )
+    postings = (
+        base.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    contrib = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn("avgdl", F.col("total_len").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .select("term", "doc_id", "contrib")
+    )
+
+    scored = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(_qz6(F.col("contrib")).cast("decimal(38,6)")).alias("score_dec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn(
+            "score",
+            F.expr(
+                "cast(floor(score_dec * 1000000 + 0.5) as bigint)"
+                " / cast(1000000 as double)"
+            ),
+        )
+        .select("qid", F.col("doc_id").alias(id_col), "score", "rnk")
+    )
+
+
 def rrf_fuse(
     a: DataFrame,
     b: DataFrame,
@@ -251,3 +359,56 @@ def hybrid_topk(
     )
     text_leg = bm25_topk(docs, terms, k=fetch, id_col=id_col, text_col=text_col)
     return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col)
+
+
+def hybrid_topk_batch(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int | None = None,
+    rrf_c: int = 60,
+    metric: str = "cosine",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    terms_col: str = "terms",
+    dist_quantize: int | None = None,
+) -> DataFrame:
+    """Hybrid search for a TABLE of queries, each carrying BOTH legs'
+    inputs: (qid, qvec array, terms array<string>). One plan for the
+    whole batch — the semantic leg is the batched exact kNN (corpus
+    scanned once, per-partition partial top-k before the exchange),
+    the lexical leg is :func:`bm25_topk_batch` (corpus tokenized
+    once), fused per qid by :func:`rrf_fuse` ``by=["qid"]``. Returns
+    (qid, id_col, rrf_score, rnk); per query row-identical to
+    :func:`hybrid_topk` (pinned in tests).
+    """
+    from distributedvectordatabase_spark.operators.knn import knn
+
+    fetch = int(fetch_k) if fetch_k is not None else 4 * max(int(k), 1)
+    hits = knn(
+        embeddings, queries.select(qid_col, qvec_col), k=fetch, metric=metric,
+        id_col=emb_id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    )
+    dist_order = F.col("dist")
+    if dist_quantize is not None:
+        m = float(10 ** int(dist_quantize))
+        dist_order = F.floor(dist_order * F.lit(m) + F.lit(0.5)) / F.lit(m)
+    vec_leg = hits.select(
+        F.col(qid_col).alias("qid"),
+        F.col("neighbor_id").alias(id_col),
+        F.row_number()
+        .over(
+            Window.partitionBy(qid_col).orderBy(dist_order, F.col("neighbor_id"))
+        )
+        .alias("rnk"),
+    )
+    text_leg = bm25_topk_batch(
+        docs, queries.select(qid_col, terms_col), k=fetch, id_col=id_col,
+        text_col=text_col, qid_col=qid_col, terms_col=terms_col,
+    )
+    return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])

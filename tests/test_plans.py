@@ -220,3 +220,20 @@ def test_no_catalog_query_plans_a_cartesian_or_shuffled_join(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_bm25_batch_plan_broadcasts_and_no_smj(spark):
+    """The batched BM25 must keep every join broadcast-shaped (vocab
+    semi-filter, df/stats, query fan-out) — a sort-merge join here
+    means the tiny query-side frames stopped broadcasting."""
+    from distributedvectordatabase_spark.operators.search import bm25_topk_batch
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    queries = spark.createDataFrame(
+        [(0, ["vector", "query"]), (1, ["dup"])], "qid long, terms array<string>"
+    )
+    df = bm25_topk_batch(docs, queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert has_broadcast(df)

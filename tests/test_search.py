@@ -232,3 +232,66 @@ def test_bm25_property_random_corpora(spark):
                 assert got_ids.index(a) < got_ids.index(b), (a, b)
 
     run()
+
+
+def test_bm25_batch_equals_per_query_loop(spark, docs_df):
+    """bm25_topk_batch must be row-identical, scores included, to
+    running bm25_topk once per query — including a query whose terms
+    match nothing (absent from the output, like the single form)."""
+    from distributedvectordatabase_spark.operators.search import bm25_topk_batch
+
+    qsets = {
+        0: ["spark", "data"],
+        1: ["cluster"],
+        2: ["spark", "spark", "joins"],  # dup term collapses
+        3: ["nomatch"],
+    }
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in qsets.items()], "qid long, terms array<string>"
+    )
+    got = {
+        (r.qid, r.doc_id): (r.score, r.rnk)
+        for r in bm25_topk_batch(docs_df, queries, k=3).collect()
+    }
+    want = {}
+    for q, ts in qsets.items():
+        for r in bm25_topk(docs_df, ts, k=3).collect():
+            want[(q, r.doc_id)] = (r.score, r.rnk)
+    assert got == want
+    assert not any(q == 3 for q, _ in got)
+
+
+def test_hybrid_batch_equals_per_query_loop(spark):
+    """hybrid_topk_batch vs a hybrid_topk loop on real testdata."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_topk,
+        hybrid_topk_batch,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    qterms = {0: ["dup", "vector"], 1: ["query", "the"], 2: ["vector"]}
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], qterms[q]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+    got = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_topk_batch(
+            docs, emb, queries, k=5, dist_quantize=6
+        ).collect()
+    }
+    want = {}
+    for q in qvecs:
+        for r in hybrid_topk(
+            docs, emb, qvecs[q], qterms[q], k=5, dist_quantize=6
+        ).collect():
+            want[(q, r.doc_id)] = (round(r.rrf_score, 9), r.rnk)
+    assert got == want and len(got) == 15
