@@ -27,6 +27,7 @@ DOCUMENTED_OVERFLOW = {
     "mix_weighted_sources",
     "strat_sample_quota",
     "strat_sample_weighted",
+    "hybrid_rrf_topk",
 }
 
 
