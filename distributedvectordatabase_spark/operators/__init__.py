@@ -47,6 +47,12 @@ from distributedvectordatabase_spark.operators.pq import (
     pq_train,
 )
 from distributedvectordatabase_spark.operators.range_join import time_range_join
+from distributedvectordatabase_spark.operators.sq import (
+    SQParams,
+    sq_encode,
+    sq_search,
+    sq_train,
+)
 from distributedvectordatabase_spark.operators.search import bm25_topk, hybrid_topk, rrf_fuse
 from distributedvectordatabase_spark.operators.skew import salted_aggregate
 from distributedvectordatabase_spark.operators.stats import (
@@ -93,6 +99,10 @@ __all__ = [
     "pq_search",
     "pq_reconstruction_mse",
     "time_range_join",
+    "SQParams",
+    "sq_train",
+    "sq_encode",
+    "sq_search",
     "salted_aggregate",
     "shard_distribution",
     "distribution_metrics",
