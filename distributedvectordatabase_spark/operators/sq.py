@@ -170,6 +170,8 @@ def sq_search(
     rerank: int = 0,
     corpus: DataFrame | None = None,
     vec_col: str = "embedding",
+    shard_col: str | None = None,
+    cand_map: dict[int, frozenset] | None = None,
 ) -> DataFrame:
     """Asymmetric top-k over the compressed (id, codes) table:
     squared-L2 of the exact query against each row's midpoint
@@ -177,7 +179,12 @@ def sq_search(
     exact kNN path. With ``rerank=R`` (and ``corpus``) the R·k
     shortlist is exact-rescored by joining winner ids back to the raw
     vectors — compressed scan does the elimination, floats are read
-    only for the ≤ nq·R·k shortlist."""
+    only for the ≤ nq·R·k shortlist.
+
+    ``shard_col``/``cand_map`` apply a per-query shard mask inside the
+    same compressed scan (exactly like pq_search / the exact pruned
+    path) — this is what VectorStore.knn_sq uses to compose LSH
+    multi-probe pruning with SQ8 compression."""
     k = max(int(k), 1)
     if rerank:
         if corpus is None:
@@ -185,6 +192,7 @@ def sq_search(
         short = sq_search(
             codes, params, queries, k=int(rerank) * k,
             id_col=id_col, qid_col=qid_col, qvec_col=qvec_col,
+            shard_col=shard_col, cand_map=cand_map,
         )
         cand = short.select("qid", "neighbor_id").join(
             corpus.select(
@@ -205,11 +213,21 @@ def sq_search(
     if Q.ndim != 2 or Q.shape[1] != params.dim:
         raise ValueError(f"query dim {Q.shape} != trained dim {params.dim}")
     spark = codes.sparkSession
-    bc = spark.sparkContext.broadcast((qids, Q, params.vmin, params.vmax))
+    if cand_map is not None:
+        if shard_col is None:
+            raise ValueError("cand_map requires shard_col")
+        n_shards = max((s for ss in cand_map.values() for s in ss), default=-1) + 1
+        allowed_lut = np.zeros((len(qids), max(n_shards, 1)), dtype=bool)
+        for i, qid in enumerate(qids):
+            for s in cand_map.get(int(qid), ()):
+                allowed_lut[i, s] = True
+    else:
+        allowed_lut = None
+    bc = spark.sparkContext.broadcast((qids, Q, params.vmin, params.vmax, allowed_lut))
     take = 2 * k
 
     def scan(batches):
-        qids, Q, vmin, vmax = bc.value
+        qids, Q, vmin, vmax, allowed_lut = bc.value
         p = SQParams(vmin=vmin, vmax=vmax)
         qn = np.einsum("ij,ij->i", Q, Q)
         for pdf in batches:
@@ -221,6 +239,12 @@ def sq_search(
             # ||q - x̂||² via the norm identity; one BLAS gemm per batch
             D = qn[:, None] - 2.0 * (Q @ Xh.T) + np.einsum("ij,ij->i", Xh, Xh)[None, :]
             np.maximum(D, 0.0, out=D)
+            if allowed_lut is not None:
+                shards = pdf[shard_col].values.astype(np.int64)
+                in_range = (shards >= 0) & (shards < allowed_lut.shape[1])
+                ok = np.zeros((len(qids), len(shards)), dtype=bool)
+                ok[:, in_range] = allowed_lut[:, shards[in_range]]
+                D[~ok] = np.inf
             sel_id, sel_d = batch_topk(D, ids, k, take)
             keep = np.isfinite(sel_d).ravel()
             yield pd.DataFrame(
@@ -231,7 +255,8 @@ def sq_search(
                 }
             )
 
-    partial = codes.select(id_col, "codes").mapInPandas(
+    cols = [id_col, "codes"] + ([shard_col] if cand_map is not None else [])
+    partial = codes.select(*cols).mapInPandas(
         scan, schema="qid long, neighbor_id long, dist double"
     )
     return _final_topk(partial, k)

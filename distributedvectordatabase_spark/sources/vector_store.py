@@ -101,6 +101,17 @@ class VectorStore:
     def _tombstone_path(self) -> str:
         return os.path.join(self.path, "_tombstones")
 
+    # underscore-prefixed entries are invisible to spark.read.parquet
+    # on self.path, so the SQ8 codes table and its bounds sidecar can
+    # live inside the store directory without polluting the raw scan
+    @property
+    def _sq_path(self) -> str:
+        return os.path.join(self.path, "_sq")
+
+    @property
+    def _sq_params_path(self) -> str:
+        return os.path.join(self.path, "_sq_params.json")
+
     def _gen(self) -> int:
         """Last persisted write/delete generation (0 for a new or
         pre-generation store)."""
@@ -181,13 +192,44 @@ class VectorStore:
                     "compact(spark) once to upgrade before appending"
                 )
         gen = self._gen() + 1
+        # keep the SQ8 codes sidecar in sync on append: pin the
+        # prepared batch so the raw write and the codes write see the
+        # SAME rows (a non-deterministic input recomputed per write
+        # would let the two tables silently diverge — the IVFStore
+        # append contract). A static overwrite drops the whole store
+        # dir, sidecars included, so only append needs the sync.
+        sync_sq = mode == "append" and os.path.exists(self._sq_params_path)
         try:
-            self._prepare(df, validate_dim, gen=gen).write.mode(mode).partitionBy("shard_id").parquet(self.path)
+            out = self._prepare(df, validate_dim, gen=gen)
+            if sync_sq:
+                out = out.cache()
+            out.write.mode(mode).partitionBy("shard_id").parquet(self.path)
+            if sync_sq:
+                from distributedvectordatabase_spark.operators.sq import sq_encode
+
+                try:
+                    # encoded with the EXISTING bounds (standard SQ
+                    # ingest — out-of-range values saturate; periodic
+                    # build_sq refresh is a caller policy). Not atomic
+                    # with the raw write: if this fails, build_sq
+                    # regenerates the codes from raw (derived data).
+                    (
+                        sq_encode(out, self.sq_params(), id_col=self.id_col,
+                                  vec_col=self.vec_col,
+                                  keep_cols=("shard_id", "_gen"))
+                        .write.mode("append")
+                        .partitionBy("shard_id")
+                        .parquet(self._sq_path)
+                    )
+                finally:
+                    out.unpersist()
             # gen persisted only AFTER the data lands: a crash mid-write
             # leaves the counter unbumped, and a later delete at this
             # same gen number correctly covers the orphan rows (the
             # survival rule is strict row._gen > tombstone gen)
             self._write_lsh_config(gen=gen)
+            if sync_sq:
+                self._sq_record_gen(gen)
         except Exception as e:  # surface the in-flight dim check typed
             if validate_dim and "dimension mismatch" in str(e):
                 raise DimensionMismatchError(
@@ -261,6 +303,20 @@ class VectorStore:
                 self._lsh_config_path,
                 os.path.join(tmp, os.path.basename(self._lsh_config_path)),
             )
+        # carry the SQ8 sidecar, folding tombstones into the codes
+        # table the same way the raw rewrite above does (the swap IS
+        # the physical delete for both tables)
+        if os.path.exists(self._sq_params_path):
+            (
+                self._sq_codes_live(spark)
+                .write.mode("overwrite")
+                .partitionBy("shard_id")
+                .parquet(os.path.join(tmp, os.path.basename(self._sq_path)))
+            )
+            shutil.copy(
+                self._sq_params_path,
+                os.path.join(tmp, os.path.basename(self._sq_params_path)),
+            )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
@@ -283,6 +339,10 @@ class VectorStore:
         )
 
         append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
+        # a delete never desyncs the codes table (both sides filter the
+        # same tombstones at read), so the SQ sidecar stays current
+        if os.path.exists(self._sq_params_path):
+            self._sq_record_gen(gen)
 
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """Predicate delete (retention sweeps, policy take-downs):
@@ -313,6 +373,104 @@ class VectorStore:
             raise ValueError(f"upsert requires an explicit {self.id_col!r} column")
         self.delete(df.sparkSession, df.select(self.id_col))
         self._write(df, "append", validate_dim)
+
+    # -- SQ8 compressed sidecar ---------------------------------------------
+
+    def build_sq(self, spark: SparkSession) -> None:
+        """Build (or rebuild) the SQ8 codes sidecar: exact per-dim
+        min/max bounds over the live rows, then one encode scan into a
+        shard-partitioned ``_sq/`` table (1 byte/dim — 8× under the
+        float64 arrays). knn_sq() then scans an 8× smaller table with
+        the same LSH partition pruning as the raw path and rescored
+        shortlists probing the raw vectors only."""
+        from distributedvectordatabase_spark.operators.sq import sq_encode, sq_train
+
+        if os.path.exists(self._sink_log_path):
+            raise ValueError(
+                "store is an active streaming sink (_spark_metadata "
+                "present); run compact(spark) to finalize it before build_sq"
+            )
+        live = self._read_live(spark)
+        params = sq_train(live, vec_col=self.vec_col)
+        (
+            sq_encode(live, params, id_col=self.id_col, vec_col=self.vec_col,
+                      keep_cols=("shard_id", "_gen"))
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(self._sq_path)
+        )
+        with open(self._sq_params_path, "w") as f:
+            json.dump({**params.to_dict(), "gen": self._gen()}, f)
+
+    def sq_params(self):
+        from distributedvectordatabase_spark.operators.sq import SQParams
+
+        with open(self._sq_params_path) as f:
+            return SQParams.from_dict(json.load(f))
+
+    def _sq_record_gen(self, gen: int) -> None:
+        with open(self._sq_params_path) as f:
+            side = json.load(f)
+        side["gen"] = int(gen)
+        with open(self._sq_params_path, "w") as f:
+            json.dump(side, f)
+
+    def _sq_synced_gen(self) -> int:
+        with open(self._sq_params_path) as f:
+            return int(json.load(f).get("gen", 0))
+
+    def _sq_codes_live(self, spark: SparkSession) -> DataFrame:
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        return filter_live(
+            spark, spark.read.parquet(self._sq_path), self._tombstone_path,
+            self.id_col,
+        )
+
+    def knn_sq(self, spark: SparkSession, queries: DataFrame, k: int = 10,
+               rerank: int = 0, pruned: bool = True, num_candidates: int = 2,
+               qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+        """Top-k over the SQ8 codes instead of the raw vectors — same
+        LSH multi-probe pruning as knn(pruned=True) (candidate shards
+        become partition-pruning predicates + per-query Arrow masks on
+        the codes scan), but the scan reads 1 byte/dim. ``rerank=R``
+        exact-rescored the R·k shortlist against the raw store (the
+        FAISS refine pattern) — at 100 TB the raw floats are touched
+        only for the ≤ nq·R·k shortlist ids."""
+        if not os.path.exists(self._sq_params_path):
+            raise ValueError("no SQ sidecar: run build_sq(spark) first")
+        if self._sq_synced_gen() != self._gen():
+            raise ValueError(
+                "SQ codes are stale: the store was written outside the "
+                "batch append path since the last build_sq; re-run "
+                "build_sq(spark)"
+            )
+        from distributedvectordatabase_spark.operators.knn import collect_query_batch
+        from distributedvectordatabase_spark.operators.sq import sq_search
+
+        params = self.sq_params()
+        codes = self._sq_codes_live(spark)
+        cand_map = None
+        if pruned:
+            qrows = collect_query_batch(queries, qid_col, qvec_col)
+            cand_map = {
+                int(r[qid_col]): frozenset(
+                    int(s) for s in self.lsh.candidate_shards(
+                        list(r[qvec_col]), num_candidates=num_candidates
+                    )
+                )
+                for r in qrows
+            }
+            all_shards = sorted({s for ss in cand_map.values() for s in ss})
+            # literal IN-list → Catalyst partition pruning on _sq/
+            codes = codes.filter(F.col("shard_id").isin(all_shards))
+        return sq_search(
+            codes, params, queries, k=k, id_col=self.id_col,
+            qid_col=qid_col, qvec_col=qvec_col,
+            rerank=rerank, corpus=self.read(spark) if rerank else None,
+            vec_col=self.vec_col,
+            shard_col="shard_id" if pruned else None, cand_map=cand_map,
+        )
 
     # -- read / query -------------------------------------------------------
 

@@ -108,3 +108,92 @@ def test_params_roundtrip_dict(params):
     p2 = SQParams.from_dict(params.to_dict())
     assert np.array_equal(params.vmin, p2.vmin)
     assert np.array_equal(params.vmax, p2.vmax)
+
+
+# -- VectorStore SQ8 sidecar ------------------------------------------------
+
+from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.plans import scan_partition_filters
+from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+
+@pytest.fixture()
+def sq_store(spark, tmp_path, corpus):
+    vs = VectorStore(str(tmp_path / "emb"), SignLSH(dim=64))
+    vs.write(corpus)
+    vs.build_sq(spark)
+    return vs
+
+
+def test_store_build_sq_and_full_search(spark, sq_store, corpus):
+    q = queries_fixture(spark, SF_DIR, n=10)
+    exact = knn(corpus, q, k=10)
+    res = sq_store.knn_sq(spark, q, k=10, pruned=False, rerank=3)
+    assert recall_at_k(exact, res, 10) >= 0.99
+    # self-query: reranked distances are exact, so rank 1 is the row itself
+    top = {r.qid: r for r in res.filter("rnk = 1").collect()}
+    assert all(r.neighbor_id == qid for qid, r in top.items())
+
+
+def test_store_knn_sq_prunes_partitions(spark, sq_store):
+    q = queries_fixture(spark, SF_DIR, n=5)
+    res = sq_store.knn_sq(spark, q, k=5, pruned=True, num_candidates=2)
+    pf = scan_partition_filters(res)
+    assert pf and any("shard_id" in f for f in pf), pf
+    # pruned SQ recall tracks the pruned raw path (same probed shards)
+    raw = sq_store.knn(spark, q, k=5, pruned=True, num_candidates=2)
+    r = recall_at_k(raw, sq_store.knn_sq(spark, q, k=5, pruned=True,
+                                         num_candidates=2, rerank=3), 5)
+    assert r >= 0.95, r
+
+
+def test_store_append_keeps_codes_in_sync(spark, sq_store):
+    vec = np.full(64, 2.5)  # far outside the corpus ball
+    extra = spark.createDataFrame(
+        [(9001, vec.tolist())], schema="vec_id long, embedding array<float>"
+    )
+    sq_store.append(extra)
+    q = spark.createDataFrame(
+        [(1, vec.tolist())], schema="qid long, qvec array<double>"
+    )
+    res = sq_store.knn_sq(spark, q, k=1, pruned=False, rerank=2).collect()
+    assert res and res[0].neighbor_id == 9001
+
+
+def test_store_delete_excludes_from_sq_search(spark, sq_store):
+    q = queries_fixture(spark, SF_DIR, n=3)
+    before = sq_store.knn_sq(spark, q, k=1, pruned=False).collect()
+    victim = before[0].neighbor_id
+    sq_store.delete(spark, [int(victim)])
+    after = sq_store.knn_sq(spark, q, k=5, pruned=False).collect()
+    assert victim not in {r.neighbor_id for r in after}
+    # rerank path excludes it too (tombstones filter both tables)
+    after_r = sq_store.knn_sq(spark, q, k=5, pruned=False, rerank=2).collect()
+    assert victim not in {r.neighbor_id for r in after_r}
+
+
+def test_store_compact_carries_sq_sidecar_and_folds_tombstones(spark, sq_store):
+    import os
+
+    q = queries_fixture(spark, SF_DIR, n=5)
+    sq_store.delete(spark, [0])
+    want = {(r.qid, r.neighbor_id, r.rnk)
+            for r in sq_store.knn_sq(spark, q, k=5, pruned=False).collect()}
+    sq_store.compact(spark)
+    assert os.path.exists(sq_store._sq_params_path)
+    got = {(r.qid, r.neighbor_id, r.rnk)
+           for r in sq_store.knn_sq(spark, q, k=5, pruned=False).collect()}
+    assert got == want
+    # tombstones folded physically out of the codes table too
+    raw_codes = spark.read.parquet(sq_store._sq_path)
+    assert raw_codes.filter("vec_id = 0").count() == 0
+    assert not os.path.exists(sq_store._tombstone_path)
+
+
+def test_store_knn_sq_detects_stale_codes(spark, sq_store):
+    # simulate an out-of-band write (e.g. a streaming sink) bumping the
+    # store generation without the codes sync
+    sq_store._write_lsh_config(gen=sq_store._gen() + 1)
+    q = queries_fixture(spark, SF_DIR, n=2)
+    with pytest.raises(ValueError, match="stale"):
+        sq_store.knn_sq(spark, q, k=2)
