@@ -204,6 +204,17 @@ def main() -> None:
     timings["ivfpq_probe4_rerank4_20q"] = timed_min(lambda: ivfpq.count())
     recall_ivfpq = round(recall_at_k(exact, ivfpq, 10), 4)
 
+    # SQ8 sidecar on the same LSH store: 1 byte/dim scan + exact rerank
+    t0 = time.perf_counter()
+    store.build_sq(spark)
+    timings["sq8_build"] = round(time.perf_counter() - t0, 3)
+    sq_full = store.knn_sq(spark, queries, k=10, pruned=False, rerank=2)
+    timings["sq8_full_rerank2_20q"] = timed_min(lambda: sq_full.count())
+    recall_sq = round(recall_at_k(exact, sq_full, 10), 4)
+    sq_pruned = store.knn_sq(spark, queries, k=10, pruned=True,
+                             num_candidates=2, rerank=2)
+    timings["sq8_pruned_2of3_rerank2_20q"] = timed_min(lambda: sq_pruned.count())
+
     text_stats: dict[str, float] = {}
     if n_docs:
         from distributedvectordatabase_spark.operators.decontam import (
@@ -309,6 +320,7 @@ def main() -> None:
                 "dim": dim,
                 "recall_at_10_pruned": recall,
                 "recall_at_10_ivfpq": recall_ivfpq,
+                "recall_at_10_sq8_rerank2": recall_sq,
                 **text_stats,
                 "ingest_rows_per_s": round(n_rows / timings["ingest_bucketed_write"]),
             }
