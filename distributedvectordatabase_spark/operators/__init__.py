@@ -31,6 +31,11 @@ from distributedvectordatabase_spark.operators.multimodal import (
     resize_metadata,
     sample_frames,
 )
+from distributedvectordatabase_spark.operators.semdedup import (
+    fit_centroids,
+    semantic_dedup,
+    semantic_dup_members,
+)
 from distributedvectordatabase_spark.operators.setsim import similarity_join
 from distributedvectordatabase_spark.operators.opq import (
     OPQModel,
@@ -82,6 +87,9 @@ __all__ = [
     "lsh_cosine_neardup_pairs",
     "brute_cosine_neardup_pairs",
     "connected_components",
+    "fit_centroids",
+    "semantic_dedup",
+    "semantic_dup_members",
     "similarity_join",
     "as_media_table",
     "decode_stats",
