@@ -85,6 +85,7 @@ EXTRA = [
     "mix_weighted_sources",
     "strat_sample_quota",
     "strat_sample_weighted",
+    "doc_pii_scrub",
 ]
 
 

@@ -440,6 +440,47 @@ def _q_doc_sample_fingerprint(d: str) -> str:
     """
 
 
+def _q_doc_pii_scrub(d: str) -> str:
+    """PII redaction pass (training-data scrubbing: emails, IPv4s,
+    +prefixed phones, long id runs — functions/text.PII_RULES applied
+    in order on the progressively-scrubbed text, so a digit run inside
+    an already-redacted email never double-counts). The synthetic
+    corpus carries no PII, so the gate INJECTS deterministic synthetic
+    PII derived from doc_id (doc_id % 4 picks the kind) and then
+    verifies both engines redact and count it identically — pure
+    string ops in the Java-regex ∩ RE2 subset, no float boundary
+    anywhere. Scale shape: per-row scalar expressions fused into the
+    scan, embarrassingly parallel."""
+    s = "string"  # DuckDB aliases STRING to VARCHAR
+    seeded = f"""
+      SELECT doc_id, source,
+             text || CASE cast(doc_id % 4 AS int)
+               WHEN 0 THEN ' contact user' || cast(doc_id AS {s}) || '@mail.example.com for details'
+               WHEN 1 THEN ' origin host 10.' || cast(doc_id % 200 AS {s}) || '.0.' || cast(doc_id % 50 AS {s}) || ' logged'
+               WHEN 2 THEN ' call +1 (415) 555-' || lpad(cast(doc_id % 10000 AS {s}), 4, '0') || ' today'
+               ELSE ' case id 90210' || lpad(cast(doc_id % 10000 AS {s}), 6, '0') || ' filed'
+             END AS txt
+      FROM documents
+    """
+    steps, prev, carry = [], "seeded", []
+    for i, (kind, pattern, token) in enumerate(T.PII_RULES):
+        cnt = T.pii_count("txt", pattern, d)
+        rep = T.pii_replace("txt", pattern, token, d)
+        cols = ", ".join(["doc_id", "source"] + carry)
+        steps.append(
+            f"s{i} AS (SELECT {cols}, {cnt} AS n_{kind}, {rep} AS txt FROM {prev})"
+        )
+        carry.append(f"n_{kind}")
+        prev = f"s{i}"
+    counts = ", ".join(carry)
+    return f"""
+    WITH seeded AS ({seeded}),
+    {", ".join(steps)}
+    SELECT doc_id, source, {counts}, txt AS scrubbed_text
+    FROM {prev}
+    """
+
+
 # BM25 gate query: one rare term ("dup" — the planted-duplicate marker,
 # df ≈ 5% of docs) plus two common ones, so the ranking exercises both
 # the idf spread and the length normalization.
@@ -2674,5 +2715,9 @@ def build_catalog() -> dict[str, Query]:
         # composed search surface. Past the gate cap — strict-checked
         # locally like the rest of the overflow.
         Query("hybrid_rrf_topk", _run_hybrid_rrf, hybrid_rrf_oracle_sql()),
+        # r5: PII redaction over deterministically injected synthetic
+        # PII (the testdata itself is clean). Past the gate cap —
+        # strict-checked locally like the rest of the overflow.
+        _sql_query("doc_pii_scrub", _q_doc_pii_scrub),
     ]
     return {q.name: q for q in qs}

@@ -211,3 +211,44 @@ def fingerprint(col: str, dialect: str, n: int = 8) -> str:
 def sum_token_lengths(toks_expr: str, dialect: str) -> str:
     d = _d(dialect)
     return d["asum"].format(arr=toks_expr, body="length(t)")
+
+
+# -- PII scrubbing (training-data redaction pass) ---------------------------
+#
+# Patterns use the Java-regex ∩ RE2 common subset (no backslash classes,
+# no lookaround), so one pattern string runs identically in Spark and
+# DuckDB. Rules apply IN ORDER on the progressively-scrubbed text, so a
+# digit run inside an already-redacted email is never double-counted.
+# The phone rule requires a leading '+' on purpose: bare local numbers
+# are indistinguishable from ordinary ids, and a redaction pass that
+# eats every digit group destroys more signal than it protects.
+
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[+][0-9][-0-9 ()]{6,}[0-9]", "<PHONE>"),
+    ("idnum", "[0-9]{9,}", "<ID>"),
+]
+
+
+def pii_count(col: str, pattern: str, dialect: str) -> str:
+    """Occurrence count of one PII pattern in ``col``."""
+    if dialect == SPARK:
+        return f"size(regexp_extract_all({col}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def pii_replace(col: str, pattern: str, token: str, dialect: str) -> str:
+    """Replace every match of one PII pattern with its token (DuckDB
+    needs the explicit 'g' flag for replace-all; Spark is global)."""
+    if dialect == SPARK:
+        return f"regexp_replace({col}, '{pattern}', '{token}')"
+    return f"regexp_replace({col}, '{pattern}', '{token}', 'g')"
+
+
+def pii_scrub(col: str, dialect: str) -> str:
+    """All rules applied in order: the fully-scrubbed text."""
+    out = col
+    for _, pattern, token in PII_RULES:
+        out = pii_replace(out, pattern, token, dialect)
+    return out

@@ -31,6 +31,7 @@ from distributedvectordatabase_spark.operators.multimodal import (
     resize_metadata,
     sample_frames,
 )
+from distributedvectordatabase_spark.operators.scrub import scrub_pii
 from distributedvectordatabase_spark.operators.semdedup import (
     fit_centroids,
     semantic_dedup,
@@ -88,6 +89,7 @@ __all__ = [
     "brute_cosine_neardup_pairs",
     "connected_components",
     "fit_centroids",
+    "scrub_pii",
     "semantic_dedup",
     "semantic_dup_members",
     "similarity_join",

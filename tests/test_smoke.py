@@ -28,6 +28,7 @@ DOCUMENTED_OVERFLOW = {
     "strat_sample_quota",
     "strat_sample_weighted",
     "hybrid_rrf_topk",
+    "doc_pii_scrub",
 }
 
 
