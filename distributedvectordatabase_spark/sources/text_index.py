@@ -234,3 +234,115 @@ class TextIndex:
             )
             .select("doc_id", "score", "rnk")
         )
+
+    def bm25_batch(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        qid_col: str = "qid",
+        terms_col: str = "terms",
+    ) -> DataFrame:
+        """BM25 top-k for a TABLE of term queries against the persisted
+        index — the serving form of operators/search.bm25_topk_batch.
+        ``queries`` carries (qid, terms array<string>); returns
+        (qid, doc_id, score, rnk), row-identical per qid to
+        :meth:`bm25` (pinned in tests).
+
+        Plan shape: ONE postings scan partition-pruned to the UNION of
+        the batch's term buckets (a 100-query batch over a shared
+        vocabulary reads the same bytes as one query), per-(doc, term)
+        contributions computed once and fanned out to queries by a
+        broadcast (qid, term) join, per-query top-k one window over
+        qid. The query table is the small side by definition — its
+        distinct terms are collected driver-side to build the literal
+        bucket/term pruning lists (bounded like the kNN query batch)."""
+        from distributedvectordatabase_spark.operators.knn import MAX_QUERY_BATCH
+
+        k = max(int(k), 1)
+        st = self.stats()
+        n_buckets = self._persisted_buckets(st)
+        qterms = (
+            queries.select(
+                F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
+            )
+            .distinct()  # BM25 bag form: a repeated query term weighs once
+        )
+        vocab_rows = (
+            qterms.select("term").distinct().limit(MAX_QUERY_BATCH + 1).collect()
+        )
+        if not vocab_rows:
+            raise ValueError("bm25_batch requires at least one query term")
+        if len(vocab_rows) > MAX_QUERY_BATCH:
+            raise ValueError(
+                f"batch vocabulary exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+                "split the query batch"
+            )
+        terms = sorted(r.term for r in vocab_rows)
+        buckets = sorted(
+            {
+                r.b
+                for r in spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+                )
+                .collect()
+            }
+        )
+        post = (
+            self.postings(spark)
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+        m = F.lit(1e6)
+        qz6 = lambda c: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
+        contrib = (
+            post.join(F.broadcast(df_t), "term")
+            .withColumn("n_docs", F.lit(int(st["n_docs"])))
+            .withColumn(
+                "avgdl",
+                F.lit(float(st["total_len"])) / F.lit(int(st["n_docs"])),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            )
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+            .select("term", "doc_id", "contrib")
+        )
+        scored = (
+            contrib.join(F.broadcast(qterms), "term")
+            .groupBy("qid", "doc_id")
+            .agg(F.sum(qz6(F.col("contrib")).cast("decimal(38,6)")).alias("score_dec"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score_dec").desc(), F.col("doc_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .withColumn(
+                "score",
+                F.expr(
+                    "cast(floor(score_dec * 1000000 + 0.5) as bigint)"
+                    " / cast(1000000 as double)"
+                ),
+            )
+            .select("qid", "doc_id", "score", "rnk")
+        )

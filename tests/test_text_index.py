@@ -122,3 +122,42 @@ def test_append_equals_fresh_build(spark, tmp_path):
     a = [(r.doc_id, r.score, r.rnk) for r in inc.bm25(spark, TERMS, k=10).collect()]
     b = [(r.doc_id, r.score, r.rnk) for r in full.bm25(spark, TERMS, k=10).collect()]
     assert a == b
+
+
+def test_batch_matches_per_query_loop_exactly(spark, index):
+    batches = {
+        1: ["dup", "vector"],
+        2: ["query"],
+        3: ["dup", "vector", "query"],
+        4: ["vector", "vector", "query"],  # repeated term weighs once
+    }
+    q = spark.createDataFrame(
+        [(qid, ts) for qid, ts in batches.items()],
+        "qid long, terms array<string>",
+    )
+    got = {
+        (r.qid, r.rnk): (r.doc_id, r.score)
+        for r in index.bm25_batch(spark, q, k=7).collect()
+    }
+    want = {}
+    for qid, ts in batches.items():
+        for r in index.bm25(spark, ts, k=7).collect():
+            want[(qid, r.rnk)] = (r.doc_id, r.score)
+    assert got == want  # bitwise-identical scores per query
+
+
+def test_batch_prunes_to_union_buckets(spark, index):
+    q = spark.createDataFrame(
+        [(1, ["dup"]), (2, ["vector"])], "qid long, terms array<string>"
+    )
+    res = index.bm25_batch(spark, q, k=3)
+    pf = scan_partition_filters(res)
+    assert pf and any("term_bucket" in f for f in pf), pf
+    rows = res.collect()
+    assert {r.qid for r in rows} == {1, 2}
+
+
+def test_batch_requires_terms(spark, index):
+    empty = spark.createDataFrame([], "qid long, terms array<string>")
+    with pytest.raises(ValueError, match="at least one"):
+        index.bm25_batch(spark, empty)
