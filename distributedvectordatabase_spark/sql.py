@@ -1,4 +1,5 @@
-"""SQL-facing kNN sugar: ``knn('<store>', <vector>, k)`` as a table.
+"""SQL-facing search sugar: ``knn('<store>', <vector>, k)`` and
+``bm25('<index>', <terms>, k)`` as tables.
 
 The reference's entire user surface is one query-by-vector call
 (`coordinator_server.py:76-141`: POST /search {"vector": [...], "k"}).
@@ -7,6 +8,7 @@ the Python store classes:
 
     from distributedvectordatabase_spark.sql import sql
     sql(spark, "SELECT * FROM knn('/path/to/store', array(0.1, ...), 10)")
+    sql(spark, "SELECT * FROM bm25('/path/to/index', array('dup'), 10)")
 
 ``knn(...)`` is rewritten — not interpreted per-row — into the store's
 pruned search plan (the same DataFrame `VectorStore.knn` /
@@ -33,6 +35,18 @@ Grammar (a table factor, case-insensitive name):
   ``'cosine'``.
 
 Result columns: (neighbor_id, dist, rnk) — usable anywhere a table is.
+
+``bm25(...)`` is the text leg's mirror — rewritten into the persistent
+inverted index's partition-pruned scoring plan (TextIndex.bm25):
+
+    bm25('<index_path>', <terms expr>, <k>)
+
+- ``index_path``: a string literal naming a built TextIndex dir;
+- ``terms expr``: any SQL expression evaluating to array<string>;
+- ``k``: integer literal.
+
+Result columns: (doc_id, score, rnk). The two compose in one query —
+hybrid search is a plain SQL join over the two table factors.
 """
 
 from __future__ import annotations
@@ -43,7 +57,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_KNN_TOKEN = re.compile(r"(?i)(?<![A-Za-z0-9_])knn\s*\(")
+_SUGAR_TOKEN = re.compile(r"(?i)(?<![A-Za-z0-9_])(knn|bm25)\s*\(")
 _VIEW_IDS = itertools.count()
 
 
@@ -169,12 +183,35 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
     return name
 
 
+def _bm25_view(spark: SparkSession, args: list[str]) -> str:
+    if len(args) != 3:
+        raise ValueError(
+            f"bm25(...) takes (index_path, terms, k), got {len(args)} arguments"
+        )
+    path = _string_literal(args[0], "index path")
+    k = int(args[2])
+    terms = spark.sql(f"SELECT cast({args[1]} as array<string>) AS t").first()[0]
+    if not terms:
+        raise ValueError(f"bm25(...) terms expression evaluated empty: {args[1]}")
+    if not os.path.exists(os.path.join(path, "_stats.json")):
+        raise ValueError(
+            f"no text index found at {path!r} (expected a _stats.json sidecar)"
+        )
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    res = TextIndex(path).bm25(spark, [str(t) for t in terms], k=k)
+    name = f"_bm25_sugar_{next(_VIEW_IDS)}"
+    res.createOrReplaceTempView(name)
+    return name
+
+
 def rewrite(spark: SparkSession, query: str) -> str:
-    """Replace every ``knn(...)`` table factor in ``query`` with the
-    name of a temp view holding the store's pruned search plan."""
+    """Replace every ``knn(...)`` / ``bm25(...)`` table factor in
+    ``query`` with the name of a temp view holding the corresponding
+    pruned search plan."""
     out, pos = [], 0
     while True:
-        m = _KNN_TOKEN.search(query, pos)
+        m = _SUGAR_TOKEN.search(query, pos)
         if not m:
             out.append(query[pos:])
             return "".join(out)
@@ -182,10 +219,16 @@ def rewrite(spark: SparkSession, query: str) -> str:
         end = _balanced_span(query, open_paren)
         args = _split_args(query[open_paren + 1 : end - 1])
         out.append(query[pos : m.start()])
-        out.append(_knn_view(spark, args))
+        view = (
+            _knn_view(spark, args)
+            if m.group(1).lower() == "knn"
+            else _bm25_view(spark, args)
+        )
+        out.append(view)
         pos = end
 
 
 def sql(spark: SparkSession, query: str) -> DataFrame:
-    """``spark.sql`` with the ``knn(...)`` table-factor extension."""
+    """``spark.sql`` with the ``knn(...)`` / ``bm25(...)`` table-factor
+    extensions."""
     return spark.sql(rewrite(spark, query))

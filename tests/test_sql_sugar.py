@@ -109,3 +109,47 @@ def test_rewrite_leaves_plain_sql_untouched(spark):
     # 'knn' as part of a longer identifier must not trigger
     q2 = "SELECT my_knn(x) FROM t"
     assert rewrite(spark, q2) == q2
+
+
+# -- bm25(...) table factor -------------------------------------------------
+
+from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+
+@pytest.fixture(scope="module")
+def text_index(spark, tmp_path_factory):
+    ix = TextIndex(str(tmp_path_factory.mktemp("sqlix") / "index"), n_buckets=8)
+    ix.build(load_table(spark, "documents", SF_SMALL))
+    return ix
+
+
+def test_bm25_sql_matches_index_api(spark, text_index):
+    got = sql(
+        spark,
+        f"SELECT * FROM bm25('{text_index.path}', array('dup', 'vector'), 5)",
+    ).collect()
+    want = text_index.bm25(spark, ["dup", "vector"], k=5).collect()
+    assert [(r.doc_id, r.score, r.rnk) for r in got] == [
+        (r.doc_id, r.score, r.rnk) for r in want
+    ]
+
+
+def test_bm25_sql_composes_with_plain_sql(spark, text_index):
+    # the table factor is a normal table — filterable, projectable
+    df = sql(
+        spark,
+        f"""
+        SELECT doc_id, score FROM bm25('{text_index.path}', array('dup'), 10)
+        WHERE rnk <= 3
+        """,
+    )
+    assert df.count() == 3
+
+
+def test_bm25_sql_errors(spark, text_index):
+    with pytest.raises(ValueError, match="takes"):
+        sql(spark, f"SELECT * FROM bm25('{text_index.path}', array('a'))")
+    with pytest.raises(ValueError, match="no text index"):
+        sql(spark, "SELECT * FROM bm25('/nonexistent', array('a'), 3)")
+    with pytest.raises(ValueError, match="empty"):
+        sql(spark, f"SELECT * FROM bm25('{text_index.path}', array(), 3)")
