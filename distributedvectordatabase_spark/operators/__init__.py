@@ -59,7 +59,14 @@ from distributedvectordatabase_spark.operators.sq import (
     sq_search,
     sq_train,
 )
-from distributedvectordatabase_spark.operators.search import bm25_topk, hybrid_topk, rrf_fuse
+from distributedvectordatabase_spark.operators.search import (
+    bm25_topk,
+    bm25_topk_batch,
+    hybrid_serve_batch,
+    hybrid_topk,
+    hybrid_topk_batch,
+    rrf_fuse,
+)
 from distributedvectordatabase_spark.operators.skew import salted_aggregate
 from distributedvectordatabase_spark.operators.stats import (
     distribution_metrics,
@@ -75,6 +82,9 @@ __all__ = [
     "mixture_report",
     "stratified_sample",
     "hybrid_topk",
+    "bm25_topk_batch",
+    "hybrid_topk_batch",
+    "hybrid_serve_batch",
     "rrf_fuse",
     "filtered_knn",
     "ngram_contamination",

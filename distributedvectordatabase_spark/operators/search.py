@@ -412,3 +412,68 @@ def hybrid_topk_batch(
         text_col=text_col, qid_col=qid_col, terms_col=terms_col,
     )
     return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])
+
+
+def hybrid_serve_batch(
+    spark,
+    store,
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int | None = None,
+    rrf_c: int = 60,
+    metric: str = "cosine",
+    num_candidates: int | None = None,
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    terms_col: str = "terms",
+    dist_quantize: int | None = None,
+) -> DataFrame:
+    """Hybrid search served entirely from PERSISTED structures — the
+    production form of :func:`hybrid_topk_batch`: the semantic leg
+    queries a built ``VectorStore`` (exact scan, or LSH multi-probe
+    partition pruning when ``num_candidates`` is set), the lexical leg
+    queries a built ``TextIndex`` via :meth:`TextIndex.bm25_batch`
+    (one postings scan pruned to the batch's term buckets), and the
+    legs fuse per qid with :func:`rrf_fuse`. Neither corpus is
+    re-tokenized or re-scanned beyond its pruned partitions; the
+    one-time build cost is amortized across every serving batch.
+
+    ``queries`` carries (qid, qvec array, terms array<string>);
+    returns (qid, id_col, rrf_score, rnk). With ``num_candidates=None``
+    (exact) the rows are identical per query to
+    :func:`hybrid_topk_batch` over the same corpora (pinned in tests —
+    the store's exact scan and the index's scoring are both
+    bit-compatible with their one-shot operators). Embedding ids are
+    assumed to be document ids, the same contract as hybrid_topk.
+    """
+    fetch = int(fetch_k) if fetch_k is not None else 4 * max(int(k), 1)
+    qvecs = queries.select(qid_col, qvec_col)
+    if num_candidates is None:
+        hits = store.knn(
+            spark, qvecs, k=fetch, pruned=False, metric=metric,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+    else:
+        hits = store.knn(
+            spark, qvecs, k=fetch, pruned=True,
+            num_candidates=int(num_candidates), metric=metric,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+    dist_order = F.col("dist")
+    if dist_quantize is not None:
+        m = float(10 ** int(dist_quantize))
+        dist_order = F.floor(dist_order * F.lit(m) + F.lit(0.5)) / F.lit(m)
+    vec_leg = hits.select(
+        F.col(qid_col).alias("qid"),
+        F.col("neighbor_id").alias(id_col),
+        F.row_number()
+        .over(Window.partitionBy(qid_col).orderBy(dist_order, F.col("neighbor_id")))
+        .alias("rnk"),
+    )
+    text_leg = index.bm25_batch(
+        spark, queries.select(qid_col, terms_col), k=fetch,
+        qid_col=qid_col, terms_col=terms_col,
+    ).select("qid", F.col("doc_id").alias(id_col), "rnk")
+    return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])

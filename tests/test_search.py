@@ -295,3 +295,55 @@ def test_hybrid_batch_equals_per_query_loop(spark):
         ).collect():
             want[(q, r.doc_id)] = (round(r.rrf_score, 9), r.rnk)
     assert got == want and len(got) == 15
+
+
+def test_hybrid_serve_batch_equals_oneshot_batch(spark, tmp_path):
+    """hybrid_serve_batch (persisted VectorStore + TextIndex) must
+    reproduce hybrid_topk_batch exactly in exact mode, and keep the
+    pruned mode sane."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+        hybrid_topk_batch,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    store = VectorStore(str(tmp_path / "vs"), SignLSH(dim=64))
+    store.write(emb)
+    index = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    index.build(docs)
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    qterms = {0: ["dup", "vector"], 1: ["query", "the"], 2: ["vector"]}
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], qterms[q]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+    got = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, index, queries, k=5, dist_quantize=6
+        ).collect()
+    }
+    want = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_topk_batch(
+            docs, emb, queries, k=5, dist_quantize=6
+        ).collect()
+    }
+    assert got == want and len(got) == 15
+    # pruned semantic leg: still k results per query, fused sanely
+    pruned = hybrid_serve_batch(
+        spark, store, index, queries, k=5, num_candidates=3, dist_quantize=6
+    )
+    rows = pruned.collect()
+    assert {r.qid for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rnk <= 5 for r in rows)
