@@ -204,6 +204,28 @@ def main() -> None:
     timings["ivfpq_probe4_rerank4_20q"] = timed_min(lambda: ivfpq.count())
     recall_ivfpq = round(recall_at_k(exact, ivfpq, 10), 4)
 
+    # SemDeDup: plant 1% duplicate copies, then cluster-bucketed
+    # semantic dedup (64 cells) — the sub-quadratic curation pass;
+    # every planted copy shares its original's cell and cosine 1.0,
+    # so removed == planted checks recall at scale
+    from distributedvectordatabase_spark.operators.semdedup import (
+        fit_centroids,
+        semantic_dedup,
+    )
+
+    dups = (
+        loaded.filter(F.col("vec_id") % 100 == 0)
+        .select((F.col("vec_id") + F.lit(n_rows)).alias("vec_id"), "embedding")
+    )
+    seeded_corpus = loaded.select("vec_id", "embedding").union(dups)
+    n_planted = dups.count()
+    t0 = time.perf_counter()
+    C64 = fit_centroids(seeded_corpus, 64)
+    timings["semdedup_kmeans_64"] = round(time.perf_counter() - t0, 3)
+    sd = semantic_dedup(seeded_corpus, C64, threshold=0.999)
+    timings["semdedup_dedup_pass"] = timed_min(lambda: sd.count())
+    semdedup_removed = int(seeded_corpus.count() - sd.count())
+
     # SQ8 sidecar on the same LSH store: 1 byte/dim scan + exact rerank
     t0 = time.perf_counter()
     store.build_sq(spark)
@@ -321,6 +343,8 @@ def main() -> None:
                 "recall_at_10_pruned": recall,
                 "recall_at_10_ivfpq": recall_ivfpq,
                 "recall_at_10_sq8_rerank2": recall_sq,
+                "semdedup_planted": n_planted,
+                "semdedup_removed": semdedup_removed,
                 **text_stats,
                 "ingest_rows_per_s": round(n_rows / timings["ingest_bucketed_write"]),
             }
