@@ -86,6 +86,7 @@ EXTRA = [
     "strat_sample_quota",
     "strat_sample_weighted",
     "doc_pii_scrub",
+    "doc_lm_score",
 ]
 
 

@@ -440,6 +440,53 @@ def _q_doc_sample_fingerprint(d: str) -> str:
     """
 
 
+def _q_doc_lm_score(d: str) -> str:
+    """Char-trigram language-model quality score — the perplexity
+    filter of CCNet-style curation pipelines, self-trained: the corpus
+    itself supplies the trigram statistics, and each document is scored
+    by the mean smoothed log-probability of its trigrams
+    ``ln((c3 + 0.5) / (c2 + 32))`` (add-½ smoothing against a 64-symbol
+    pseudo-alphabet; c2 = the trigram's 2-char context count). Junk
+    documents (rare character sequences) score low; fluent ones score
+    near the corpus mode — exactly how ppl-based quality filters rank.
+
+    Determinism discipline (the BM25 gate's): each per-trigram log is
+    floor-quantized to integer micro-units FIRST, the per-doc total is
+    an exact bigint sum (order-independent), and only the final mean is
+    a float division, re-quantized. Scale shape: two groupBy passes
+    over the exploded trigrams (counts are corpus-global, reused by
+    every doc) and one join back — all shuffles on trigram keys, no
+    driver state."""
+    D = T._d(d)
+    sh3 = T.char_shingles("text", 3, d)
+    arr = f"{D['filter']}({sh3}, s -> length(s) = 3)"
+    if d == SPARK:
+        tri = (
+            "tri AS (SELECT doc_id, t3 FROM docs3 "
+            "LATERAL VIEW explode(arr3) e AS t3)"
+        )
+    else:
+        tri = "tri AS (SELECT doc_id, unnest(arr3) AS t3 FROM docs3)"
+    logp = "ln((c3.c3 + 0.5) / (c2.c2 + 32.0))"
+    micro = f"cast(floor(({logp}) * cast(1000000 as double) + cast(0.5 as double)) as bigint)"
+    return f"""
+    WITH docs3 AS (SELECT doc_id, {arr} AS arr3 FROM documents),
+    {tri},
+    c3 AS (SELECT t3, count(*) AS c3 FROM tri GROUP BY t3),
+    c2 AS (SELECT substring(t3, 1, 2) AS t2, count(*) AS c2 FROM tri GROUP BY substring(t3, 1, 2)),
+    scored AS (
+      SELECT tri.doc_id, sum({micro}) AS sum_u, count(*) AS n_tri
+      FROM tri
+      JOIN c3 ON c3.t3 = tri.t3
+      JOIN c2 ON c2.t2 = substring(tri.t3, 1, 2)
+      GROUP BY tri.doc_id
+    )
+    SELECT d.doc_id, d.lang, coalesce(s.n_tri, 0) AS n_tri,
+           {_qz("cast(s.sum_u as double) / nullif(s.n_tri, 0) / cast(1000000 as double)")} AS lm_score
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
 def _q_doc_pii_scrub(d: str) -> str:
     """PII redaction pass (training-data scrubbing: emails, IPv4s,
     +prefixed phones, long id runs — functions/text.PII_RULES applied
@@ -2719,5 +2766,8 @@ def build_catalog() -> dict[str, Query]:
         # PII (the testdata itself is clean). Past the gate cap —
         # strict-checked locally like the rest of the overflow.
         _sql_query("doc_pii_scrub", _q_doc_pii_scrub),
+        # r5: char-trigram LM quality score (CCNet-style ppl filter,
+        # self-trained on the corpus). Overflow slot, strict-checked.
+        _sql_query("doc_lm_score", _q_doc_lm_score),
     ]
     return {q.name: q for q in qs}

@@ -29,6 +29,7 @@ DOCUMENTED_OVERFLOW = {
     "strat_sample_weighted",
     "hybrid_rrf_topk",
     "doc_pii_scrub",
+    "doc_lm_score",
 }
 
 
