@@ -96,6 +96,14 @@ class IVFStore:
     def _pq_codebook_path(self) -> str:
         return os.path.join(self.path, "_pq_codebook.json")
 
+    @property
+    def _sq_path(self) -> str:
+        return os.path.join(self.path, "_sq")
+
+    @property
+    def _sq_params_path(self) -> str:
+        return os.path.join(self.path, "_sq_params.json")
+
     # -- build ---------------------------------------------------------------
 
     def build(self, df: DataFrame) -> None:
@@ -155,7 +163,8 @@ class IVFStore:
             "cell_id", nearest_cell(F.col(self.vec_col))
         ).withColumn("_gen", F.lit(gen))
         has_pq = os.path.exists(self._pq_codebook_path)
-        if has_pq:
+        has_sq = os.path.exists(self._sq_params_path)
+        if has_pq or has_sq:
             # pin the assigned batch so the raw write and the codes
             # write see the SAME rows — without this, a
             # non-deterministic input (stream batch, sample, generated
@@ -170,10 +179,10 @@ class IVFStore:
         # not atomic: if this second one fails, re-run build_pq to
         # regenerate the codes table from the raw rows (codes are
         # derived data, so the repair is always safe).
-        if has_pq:
-            from distributedvectordatabase_spark.operators.pq import pq_encode
+        try:
+            if has_pq:
+                from distributedvectordatabase_spark.operators.pq import pq_encode
 
-            try:
                 (
                     pq_encode(out, self.pq_codebook(), id_col=self.id_col,
                               vec_col=self.vec_col, keep_cols=("cell_id", "_gen"),
@@ -183,7 +192,18 @@ class IVFStore:
                     .partitionBy("cell_id")
                     .parquet(self._pq_path)
                 )
-            finally:
+            if has_sq:
+                from distributedvectordatabase_spark.operators.sq import sq_encode
+
+                (
+                    sq_encode(out, self.sq_params(), id_col=self.id_col,
+                              vec_col=self.vec_col, keep_cols=("cell_id", "_gen"))
+                    .write.mode("append")
+                    .partitionBy("cell_id")
+                    .parquet(self._sq_path)
+                )
+        finally:
+            if has_pq or has_sq:
                 out.unpersist()
         # gen persists only after the data lands (tombstones.py contract)
         self._persist_gen(gen)
@@ -222,6 +242,17 @@ class IVFStore:
             shutil.copy(
                 self._pq_codebook_path,
                 os.path.join(tmp, os.path.basename(self._pq_codebook_path)),
+            )
+        if os.path.exists(self._sq_params_path):
+            (
+                self._sq_codes_live(spark)
+                .write.mode("overwrite")
+                .partitionBy("cell_id")
+                .parquet(os.path.join(tmp, os.path.basename(self._sq_path)))
+            )
+            shutil.copy(
+                self._sq_params_path,
+                os.path.join(tmp, os.path.basename(self._sq_params_path)),
             )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
@@ -333,6 +364,83 @@ class IVFStore:
         with open(self._pq_codebook_path) as f:
             r = _json.load(f).get("rotation")
         return np.array(r, dtype=np.float64) if r is not None else None
+
+    # -- IVF-SQ8 -------------------------------------------------------------
+
+    def build_sq(self, spark: SparkSession) -> None:
+        """Build (or rebuild) the SQ8 codes sidecar: exact per-dim
+        min/max bounds over the live rows, one encode scan into a
+        cell-partitioned ``_sq/`` table (1 byte/dim) — together with
+        the centroids this is FAISS IndexIVFScalarQuantizer: cell
+        routing prunes partitions, the asymmetric scan reads only
+        codes, rerank probes raw vectors for the shortlist ids alone.
+        The practical high-D recipe when PQ's sub-byte codes lose to
+        distance concentration (BASELINE.md: SQ8 holds recall 1.0 at
+        512-D iid gaussian where PQ ADC drops to 0.11). ``append``
+        keeps the codes in sync with the existing bounds."""
+        from distributedvectordatabase_spark.operators.sq import sq_encode, sq_train
+
+        df = self._read_live(spark)
+        params = sq_train(df, vec_col=self.vec_col)
+        (
+            sq_encode(df, params, id_col=self.id_col, vec_col=self.vec_col,
+                      keep_cols=("cell_id", "_gen"))
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(self._sq_path)
+        )
+        with open(self._sq_params_path, "w") as f:
+            json.dump(params.to_dict(), f)
+
+    def sq_params(self):
+        from distributedvectordatabase_spark.operators.sq import SQParams
+
+        with open(self._sq_params_path) as f:
+            return SQParams.from_dict(json.load(f))
+
+    def _sq_codes_live(self, spark: SparkSession) -> DataFrame:
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        return filter_live(
+            spark, spark.read.parquet(self._sq_path), self._tombstone_path,
+            self.id_col,
+        )
+
+    def knn_sq(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        rerank: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """IVF-SQ8 search: probe the ``n_probe`` nearest cells
+        (partition pruning on the codes table), asymmetric-scan only
+        those cells' 1-byte/dim codes with a per-query cell mask, then
+        exact-rerank the shortlist against the raw vectors of the same
+        probed cells. ``rerank=0`` returns the SQ-estimate distances."""
+        from distributedvectordatabase_spark.operators.sq import sq_search
+
+        C = self.centroids()
+        qrows = collect_query_batch(queries, qid_col, qvec_col)
+        cand_map: dict[int, frozenset] = {}
+        for r in qrows:
+            qv = np.asarray(list(r[qvec_col]), dtype=np.float64)
+            order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
+            cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
+        probed = sorted({c for s in cand_map.values() for c in s})
+        codes = self._sq_codes_live(spark).drop("_gen").filter(
+            F.col("cell_id").isin(probed)
+        )
+        corpus = self.read(spark).filter(F.col("cell_id").isin(probed))
+        return sq_search(
+            codes, self.sq_params(), queries, k=k,
+            id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
+            rerank=rerank, corpus=corpus if rerank else None,
+            vec_col=self.vec_col, shard_col="cell_id", cand_map=cand_map,
+        )
 
     def knn_pq(
         self,

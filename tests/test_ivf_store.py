@@ -336,3 +336,71 @@ def test_compact_folds_tombstones_in_both_tables(spark, tmp_path):
     assert spark.read.parquet(store._pq_path).count() == 480
     after = {(r.qid, r.neighbor_id) for r in store.knn(spark, qs, k=K, n_probe=4).collect()}
     assert after == before
+
+
+# -- IVF-SQ8 ----------------------------------------------------------------
+
+
+@pytest.fixture()
+def built_sq(spark, tmp_path):
+    import numpy as np
+
+    store = IVFStore(str(tmp_path / "ivfsq"), n_cells=8)
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    store.build_sq(spark)
+    return store
+
+
+def test_ivfsq_full_probe_rerank_is_exact(spark, built_sq):
+    qs = queries_fixture(spark, SF_SMALL, n=10)
+    exact = knn(load_table(spark, "embeddings", SF_SMALL), qs, k=K)
+    res = built_sq.knn_sq(spark, qs, k=K, n_probe=8, rerank=3)
+    assert recall_at_k(exact, res, K) >= 0.99
+    top = {r.qid: r.neighbor_id for r in res.filter("rnk = 1").collect()}
+    assert all(nid == qid for qid, nid in top.items())
+
+
+def test_ivfsq_prunes_partitions_and_probe_monotone(spark, built_sq):
+    qs = queries_fixture(spark, SF_SMALL, n=10)
+    res = built_sq.knn_sq(spark, qs, k=K, n_probe=2, rerank=2)
+    pf = scan_partition_filters(res)
+    assert pf and any("cell_id" in f for f in pf), pf
+    exact = knn(load_table(spark, "embeddings", SF_SMALL), qs, k=K)
+    r2 = recall_at_k(exact, res, K)
+    r8 = recall_at_k(
+        exact, built_sq.knn_sq(spark, qs, k=K, n_probe=8, rerank=2), K
+    )
+    assert r8 >= r2
+
+
+def test_ivfsq_append_and_delete_stay_in_sync(spark, built_sq):
+    import numpy as np
+
+    vec = np.full(64, 3.0)
+    extra = spark.createDataFrame(
+        [(9001, vec.tolist())], schema="vec_id long, embedding array<float>"
+    )
+    built_sq.append(extra)
+    q = spark.createDataFrame(
+        [(1, vec.tolist())], schema="qid long, qvec array<double>"
+    )
+    res = built_sq.knn_sq(spark, q, k=1, n_probe=8, rerank=2).collect()
+    assert res and res[0].neighbor_id == 9001
+    built_sq.delete(spark, [9001])
+    after = built_sq.knn_sq(spark, q, k=3, n_probe=8, rerank=0).collect()
+    assert 9001 not in {r.neighbor_id for r in after}
+
+
+def test_ivfsq_compact_carries_sidecar(spark, built_sq):
+    import os
+
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    built_sq.delete(spark, [0])
+    want = {(r.qid, r.neighbor_id, r.rnk)
+            for r in built_sq.knn_sq(spark, qs, k=5, n_probe=8, rerank=0).collect()}
+    built_sq.compact(spark)
+    got = {(r.qid, r.neighbor_id, r.rnk)
+           for r in built_sq.knn_sq(spark, qs, k=5, n_probe=8, rerank=0).collect()}
+    assert got == want
+    assert spark.read.parquet(built_sq._sq_path).filter("vec_id = 0").count() == 0
+    assert not os.path.exists(built_sq._tombstone_path)
