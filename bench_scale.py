@@ -204,27 +204,41 @@ def main() -> None:
     timings["ivfpq_probe4_rerank4_20q"] = timed_min(lambda: ivfpq.count())
     recall_ivfpq = round(recall_at_k(exact, ivfpq, 10), 4)
 
+    # IVF-SQ8 on the same cells: routing keeps the partition pruning,
+    # the scan reads 1 byte/dim — isolates routing loss from code loss
+    t0 = time.perf_counter()
+    ivf.build_sq(spark)
+    timings["ivfsq_encode"] = round(time.perf_counter() - t0, 3)
+    ivfsq = ivf.knn_sq(spark, queries, k=10, n_probe=4, rerank=2)
+    timings["ivfsq_probe4_rerank2_20q"] = timed_min(lambda: ivfsq.count())
+    recall_ivfsq = round(recall_at_k(exact, ivfsq, 10), 4)
+
     # SemDeDup: plant 1% duplicate copies, then cluster-bucketed
     # semantic dedup (64 cells) — the sub-quadratic curation pass;
     # every planted copy shares its original's cell and cosine 1.0,
-    # so removed == planted checks recall at scale
-    from distributedvectordatabase_spark.operators.semdedup import (
-        fit_centroids,
-        semantic_dedup,
-    )
+    # so removed == planted checks recall at scale. Probed at the
+    # standard 64-D configuration only: the KMeans fit + within-cell
+    # pairwise dominate the whole probe at 512-D, and the measurement
+    # (planted-copy recall + pass cost) is dim-insensitive.
+    n_planted = semdedup_removed = None
+    if dim <= 128:
+        from distributedvectordatabase_spark.operators.semdedup import (
+            fit_centroids,
+            semantic_dedup,
+        )
 
-    dups = (
-        loaded.filter(F.col("vec_id") % 100 == 0)
-        .select((F.col("vec_id") + F.lit(n_rows)).alias("vec_id"), "embedding")
-    )
-    seeded_corpus = loaded.select("vec_id", "embedding").union(dups)
-    n_planted = dups.count()
-    t0 = time.perf_counter()
-    C64 = fit_centroids(seeded_corpus, 64)
-    timings["semdedup_kmeans_64"] = round(time.perf_counter() - t0, 3)
-    sd = semantic_dedup(seeded_corpus, C64, threshold=0.999)
-    timings["semdedup_dedup_pass"] = timed_min(lambda: sd.count())
-    semdedup_removed = int(seeded_corpus.count() - sd.count())
+        dups = (
+            loaded.filter(F.col("vec_id") % 100 == 0)
+            .select((F.col("vec_id") + F.lit(n_rows)).alias("vec_id"), "embedding")
+        )
+        seeded_corpus = loaded.select("vec_id", "embedding").union(dups)
+        n_planted = dups.count()
+        t0 = time.perf_counter()
+        C64 = fit_centroids(seeded_corpus, 64)
+        timings["semdedup_kmeans_64"] = round(time.perf_counter() - t0, 3)
+        sd = semantic_dedup(seeded_corpus, C64, threshold=0.999)
+        timings["semdedup_dedup_pass"] = timed_min(lambda: sd.count())
+        semdedup_removed = int(seeded_corpus.count() - sd.count())
 
     # SQ8 sidecar on the same LSH store: 1 byte/dim scan + exact rerank
     t0 = time.perf_counter()
@@ -342,6 +356,7 @@ def main() -> None:
                 "dim": dim,
                 "recall_at_10_pruned": recall,
                 "recall_at_10_ivfpq": recall_ivfpq,
+                "recall_at_10_ivfsq": recall_ivfsq,
                 "recall_at_10_sq8_rerank2": recall_sq,
                 "semdedup_planted": n_planted,
                 "semdedup_removed": semdedup_removed,
