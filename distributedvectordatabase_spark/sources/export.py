@@ -22,9 +22,13 @@ contracts are the ones that matter at 100 TB:
   re-aggregates the data and compares, so a truncated or partial
   write is detectable before a training run consumes it.
 
-The payload format is Parquet (columnar, splittable, schema-carrying)
-— the idiomatic Spark sink; a JSONL re-serialization is a trivial
-per-shard map a loader can do on the fly.
+The payload format is Parquet by default (columnar, splittable,
+schema-carrying) — the idiomatic Spark sink. ``fmt="jsonl"`` writes
+JSON-lines shards instead for loaders that stream text (HF datasets /
+Megatron-style ingestion): same placement, same within-shard order
+(one writer task per shard preserves row order in the text file),
+same manifest + verification. JSONL carries no schema and no binary
+columns faithfully — keep those exports Parquet.
 """
 
 from __future__ import annotations
@@ -49,6 +53,9 @@ def _order_col(id_col: str):
     return F.expr(hash64(f"concat(cast({id_col} as string), ':order')", SPARK))
 
 
+_FORMATS = ("parquet", "jsonl")
+
+
 def export_shards(
     df: DataFrame,
     path: str,
@@ -56,17 +63,23 @@ def export_shards(
     n_shards: int,
     id_col: str = "doc_id",
     weight_col: str | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Write ``df`` as ``n_shards`` deterministic Parquet shards plus a
+    """Write ``df`` as ``n_shards`` deterministic shards plus a
     manifest; returns the manifest DataFrame (shard, n_rows[, weight]).
 
     ``id_col`` must uniquely identify rows (it is the placement and
-    order key). The write is all-or-nothing per directory (Spark's
-    job-commit protocol); the manifest is written after the data, so
-    a manifest's presence implies the data committed.
+    order key). ``fmt`` is ``"parquet"`` (default) or ``"jsonl"``
+    (JSON-lines text shards; recorded in the manifest so readers and
+    verification need no out-of-band knowledge). The write is
+    all-or-nothing per directory (Spark's job-commit protocol); the
+    manifest is written after the data, so a manifest's presence
+    implies the data committed.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be >= 1")
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     clash = {"shard", "_ord"} & set(df.columns)
     if clash:
         # withColumn would silently OVERWRITE these, corrupting the
@@ -78,29 +91,46 @@ def export_shards(
     sharded = df.withColumn("shard", _shard_col(id_col, n_shards)).withColumn(
         "_ord", _order_col(id_col)
     )
-    (
+    writer = (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "_ord", id_col)
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(os.path.join(path, DATA_DIR))
     )
+    data_path = os.path.join(path, DATA_DIR)
+    if fmt == "jsonl":
+        writer.json(data_path)
+    else:
+        writer.parquet(data_path)
     spark = df.sparkSession
-    manifest = _aggregate_manifest(
-        spark.read.parquet(os.path.join(path, DATA_DIR)), weight_col
-    )
+    manifest = _aggregate_manifest(_read_data(spark, path, fmt), weight_col, fmt)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, MANIFEST_DIR)
     )
     return read_manifest(spark, path)
 
 
-def _aggregate_manifest(data: DataFrame, weight_col: str | None) -> DataFrame:
+def _read_data(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    data_path = os.path.join(path, DATA_DIR)
+    if fmt == "jsonl":
+        return spark.read.json(data_path)
+    return spark.read.parquet(data_path)
+
+
+def _manifest_format(manifest: DataFrame) -> str:
+    if "format" in manifest.columns:
+        return manifest.select("format").first()[0]
+    return "parquet"  # pre-format manifests are parquet exports
+
+
+def _aggregate_manifest(
+    data: DataFrame, weight_col: str | None, fmt: str
+) -> DataFrame:
     aggs = [F.count("*").alias("n_rows")]
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("long").alias("weight"))
-    out = data.groupBy("shard").agg(*aggs)
+    out = data.groupBy("shard").agg(*aggs).withColumn("format", F.lit(fmt))
     if weight_col is not None:
         # record WHICH column the weight summed, so verify_export can
         # re-aggregate without out-of-band knowledge
@@ -115,9 +145,10 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 def read_shards(
     spark: SparkSession, path: str, shards: list[int] | None = None
 ) -> DataFrame:
-    """Read the export back; ``shards`` partition-prunes to a subset
-    (a loader resuming mid-run reads only what it still needs)."""
-    data = spark.read.parquet(os.path.join(path, DATA_DIR))
+    """Read the export back (format taken from the manifest);
+    ``shards`` partition-prunes to a subset (a loader resuming mid-run
+    reads only what it still needs)."""
+    data = _read_data(spark, path, _manifest_format(read_manifest(spark, path)))
     if shards is not None:
         data = data.where(F.col("shard").isin([int(s) for s in shards]))
     return data
@@ -131,12 +162,15 @@ def verify_export(spark: SparkSession, path: str) -> None:
     weight_src = None
     if "weight_src" in manifest.columns:
         weight_src = manifest.select("weight_src").first()[0]
-    data = spark.read.parquet(os.path.join(path, DATA_DIR))
+    fmt = _manifest_format(manifest)
+    data = _read_data(spark, path, fmt)
     if weight_src is not None and weight_src not in data.columns:
         raise ValueError(
             f"manifest records weight column {weight_src!r} not present in the data"
         )
-    got = _aggregate_manifest(data, weight_src)
+    got = _aggregate_manifest(data, weight_src, fmt)
+    if "format" not in manifest.columns:
+        got = got.drop("format")  # pre-format manifest: compare legacy shape
     diff = got.exceptAll(manifest).unionAll(manifest.exceptAll(got))
     bad = diff.limit(1).collect()
     if bad:

@@ -101,3 +101,52 @@ def test_reserved_column_collision_rejected(spark, docs, out_dir):
         export_shards(docs.withColumn("shard", F.lit(0)), out_dir, n_shards=2)
     with pytest.raises(ValueError, match="reserved export column"):
         export_shards(docs.withColumn("_ord", F.lit(0)), out_dir, n_shards=2)
+
+
+def test_jsonl_export_roundtrip_and_verify(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text", "lang")
+    man = export_shards(
+        docs, str(tmp_path / "ej"), n_shards=4, id_col="doc_id", fmt="jsonl"
+    )
+    assert {r.format for r in man.collect()} == {"jsonl"}
+    verify_export(spark, str(tmp_path / "ej"))
+    back = read_shards(spark, str(tmp_path / "ej"))
+    assert back.count() == docs.count()
+    # payload survives the text round-trip
+    want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == want
+    # data files are .json text, not parquet
+    import os
+    files = [
+        f for root, _, fs in os.walk(str(tmp_path / "ej" / "data"))
+        for f in fs if f.startswith("part-")
+    ]
+    assert files and all(f.endswith(".json") for f in files)
+
+
+def test_jsonl_shard_bytes_layout_independent(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    export_shards(docs.repartition(3), str(tmp_path / "a"), n_shards=2,
+                  id_col="doc_id", fmt="jsonl")
+    export_shards(docs.repartition(11), str(tmp_path / "b"), n_shards=2,
+                  id_col="doc_id", fmt="jsonl")
+    import os
+
+    def shard_bytes(base, shard):
+        d = os.path.join(base, "data", f"shard={shard}")
+        chunks = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("part-"):
+                with open(os.path.join(d, f), "rb") as fh:
+                    chunks.append(fh.read())
+        return b"".join(chunks)
+
+    for s in (0, 1):
+        assert shard_bytes(str(tmp_path / "a"), s) == shard_bytes(str(tmp_path / "b"), s)
+
+
+def test_export_rejects_unknown_format(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_DIR)
+    with pytest.raises(ValueError, match="fmt"):
+        export_shards(docs, str(tmp_path / "x"), n_shards=2, fmt="csv")
