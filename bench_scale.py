@@ -345,6 +345,30 @@ def main() -> None:
             lambda: stratified_sample(sdocs, 100, prefilter=False).count()
         )
 
+        # PII scrub throughput: pure-codegen regexp scan, zero matches
+        # on this corpus — measures the regex cost itself
+        from distributedvectordatabase_spark.operators.scrub import scrub_pii
+
+        timings["pii_scrub"] = timed_min(
+            lambda: scrub_pii(docs)
+            .filter("n_email + n_ip + n_phone + n_idnum > 0")
+            .count()
+        )
+
+        # char-trigram LM scoring over the full corpus: the heavy text
+        # aggregation (every trigram exploded, two global groupBys,
+        # contribution joinback) — the catalog gate's own template.
+        # Aggregate the SCORE, not count(): Catalyst's column pruning
+        # drops the whole log-prob computation under a bare count
+        # (measured 10x apart). One rep — the pass is minutes at 1M docs.
+        from distributedvectordatabase_spark.catalog import _q_doc_lm_score
+
+        docs.withColumn("lang", F.lit("en")).createOrReplaceTempView("documents")
+        lm = spark.sql(_q_doc_lm_score("spark"))
+        timings["doc_lm_score"] = timed_min(
+            lambda: lm.agg(F.sum("lm_score")).first(), reps=1
+        )
+
     print(
         json.dumps(
             {
