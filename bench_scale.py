@@ -356,15 +356,15 @@ def main() -> None:
         )
 
         # char-trigram LM scoring over the full corpus: the heavy text
-        # aggregation (every trigram exploded, two global groupBys,
-        # contribution joinback) — the catalog gate's own template.
-        # Aggregate the SCORE, not count(): Catalyst's column pruning
-        # drops the whole log-prob computation under a bare count
-        # (measured 10x apart). One rep — the pass is minutes at 1M docs.
-        from distributedvectordatabase_spark.catalog import _q_doc_lm_score
+        # aggregation (trigram explode + per-(doc, trigram) counts
+        # persisted once + two tiny groupBys + contribution joinback)
+        # — the catalog gate's own DataFrame runner. Aggregate the
+        # SCORE, not count(): Catalyst's column pruning drops the whole
+        # log-prob computation under a bare count (measured 10x
+        # apart). One rep — the pass is minutes at 1M docs.
+        from distributedvectordatabase_spark.catalog import doc_lm_score_df
 
-        docs.withColumn("lang", F.lit("en")).createOrReplaceTempView("documents")
-        lm = spark.sql(_q_doc_lm_score("spark"))
+        lm = doc_lm_score_df(docs.withColumn("lang", F.lit("en")))
         timings["doc_lm_score"] = timed_min(
             lambda: lm.agg(F.sum("lm_score")).first(), reps=1
         )

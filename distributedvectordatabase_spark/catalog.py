@@ -472,19 +472,93 @@ def _q_doc_lm_score(d: str) -> str:
     return f"""
     WITH docs3 AS (SELECT doc_id, {arr} AS arr3 FROM documents),
     {tri},
-    c3 AS (SELECT t3, count(*) AS c3 FROM tri GROUP BY t3),
-    c2 AS (SELECT substring(t3, 1, 2) AS t2, count(*) AS c2 FROM tri GROUP BY substring(t3, 1, 2)),
+    -- everything downstream works on per-(doc, trigram) COUNTS, not
+    -- occurrences: k occurrences of a trigram contribute k·micro
+    -- exactly (integer arithmetic), and the corpus-size row stream
+    -- shrinks before any join
+    dt AS (SELECT doc_id, t3, count(*) AS k FROM tri GROUP BY doc_id, t3),
+    -- bigint casts: DuckDB's sum(bigint) widens to DECIMAL, Spark's
+    -- stays bigint — pin the shared type so the smoothing arithmetic
+    -- and the output schema agree across engines
+    c3 AS (SELECT t3, cast(sum(k) as bigint) AS c3 FROM dt GROUP BY t3),
+    -- context counts derive from the tiny c3 table (sum of trigram
+    -- counts grouped by their 2-char prefix == count of trigrams per
+    -- prefix, exactly), never a second corpus pass
+    c2 AS (SELECT substring(t3, 1, 2) AS t2, cast(sum(c3) as bigint) AS c2 FROM c3 GROUP BY substring(t3, 1, 2)),
     scored AS (
-      SELECT tri.doc_id, sum({micro}) AS sum_u, count(*) AS n_tri
-      FROM tri
-      JOIN c3 ON c3.t3 = tri.t3
-      JOIN c2 ON c2.t2 = substring(tri.t3, 1, 2)
-      GROUP BY tri.doc_id
+      SELECT dt.doc_id, cast(sum(dt.k * {micro}) as bigint) AS sum_u,
+             cast(sum(dt.k) as bigint) AS n_tri
+      FROM dt
+      JOIN c3 ON c3.t3 = dt.t3
+      JOIN c2 ON c2.t2 = substring(dt.t3, 1, 2)
+      GROUP BY dt.doc_id
     )
-    SELECT d.doc_id, d.lang, coalesce(s.n_tri, 0) AS n_tri,
+    SELECT d.doc_id, d.lang, cast(coalesce(s.n_tri, 0) as bigint) AS n_tri,
            {_qz("cast(s.sum_u as double) / nullif(s.n_tri, 0) / cast(1000000 as double)")} AS lm_score
     FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
     """
+
+
+def doc_lm_score_df(docs: DataFrame) -> DataFrame:
+    """DataFrame form of _q_doc_lm_score with identical arithmetic
+    (every scoring expression is the template's own SQL text via
+    F.expr, so parsing/typing match the oracle's Spark dialect), but
+    the per-(doc, trigram) count table is PERSISTED (memory+disk,
+    lineage kept — localCheckpoint would truncate lineage and die on
+    block eviction at probe scale) instead of re-exploded per CTE
+    reference — engines inline CTEs, so the pure-SQL form pays the
+    corpus explode for each of its three consumers; this pays it once
+    (1.75× at the 200k-doc probe). ``docs`` needs (doc_id, text,
+    lang)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    D = T._d(SPARK)
+    sh3 = T.char_shingles("text", 3, SPARK)
+    arr = f"{D['filter']}({sh3}, s -> length(s) = 3)"
+    dt = (
+        docs.selectExpr("doc_id", f"explode({arr}) AS t3")
+        .groupBy("doc_id", "t3")
+        .agg(F.count("*").alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c3 = dt.groupBy("t3").agg(F.expr("sum(k)").alias("c3"))
+    c2 = (
+        c3.groupBy(F.expr("substring(t3, 1, 2)").alias("t2"))
+        .agg(F.expr("sum(c3)").alias("c2"))
+    )
+    micro = (
+        "cast(floor((ln((c3 + 0.5) / (c2 + 32.0))) * cast(1000000 as double)"
+        " + cast(0.5 as double)) as bigint)"
+    )
+    scored = (
+        dt.join(F.broadcast(c3), "t3")
+        .join(F.broadcast(c2), F.expr("substring(t3, 1, 2)") == F.col("t2"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(f"cast(sum(k * {micro}) as bigint)").alias("sum_u"),
+            F.expr("cast(sum(k) as bigint)").alias("n_tri"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored.withColumnRenamed("n_tri", "_nt"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("cast(coalesce(_nt, 0) as bigint)").alias("n_tri"),
+            F.expr(
+                _qz(
+                    "cast(sum_u as double) / nullif(_nt, 0) / cast(1000000 as double)"
+                )
+            ).alias("lm_score"),
+        )
+    )
+
+
+def _run_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return doc_lm_score_df(spark.table("documents"))
 
 
 def _q_doc_pii_scrub(d: str) -> str:
@@ -2768,6 +2842,7 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("doc_pii_scrub", _q_doc_pii_scrub),
         # r5: char-trigram LM quality score (CCNet-style ppl filter,
         # self-trained on the corpus). Overflow slot, strict-checked.
-        _sql_query("doc_lm_score", _q_doc_lm_score),
+        # Spark side runs the materialize-dt-once DataFrame form.
+        Query("doc_lm_score", _run_doc_lm_score, _q_doc_lm_score(DUCKDB)),
     ]
     return {q.name: q for q in qs}
