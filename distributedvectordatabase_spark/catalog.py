@@ -509,7 +509,15 @@ def doc_lm_score_df(docs: DataFrame) -> DataFrame:
     reference — engines inline CTEs, so the pure-SQL form pays the
     corpus explode for each of its three consumers; this pays it once
     (1.75× at the 200k-doc probe). ``docs`` needs (doc_id, text,
-    lang)."""
+    lang).
+
+    The persist is session-lifetime (the returned DataFrame is lazy,
+    so this function has no point to release it); callers scoring the
+    same corpus repeatedly share the cache, and a caller that needs
+    the storage back unpersists via
+    ``spark.catalog.clearCache()`` or tracks the intermediate
+    themselves. At gate scale the table is KBs; the 1M-doc probe's is
+    a few GB of memory+disk."""
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 

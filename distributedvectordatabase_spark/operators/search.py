@@ -390,26 +390,34 @@ def hybrid_topk_batch(
     from distributedvectordatabase_spark.operators.knn import knn
 
     fetch = int(fetch_k) if fetch_k is not None else 4 * max(int(k), 1)
+    # canonicalize query columns up front: knn's output always carries
+    # the literal "qid" column regardless of qid_col, so downstream
+    # references must use the canonical names
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("qvec"),
+        F.col(terms_col).alias("terms"),
+    )
     hits = knn(
-        embeddings, queries.select(qid_col, qvec_col), k=fetch, metric=metric,
-        id_col=emb_id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+        embeddings, q.select("qid", "qvec"), k=fetch, metric=metric,
+        id_col=emb_id_col, vec_col=vec_col,
     )
     dist_order = F.col("dist")
     if dist_quantize is not None:
         m = float(10 ** int(dist_quantize))
         dist_order = F.floor(dist_order * F.lit(m) + F.lit(0.5)) / F.lit(m)
     vec_leg = hits.select(
-        F.col(qid_col).alias("qid"),
+        "qid",
         F.col("neighbor_id").alias(id_col),
         F.row_number()
         .over(
-            Window.partitionBy(qid_col).orderBy(dist_order, F.col("neighbor_id"))
+            Window.partitionBy("qid").orderBy(dist_order, F.col("neighbor_id"))
         )
         .alias("rnk"),
     )
     text_leg = bm25_topk_batch(
-        docs, queries.select(qid_col, terms_col), k=fetch, id_col=id_col,
-        text_col=text_col, qid_col=qid_col, terms_col=terms_col,
+        docs, q.select("qid", "terms"), k=fetch, id_col=id_col,
+        text_col=text_col,
     )
     return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])
 
@@ -449,31 +457,33 @@ def hybrid_serve_batch(
     assumed to be document ids, the same contract as hybrid_topk.
     """
     fetch = int(fetch_k) if fetch_k is not None else 4 * max(int(k), 1)
-    qvecs = queries.select(qid_col, qvec_col)
+    # canonicalize query columns up front: the store's knn output
+    # always carries the literal "qid" column regardless of qid_col
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("qvec"),
+        F.col(terms_col).alias("terms"),
+    )
+    qvecs = q.select("qid", "qvec")
     if num_candidates is None:
-        hits = store.knn(
-            spark, qvecs, k=fetch, pruned=False, metric=metric,
-            qid_col=qid_col, qvec_col=qvec_col,
-        )
+        hits = store.knn(spark, qvecs, k=fetch, pruned=False, metric=metric)
     else:
         hits = store.knn(
             spark, qvecs, k=fetch, pruned=True,
             num_candidates=int(num_candidates), metric=metric,
-            qid_col=qid_col, qvec_col=qvec_col,
         )
     dist_order = F.col("dist")
     if dist_quantize is not None:
         m = float(10 ** int(dist_quantize))
         dist_order = F.floor(dist_order * F.lit(m) + F.lit(0.5)) / F.lit(m)
     vec_leg = hits.select(
-        F.col(qid_col).alias("qid"),
+        "qid",
         F.col("neighbor_id").alias(id_col),
         F.row_number()
-        .over(Window.partitionBy(qid_col).orderBy(dist_order, F.col("neighbor_id")))
+        .over(Window.partitionBy("qid").orderBy(dist_order, F.col("neighbor_id")))
         .alias("rnk"),
     )
     text_leg = index.bm25_batch(
-        spark, queries.select(qid_col, terms_col), k=fetch,
-        qid_col=qid_col, terms_col=terms_col,
+        spark, q.select("qid", "terms"), k=fetch,
     ).select("qid", F.col("doc_id").alias(id_col), "rnk")
     return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])

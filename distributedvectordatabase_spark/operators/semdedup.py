@@ -82,13 +82,16 @@ def assign_members(
                 continue
             X = np.array(list(pdf[vec_col].values), dtype=np.float64)
             xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+            # one gemm per batch, reused by both the assignment argmin
+            # and the reported cosine — it dominates the pass cost
+            XC = X @ C.T
             # nearest by L2² via the norm identity (matches KMeans
             # assignment); similarity reported as cosine
-            d2 = (xn**2)[:, None] - 2.0 * (X @ C.T) + (cn**2)[None, :]
+            d2 = (xn**2)[:, None] - 2.0 * XC + (cn**2)[None, :]
             cell = d2.argmin(axis=1)
             safe_xn = np.where(xn == 0.0, 1.0, xn)
             sims = (
-                np.take_along_axis(X @ C.T, cell[:, None], axis=1).ravel()
+                np.take_along_axis(XC, cell[:, None], axis=1).ravel()
                 / (safe_xn * safe_cn[cell])
             )
             sims[xn == 0.0] = 0.0
@@ -163,11 +166,21 @@ def semantic_dup_members(
     duplicate above ``threshold`` don't appear (they all survive)."""
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    from pyspark.storagelevel import StorageLevel
+
     from distributedvectordatabase_spark.operators.components import (
         connected_components,
     )
 
-    members = assign_members(df, centroids, id_col=id_col, vec_col=vec_col)
+    # pin the assignment so the edge pass and the metadata join see the
+    # SAME rows — connected_components materializes the edges eagerly,
+    # so an unpinned non-deterministic input (a sample, generated ids)
+    # would be re-evaluated for the join and could silently drop or
+    # mis-rank members (the IVFStore.append pin contract). Lineage is
+    # kept, so an evicted block recomputes instead of erroring.
+    members = assign_members(df, centroids, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges = _within_cell_edges(
         members, threshold=threshold, id_col=id_col, vec_col=vec_col, chunk=chunk
     )

@@ -156,83 +156,21 @@ class TextIndex:
         """BM25 top-k over the persisted index — identical rows to
         operators/search.bm25_topk on the same corpus/terms, but the
         scan touches only the query terms' hash buckets (partition
-        pruning) and pays no tokenization."""
+        pruning) and pays no tokenization.
+
+        Delegates to :meth:`bm25_batch` with a one-row query table so
+        the parity-critical scoring arithmetic lives in exactly one
+        place — a per-query window over one qid ranks identically to a
+        global order."""
         if not terms:
             raise ValueError("bm25 requires at least one query term")
-        terms = sorted(set(terms))
-        k = max(int(k), 1)
-        st = self.stats()
-        n_buckets = self._persisted_buckets(st)
-
-        # literal bucket list -> Parquet partition pruning at the scan
-        buckets = sorted(
-            {
-                r.b
-                for r in spark.createDataFrame(
-                    [(t,) for t in terms], "term string"
-                )
-                .select(
-                    F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                    .cast("int")
-                    .alias("b")
-                )
-                .collect()
-            }
-        )
-        post = (
-            self.postings(spark)
-            .filter(F.col("term_bucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
-        )
-        df_t = post.groupBy("term").agg(F.count("*").alias("df"))
-
-        m = F.lit(1e6)
-        qz6 = lambda c: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
-        scored = (
-            post.join(F.broadcast(df_t), "term")
-            .withColumn("n_docs", F.lit(int(st["n_docs"])))
-            .withColumn(
-                "avgdl",
-                F.lit(float(st["total_len"])) / F.lit(int(st["n_docs"])),
-            )
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
-            )
-            .withColumn(
-                "contrib",
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                ),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum(qz6(F.col("contrib")).cast("decimal(38,6)")).alias("score_dec"))
+        q = spark.createDataFrame(
+            [(0, sorted(set(terms)))], "qid long, terms array<string>"
         )
         return (
-            scored.withColumn(
-                "score",
-                F.expr(
-                    "cast(floor(score_dec * 1000000 + 0.5) as bigint)"
-                    " / cast(1000000 as double)"
-                ),
-            )
-            .orderBy(F.col("score_dec").desc(), F.col("doc_id"))
-            .limit(k)
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
-                ),
-            )
+            self.bm25_batch(spark, q, k=k, k1=k1, b=b)
             .select("doc_id", "score", "rnk")
+            .orderBy("rnk")
         )
 
     def bm25_batch(

@@ -204,6 +204,15 @@ class VectorStore:
             if sync_sq:
                 out = out.cache()
             out.write.mode(mode).partitionBy("shard_id").parquet(self.path)
+            # gen persisted only AFTER the data lands: a crash mid-write
+            # leaves the counter unbumped, and a later delete at this
+            # same gen number correctly covers the orphan rows (the
+            # survival rule is strict row._gen > tombstone gen). It must
+            # also land BEFORE the SQ encode below: if that second write
+            # fails, _gen (g+1) != the SQ synced gen (g) and knn_sq's
+            # staleness guard trips — persisting after would leave both
+            # at g and the guard would pass on codes missing these rows.
+            self._write_lsh_config(gen=gen)
             if sync_sq:
                 from distributedvectordatabase_spark.operators.sq import sq_encode
 
@@ -211,8 +220,9 @@ class VectorStore:
                     # encoded with the EXISTING bounds (standard SQ
                     # ingest — out-of-range values saturate; periodic
                     # build_sq refresh is a caller policy). Not atomic
-                    # with the raw write: if this fails, build_sq
-                    # regenerates the codes from raw (derived data).
+                    # with the raw write: if this fails, the staleness
+                    # guard refuses knn_sq until build_sq regenerates
+                    # the codes from raw (derived data).
                     (
                         sq_encode(out, self.sq_params(), id_col=self.id_col,
                                   vec_col=self.vec_col,
@@ -223,12 +233,6 @@ class VectorStore:
                     )
                 finally:
                     out.unpersist()
-            # gen persisted only AFTER the data lands: a crash mid-write
-            # leaves the counter unbumped, and a later delete at this
-            # same gen number correctly covers the orphan rows (the
-            # survival rule is strict row._gen > tombstone gen)
-            self._write_lsh_config(gen=gen)
-            if sync_sq:
                 self._sq_record_gen(gen)
         except Exception as e:  # surface the in-flight dim check typed
             if validate_dim and "dimension mismatch" in str(e):

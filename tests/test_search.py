@@ -347,3 +347,41 @@ def test_hybrid_serve_batch_equals_oneshot_batch(spark, tmp_path):
     rows = pruned.collect()
     assert {r.qid for r in rows} == {0, 1, 2}
     assert all(1 <= r.rnk <= 5 for r in rows)
+
+
+def test_hybrid_batch_accepts_custom_column_names(spark, tmp_path):
+    """Regression: knn's output always carries the literal 'qid'
+    column, so the batch hybrids must canonicalize caller column
+    names up front instead of referencing them downstream."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+        hybrid_topk_batch,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    queries = spark.createDataFrame(
+        [(7, qv, ["dup", "vector"])],
+        "my_qid long, my_vec array<float>, my_terms array<string>",
+    )
+    got = hybrid_topk_batch(
+        docs, emb, queries, k=3,
+        qid_col="my_qid", qvec_col="my_vec", terms_col="my_terms",
+    ).collect()
+    assert {r.qid for r in got} == {7} and len(got) == 3
+    store = VectorStore(str(tmp_path / "vs2"), SignLSH(dim=64))
+    store.write(emb)
+    index = TextIndex(str(tmp_path / "ix2"), n_buckets=8)
+    index.build(docs)
+    got2 = hybrid_serve_batch(
+        spark, store, index, queries, k=3,
+        qid_col="my_qid", qvec_col="my_vec", terms_col="my_terms",
+    ).collect()
+    assert {r.qid for r in got2} == {7} and len(got2) == 3
