@@ -158,48 +158,55 @@ class TextIndex:
         scan touches only the query terms' hash buckets (partition
         pruning) and pays no tokenization.
 
-        Delegates to :meth:`bm25_batch` with a one-row query table so
-        the parity-critical scoring arithmetic lives in exactly one
-        place — a per-query window over one qid ranks identically to a
-        global order."""
+        The scoring arithmetic is _scored (shared verbatim with
+        bm25_batch, so the parity-critical expressions live once); the
+        single-query top-k stays ``ORDER BY ... LIMIT k`` so the plan
+        keeps TakeOrderedAndProject (per-partition heaps + driver
+        merge) instead of a one-partition window sort over every
+        candidate doc."""
         if not terms:
             raise ValueError("bm25 requires at least one query term")
         q = spark.createDataFrame(
             [(0, sorted(set(terms)))], "qid long, terms array<string>"
         )
+        scored = self._scored(spark, q, "qid", "terms", k1, b)
+        k = max(int(k), 1)
         return (
-            self.bm25_batch(spark, q, k=k, k1=k1, b=b)
+            scored.withColumn(
+                "score",
+                F.expr(
+                    "cast(floor(score_dec * 1000000 + 0.5) as bigint)"
+                    " / cast(1000000 as double)"
+                ),
+            )
+            .orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+            .limit(k)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+                ),
+            )
             .select("doc_id", "score", "rnk")
-            .orderBy("rnk")
         )
 
-    def bm25_batch(
+    def _scored(
         self,
         spark: SparkSession,
         queries: DataFrame,
-        k: int = 10,
-        k1: float = 1.2,
-        b: float = 0.75,
-        qid_col: str = "qid",
-        terms_col: str = "terms",
+        qid_col: str,
+        terms_col: str,
+        k1: float,
+        b: float,
     ) -> DataFrame:
-        """BM25 top-k for a TABLE of term queries against the persisted
-        index — the serving form of operators/search.bm25_topk_batch.
-        ``queries`` carries (qid, terms array<string>); returns
-        (qid, doc_id, score, rnk), row-identical per qid to
-        :meth:`bm25` (pinned in tests).
-
-        Plan shape: ONE postings scan partition-pruned to the UNION of
-        the batch's term buckets (a 100-query batch over a shared
-        vocabulary reads the same bytes as one query), per-(doc, term)
-        contributions computed once and fanned out to queries by a
-        broadcast (qid, term) join, per-query top-k one window over
-        qid. The query table is the small side by definition — its
-        distinct terms are collected driver-side to build the literal
-        bucket/term pruning lists (bounded like the kNN query batch)."""
+        """(qid, doc_id, score_dec) for every candidate doc of every
+        query — the shared scoring stage of bm25/bm25_batch: ONE
+        postings scan partition-pruned to the union of the batch's
+        term buckets, per-(doc, term) contributions computed once and
+        fanned out by a broadcast (qid, term) join, per-(qid, doc)
+        exact decimal sum of 1e-6-quantized contributions."""
         from distributedvectordatabase_spark.operators.knn import MAX_QUERY_BATCH
 
-        k = max(int(k), 1)
         st = self.stats()
         n_buckets = self._persisted_buckets(st)
         qterms = (
@@ -264,11 +271,33 @@ class TextIndex:
             )
             .select("term", "doc_id", "contrib")
         )
-        scored = (
+        return (
             contrib.join(F.broadcast(qterms), "term")
             .groupBy("qid", "doc_id")
             .agg(F.sum(qz6(F.col("contrib")).cast("decimal(38,6)")).alias("score_dec"))
         )
+
+    def bm25_batch(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        qid_col: str = "qid",
+        terms_col: str = "terms",
+    ) -> DataFrame:
+        """BM25 top-k for a TABLE of term queries against the persisted
+        index — the serving form of operators/search.bm25_topk_batch.
+        ``queries`` carries (qid, terms array<string>); returns
+        (qid, doc_id, score, rnk), row-identical per qid to
+        :meth:`bm25` (pinned in tests). Scoring is the shared _scored
+        stage; the per-query top-k is one window over qid. The query
+        table is the small side by definition — its distinct terms are
+        collected driver-side to build the literal bucket/term pruning
+        lists (bounded like the kNN query batch)."""
+        k = max(int(k), 1)
+        scored = self._scored(spark, queries, qid_col, terms_col, k1, b)
         w = Window.partitionBy("qid").orderBy(
             F.col("score_dec").desc(), F.col("doc_id")
         )
