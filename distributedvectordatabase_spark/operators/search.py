@@ -437,6 +437,8 @@ def hybrid_serve_batch(
     qvec_col: str = "qvec",
     terms_col: str = "terms",
     dist_quantize: int | None = None,
+    use_sq: bool = False,
+    sq_rerank: int = 2,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED structures — the
     production form of :func:`hybrid_topk_batch`: the semantic leg
@@ -465,7 +467,18 @@ def hybrid_serve_batch(
         F.col(terms_col).alias("terms"),
     )
     qvecs = q.select("qid", "qvec")
-    if num_candidates is None:
+    if use_sq:
+        # semantic leg over the store's SQ8 codes sidecar (1 byte/dim
+        # scan + exact rerank) — SQ distances are squared-L2, so this
+        # leg ranks by L2 regardless of ``metric``; on L2-normalized
+        # embeddings the two orders coincide. Requires build_sq().
+        hits = store.knn_sq(
+            spark, qvecs, k=fetch,
+            pruned=num_candidates is not None,
+            num_candidates=int(num_candidates or 2),
+            rerank=sq_rerank,
+        )
+    elif num_candidates is None:
         hits = store.knn(spark, qvecs, k=fetch, pruned=False, metric=metric)
     else:
         hits = store.knn(

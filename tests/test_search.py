@@ -385,3 +385,46 @@ def test_hybrid_batch_accepts_custom_column_names(spark, tmp_path):
         qid_col="my_qid", qvec_col="my_vec", terms_col="my_terms",
     ).collect()
     assert {r.qid for r in got2} == {7} and len(got2) == 3
+
+
+def test_hybrid_serve_batch_sq_leg(spark, tmp_path):
+    """use_sq=True serves the semantic leg from the SQ8 codes sidecar;
+    with full rerank budget on l2sq the fused rows match the raw-leg
+    serve (rank-by-L2 both ways)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    store = VectorStore(str(tmp_path / "vs3"), SignLSH(dim=64))
+    store.write(emb)
+    store.build_sq(spark)
+    index = TextIndex(str(tmp_path / "ix3"), n_buckets=8)
+    index.build(docs)
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], ["dup", "vector"]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+    raw = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, index, queries, k=5, metric="l2sq", dist_quantize=6
+        ).collect()
+    }
+    sq = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, index, queries, k=5, use_sq=True, sq_rerank=4,
+            dist_quantize=6,
+        ).collect()
+    }
+    assert sq == raw and len(sq) == 10
