@@ -87,6 +87,7 @@ EXTRA = [
     "strat_sample_weighted",
     "doc_pii_scrub",
     "doc_lm_score",
+    "knn_hamming",
 ]
 
 

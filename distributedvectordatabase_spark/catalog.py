@@ -2698,6 +2698,66 @@ def _run_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+
+
+def _run_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized Hamming top-k (operators/bq.py): sign-bit pack
+    to 2×32-bit words, Hamming shortlist over the fixture queries. All
+    columns are integers — the one ANN gate with zero float parity
+    surface (no quantize step at all)."""
+    from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    corpus = bq_encode(load_table(spark, "embeddings", sf_dir), EMB_DIM)
+    qcodes = bq_encode(
+        queries_fixture(spark, sf_dir, n=N_QUERIES), EMB_DIM, "qvec", out_col="qcode"
+    )
+    return bq_topk(
+        corpus.select("vec_id", "bq_code"),
+        qcodes.select("qid", "qcode"),
+        k=KNN_K,
+    )
+
+
+def knn_hamming_oracle_sql(n_queries: int = N_QUERIES, k: int = KNN_K) -> str:
+    """Replicates bq_encode + bq_topk in pure DuckDB SQL: the same
+    32-bit sign-pack (checked ``<<`` makes bit 63 unusable, hence the
+    word width — see operators/bq.py), integer Hamming, (hamming, id)
+    total order."""
+    words = []
+    for w in range(EMB_DIM // 32):
+        bits = " | ".join(
+            f"(CASE WHEN embedding[{w * 32 + j + 1}] > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+            for j in range(32)
+        )
+        words.append(f"({bits})")
+    ham = " + ".join(
+        f"bit_count(xor(q.qcode[{w + 1}], p.code[{w + 1}]))"
+        for w in range(EMB_DIM // 32)
+    )
+    return f"""
+    WITH packed AS (
+      SELECT vec_id, [{", ".join(words)}] AS code FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, code AS qcode
+      FROM packed ORDER BY vec_id LIMIT {n_queries}
+    ),
+    scored AS (
+      SELECT q.qid, p.vec_id AS neighbor_id, ({ham})::BIGINT AS hamming
+      FROM q CROSS JOIN packed p
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY qid ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, hamming, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
 def _salted_event_counts_oracle() -> str:
     return """
     SELECT event_type, count(*) AS n_events,
@@ -2852,5 +2912,10 @@ def build_catalog() -> dict[str, Query]:
         # self-trained on the corpus). Overflow slot, strict-checked.
         # Spark side runs the materialize-dt-once DataFrame form.
         Query("doc_lm_score", _run_doc_lm_score, _q_doc_lm_score(DUCKDB)),
+        # r5: binary-quantized Hamming search (operators/bq.py) — the
+        # 1-bit rung of the compression ladder. Integer-only output,
+        # so the gate has no float parity surface at all. Overflow
+        # slot, strict-checked locally.
+        Query("knn_hamming", _run_knn_hamming, knn_hamming_oracle_sql()),
     ]
     return {q.name: q for q in qs}

@@ -30,6 +30,7 @@ DOCUMENTED_OVERFLOW = {
     "hybrid_rrf_topk",
     "doc_pii_scrub",
     "doc_lm_score",
+    "knn_hamming",
 }
 
 
