@@ -251,6 +251,19 @@ def main() -> None:
                              num_candidates=2, rerank=2)
     timings["sq8_pruned_2of3_rerank2_20q"] = timed_min(lambda: sq_pruned.count())
 
+    # Binary quantization: 1 bit/dim Hamming shortlist + exact rerank —
+    # the cheapest first-pass scan on the ladder (64x fewer scan bytes
+    # than float64); recall here is the honest iid-gaussian worst case
+    # (sign-Hamming is an angular proxy scoring an L2 ground truth)
+    from distributedvectordatabase_spark.operators.bq import bq_knn
+
+    bq2 = bq_knn(loaded, queries, dim=dim, k=10, rerank=2)
+    timings["bq_hamming_rerank2_20q"] = timed_min(lambda: bq2.count())
+    recall_bq2 = round(recall_at_k(exact, bq2, 10), 4)
+    bq8 = bq_knn(loaded, queries, dim=dim, k=10, rerank=8)
+    timings["bq_hamming_rerank8_20q"] = timed_min(lambda: bq8.count())
+    recall_bq8 = round(recall_at_k(exact, bq8, 10), 4)
+
     text_stats: dict[str, float] = {}
     if n_docs:
         from distributedvectordatabase_spark.operators.decontam import (
@@ -382,6 +395,8 @@ def main() -> None:
                 "recall_at_10_ivfpq": recall_ivfpq,
                 "recall_at_10_ivfsq": recall_ivfsq,
                 "recall_at_10_sq8_rerank2": recall_sq,
+                "recall_at_10_bq_rerank2": recall_bq2,
+                "recall_at_10_bq_rerank8": recall_bq8,
                 "semdedup_planted": n_planted,
                 "semdedup_removed": semdedup_removed,
                 **text_stats,

@@ -105,6 +105,8 @@ def bq_topk(
     code_col: str = "bq_code",
     qid_col: str = "qid",
     qcode_col: str = "qcode",
+    shard_map: dict | None = None,
+    shard_col: str = "shard_id",
 ) -> DataFrame:
     """Hamming top-k of every query code against the corpus codes.
 
@@ -115,29 +117,47 @@ def bq_topk(
     The query side is collected under the exact-kNN batch cap and
     fanned out as a literal-array explode, so the scoring stage is one
     corpus scan with zero join operators; the partial-then-final
-    window pair keeps the merge exchange at O(q·k·partitions) rows."""
+    window pair keeps the merge exchange at O(q·k·partitions) rows.
+
+    ``shard_map`` (qid → iterable of candidate shard ids) restricts
+    each query to its own shards: the allowed set rides the literal
+    struct and an ``array_contains(_q.shards, shard_col)`` filter drops
+    foreign (query, row) pairs right after the fan-out — the
+    VectorStore's per-query LSH masking, still join-free. Callers
+    should ALSO pre-filter the corpus to the union of all shards so
+    Catalyst prunes partitions."""
     k = max(int(k), 1)
     qrows = collect_query_batch(queries, qid_col, qcode_col)
     if not qrows:
         raise ValueError("bq_topk requires at least one query")
     words = len(qrows[0][1])
-    qlit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).cast("long").alias("qid"),
-                F.array(
-                    *[F.lit(int(wd)).cast("long") for wd in r[1]]
-                ).alias("qcode"),
-            )
-            for r in qrows
+
+    def _struct(r):
+        fields = [
+            F.lit(int(r[0])).cast("long").alias("qid"),
+            F.array(*[F.lit(int(wd)).cast("long") for wd in r[1]]).alias("qcode"),
         ]
-    )
-    scored = corpus.select(
+        if shard_map is not None:
+            fields.append(
+                F.array(
+                    *[F.lit(int(s)).cast("long") for s in sorted(shard_map[int(r[0])])]
+                ).alias("shards")
+            )
+        return F.struct(*fields)
+
+    qlit = F.array(*[_struct(r) for r in qrows])
+    base_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(code_col),
         F.spark_partition_id().alias("_part"),
         F.explode(qlit).alias("_q"),
-    ).select(
+    ]
+    if shard_map is not None:
+        base_cols.insert(2, F.col(shard_col).cast("long").alias("_shard"))
+    fanned = corpus.select(*base_cols)
+    if shard_map is not None:
+        fanned = fanned.filter(F.array_contains(F.col("_q.shards"), F.col("_shard")))
+    scored = fanned.select(
         F.col("_q.qid").alias("qid"),
         "neighbor_id",
         _hamming("_q.qcode", code_col, words).alias("hamming"),

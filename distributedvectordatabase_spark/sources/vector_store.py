@@ -50,8 +50,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.functions.vector import l2sq
 
 
 class DimensionMismatchError(ValueError):
@@ -111,6 +113,14 @@ class VectorStore:
     @property
     def _sq_params_path(self) -> str:
         return os.path.join(self.path, "_sq_params.json")
+
+    @property
+    def _bq_path(self) -> str:
+        return os.path.join(self.path, "_bq")
+
+    @property
+    def _bq_params_path(self) -> str:
+        return os.path.join(self.path, "_bq_params.json")
 
     def _gen(self) -> int:
         """Last persisted write/delete generation (0 for a new or
@@ -321,6 +331,25 @@ class VectorStore:
                 self._sq_params_path,
                 os.path.join(tmp, os.path.basename(self._sq_params_path)),
             )
+        # same carry for the binary sidecar (no params beyond dim/gen)
+        if os.path.exists(self._bq_params_path):
+            from distributedvectordatabase_spark.sources.tombstones import (
+                filter_live,
+            )
+
+            (
+                filter_live(
+                    spark, spark.read.parquet(self._bq_path),
+                    self._tombstone_path, self.id_col,
+                )
+                .write.mode("overwrite")
+                .partitionBy("shard_id")
+                .parquet(os.path.join(tmp, os.path.basename(self._bq_path)))
+            )
+            shutil.copy(
+                self._bq_params_path,
+                os.path.join(tmp, os.path.basename(self._bq_params_path)),
+            )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
@@ -343,10 +372,12 @@ class VectorStore:
         )
 
         append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
-        # a delete never desyncs the codes table (both sides filter the
-        # same tombstones at read), so the SQ sidecar stays current
+        # a delete never desyncs the codes tables (both sides filter
+        # the same tombstones at read), so the sidecars stay current
         if os.path.exists(self._sq_params_path):
             self._sq_record_gen(gen)
+        if os.path.exists(self._bq_params_path):
+            self._bq_record_gen(gen)
 
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """Predicate delete (retention sweeps, policy take-downs):
@@ -474,6 +505,124 @@ class VectorStore:
             rerank=rerank, corpus=self.read(spark) if rerank else None,
             vec_col=self.vec_col,
             shard_col="shard_id" if pruned else None, cand_map=cand_map,
+        )
+
+    # -- binary (1-bit) compressed sidecar ----------------------------------
+
+    def build_bq(self, spark: SparkSession) -> None:
+        """Build (or rebuild) the binary codes sidecar: one projection
+        scan packs each vector's sign bits into ceil(dim/32) bigint
+        words (operators/bq.py), written as a shard-partitioned
+        ``_bq/`` table — 64× fewer scan bytes than the float64 arrays,
+        the cheapest first-pass scan on the compression ladder.
+
+        Unlike SQ8 there are NO trained parameters (the pack is a pure
+        function of the raw vector), so this sidecar deliberately has
+        no append-sync path: a batch append bumps the store generation,
+        knn_bq's staleness guard trips, and the fix is re-running this
+        one cheap scan — simpler than the SQ bounds-sync machinery for
+        a sidecar that costs a projection to regenerate."""
+        from distributedvectordatabase_spark.operators.bq import bq_encode
+
+        if os.path.exists(self._sink_log_path):
+            raise ValueError(
+                "store is an active streaming sink (_spark_metadata "
+                "present); run compact(spark) to finalize it before build_bq"
+            )
+        live = self._read_live(spark)
+        (
+            bq_encode(live, self.lsh.dim, vec_col=self.vec_col)
+            .select(self.id_col, "bq_code", "shard_id", "_gen")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(self._bq_path)
+        )
+        with open(self._bq_params_path, "w") as f:
+            json.dump({"dim": self.lsh.dim, "gen": self._gen()}, f)
+
+    def _bq_record_gen(self, gen: int) -> None:
+        with open(self._bq_params_path) as f:
+            side = json.load(f)
+        side["gen"] = int(gen)
+        with open(self._bq_params_path, "w") as f:
+            json.dump(side, f)
+
+    def _bq_synced_gen(self) -> int:
+        with open(self._bq_params_path) as f:
+            return int(json.load(f).get("gen", 0))
+
+    def knn_bq(self, spark: SparkSession, queries: DataFrame, k: int = 10,
+               rerank: int = 2, pruned: bool = True, num_candidates: int = 2,
+               qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+        """Top-k via the binary sidecar: Hamming shortlist of
+        ``rerank·k`` candidates over the 1-bit codes (with the same LSH
+        multi-probe pruning as knn(pruned=True): a literal shard
+        IN-list prunes partitions, per-query shard sets mask inside the
+        fan-out), then exact squared-L2 rerank against the raw store —
+        rerank is mandatory because sign bits alone carry no usable
+        distance scale. Returns (qid, neighbor_id, dist, rnk) like
+        knn(); at full budget over an unpruned scan it EQUALS exact
+        kNN (pinned in tests)."""
+        if not os.path.exists(self._bq_params_path):
+            raise ValueError("no binary sidecar: run build_bq(spark) first")
+        if self._bq_synced_gen() != self._gen():
+            raise ValueError(
+                "binary codes are stale: the store was written since "
+                "the last build_bq; re-run build_bq(spark) (one "
+                "projection scan) to regenerate"
+            )
+        from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
+        from distributedvectordatabase_spark.operators.knn import collect_query_batch
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        k = max(int(k), 1)
+        fetch = max(int(rerank), 1) * k
+        codes = filter_live(
+            spark, spark.read.parquet(self._bq_path), self._tombstone_path,
+            self.id_col,
+        )
+        shard_map = None
+        if pruned:
+            qrows = collect_query_batch(queries, qid_col, qvec_col)
+            shard_map = {
+                int(r[qid_col]): frozenset(
+                    int(s) for s in self.lsh.candidate_shards(
+                        list(r[qvec_col]), num_candidates=num_candidates
+                    )
+                )
+                for r in qrows
+            }
+            all_shards = sorted({s for ss in shard_map.values() for s in ss})
+            # literal IN-list → Catalyst partition pruning on _bq/
+            codes = codes.filter(F.col("shard_id").isin(all_shards))
+        qcodes = bq_encode(queries, self.lsh.dim, qvec_col, out_col="qcode")
+        shortlist = bq_topk(
+            codes, qcodes.select(qid_col, "qcode"), k=fetch,
+            id_col=self.id_col, qid_col=qid_col,
+            shard_map=shard_map,
+        )
+        raw = self.read(spark).select(
+            F.col(self.id_col).alias("neighbor_id"), self.vec_col
+        )
+        rescored = (
+            raw.join(F.broadcast(shortlist.select("qid", "neighbor_id")), "neighbor_id")
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec")
+                    )
+                ),
+                "qid",
+            )
+            .select(
+                "qid", "neighbor_id", l2sq("_qvec", self.vec_col).alias("dist")
+            )
+        )
+        w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+        return (
+            rescored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "neighbor_id", "dist", "rnk")
         )
 
     # -- read / query -------------------------------------------------------

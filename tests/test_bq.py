@@ -113,3 +113,80 @@ def test_partitioning_independence(spark, corpus, queries):
     a = bq_topk(codes, qcodes, k=7).collect()
     b = bq_topk(codes.repartition(13), qcodes, k=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- VectorStore binary sidecar ---------------------------------------------
+
+from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.plans import scan_partition_filters
+from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+
+@pytest.fixture()
+def bq_store(spark, tmp_path, corpus):
+    vs = VectorStore(str(tmp_path / "emb"), SignLSH(dim=64))
+    vs.write(corpus)
+    vs.build_bq(spark)
+    return vs
+
+
+def test_store_knn_bq_full_budget_equals_exact(spark, bq_store, corpus):
+    q = queries_fixture(spark, SF_DIR, n=6)
+    n = corpus.count()
+    exact = knn(corpus, q, k=5, metric="l2sq")
+    res = bq_store.knn_bq(spark, q, k=5, pruned=False, rerank=(n // 5) + 1)
+    a = sorted((r.qid, r.neighbor_id, r.rnk) for r in res.collect())
+    e = sorted((r.qid, r.neighbor_id, r.rnk) for r in exact.collect())
+    assert a == e
+
+
+def test_store_knn_bq_prunes_partitions_and_tracks_raw_pruned(spark, bq_store):
+    q = queries_fixture(spark, SF_DIR, n=5)
+    res = bq_store.knn_bq(spark, q, k=5, pruned=True, num_candidates=2, rerank=8)
+    pf = scan_partition_filters(res)
+    assert pf and any("shard_id" in f for f in pf), pf
+    # generous rerank over the same probed shards should recover most
+    # of the pruned raw path's slate (Hamming shortlist is approximate)
+    raw = bq_store.knn(spark, q, k=5, pruned=True, num_candidates=2)
+    assert recall_at_k(raw, res, 5) >= 0.80
+
+
+def test_store_knn_bq_stale_after_append_then_rebuild(spark, bq_store):
+    vec = np.full(64, 2.5)
+    extra = spark.createDataFrame(
+        [(9001, vec.tolist())], schema="vec_id long, embedding array<float>"
+    )
+    bq_store.append(extra)
+    q = spark.createDataFrame(
+        [(1, vec.tolist())], schema="qid long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="stale"):
+        bq_store.knn_bq(spark, q, k=1)
+    bq_store.build_bq(spark)  # one projection scan regenerates
+    res = bq_store.knn_bq(spark, q, k=1, pruned=False, rerank=2).collect()
+    assert res and res[0].neighbor_id == 9001
+
+
+def test_store_delete_excludes_from_bq_search(spark, bq_store):
+    q = queries_fixture(spark, SF_DIR, n=3)
+    before = bq_store.knn_bq(spark, q, k=1, pruned=False).collect()
+    victim = before[0].neighbor_id
+    bq_store.delete(spark, [int(victim)])
+    after = bq_store.knn_bq(spark, q, k=5, pruned=False, rerank=4).collect()
+    assert victim not in {r.neighbor_id for r in after}
+
+
+def test_store_compact_carries_bq_sidecar_and_folds_tombstones(spark, bq_store):
+    import os
+
+    q = queries_fixture(spark, SF_DIR, n=5)
+    bq_store.delete(spark, [0])
+    want = {(r.qid, r.neighbor_id, r.rnk)
+            for r in bq_store.knn_bq(spark, q, k=5, pruned=False).collect()}
+    bq_store.compact(spark)
+    assert os.path.exists(bq_store._bq_params_path)
+    got = {(r.qid, r.neighbor_id, r.rnk)
+           for r in bq_store.knn_bq(spark, q, k=5, pruned=False).collect()}
+    assert got == want
+    raw_codes = spark.read.parquet(bq_store._bq_path)
+    assert raw_codes.filter("vec_id = 0").count() == 0
