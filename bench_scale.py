@@ -263,6 +263,12 @@ def main() -> None:
     bq8 = bq_knn(loaded, queries, dim=dim, k=10, rerank=8)
     timings["bq_hamming_rerank8_20q"] = timed_min(lambda: bq8.count())
     recall_bq8 = round(recall_at_k(exact, bq8, 10), 4)
+    # super-bit codes: 256 seeded sign projections instead of raw
+    # signs — identity Hamming has only dim+1 levels, so at corpus
+    # scale the shortlist drowns in ties; B=256 is the scale path
+    bq256 = bq_knn(loaded, queries, dim=dim, k=10, rerank=8, n_bits=256)
+    timings["bq256_hamming_rerank8_20q"] = timed_min(lambda: bq256.count())
+    recall_bq256 = round(recall_at_k(exact, bq256, 10), 4)
 
     text_stats: dict[str, float] = {}
     if n_docs:
@@ -397,6 +403,7 @@ def main() -> None:
                 "recall_at_10_sq8_rerank2": recall_sq,
                 "recall_at_10_bq_rerank2": recall_bq2,
                 "recall_at_10_bq_rerank8": recall_bq8,
+                "recall_at_10_bq256_rerank8": recall_bq256,
                 "semdedup_planted": n_planted,
                 "semdedup_removed": semdedup_removed,
                 **text_stats,

@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -76,13 +78,51 @@ def _pack_word(vec_col: str, w: int, dim: int) -> Column:
 
 
 def bq_encode(
-    df: DataFrame, dim: int, vec_col: str = "embedding", out_col: str = "bq_code"
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "bq_code",
+    n_bits: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Append ``out_col: array<bigint>`` — the sign-bit pack of
-    ``vec_col`` (ceil(dim/32) words, 32 bits each). Pure projection:
-    no shuffle, codegen-fused."""
-    words = F.array(*[_pack_word(vec_col, w, dim) for w in range(n_words(dim))])
-    return df.withColumn(out_col, words)
+    ``vec_col`` (ceil(bits/32) words, 32 bits each). No shuffle either
+    way.
+
+    ``n_bits=None`` (default) packs the RAW dimension signs — a pure
+    Catalyst projection, codegen-fused, and exactly reproducible in
+    the DuckDB oracle (the ``knn_hamming`` gate).
+
+    ``n_bits=B`` packs the signs of B seeded gaussian projections
+    instead (sign-random-projection / SimHash for vectors, Charikar
+    2002) — the scale path: identity signs give only dim+1 Hamming
+    levels, so at 500k×64-D the shortlist drowns in ties (recall 0.16,
+    BASELINE.md), while B=256 decouples code length from dim. Runs as
+    an Arrow ``pandas_udf`` matmul — B·dim literal expressions would
+    blow past janino's method limit (the 512-D identity pack already
+    trips the codegen fallback), and one BLAS GEMM per batch is the
+    faster shape anyway. ``np.random.default_rng(seed)`` streams are
+    stable across platforms, so codes are deterministic."""
+    if n_bits is None:
+        words = F.array(*[_pack_word(vec_col, w, dim) for w in range(n_words(dim))])
+        return df.withColumn(out_col, words)
+
+    B = int(n_bits)
+    if B % BITS_PER_WORD:
+        raise ValueError(f"n_bits must be a multiple of {BITS_PER_WORD}")
+    R = np.random.default_rng(int(seed)).standard_normal((int(dim), B))
+    weights = (np.int64(1) << np.arange(BITS_PER_WORD, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _pack(vs: pd.Series) -> pd.Series:
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        S = (X @ R) > 0
+        codes = np.empty((len(X), B // BITS_PER_WORD), dtype=np.int64)
+        for w in range(B // BITS_PER_WORD):
+            codes[:, w] = S[:, w * BITS_PER_WORD:(w + 1) * BITS_PER_WORD] @ weights
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _pack(F.col(vec_col)))
 
 
 def _hamming(qcode: str, code: str, words: int) -> Column:
@@ -184,6 +224,8 @@ def bq_knn(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    n_bits: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate kNN: Hamming shortlist of ``rerank * k`` candidates
     per query over the 1-bit codes, then exact squared-L2 rerank on the
@@ -196,9 +238,12 @@ def bq_knn(
     broadcast R·k joinback."""
     k = max(int(k), 1)
     fetch = max(int(rerank), 1) * k
-    ccodes = bq_encode(corpus.select(id_col, vec_col), dim, vec_col)
+    ccodes = bq_encode(
+        corpus.select(id_col, vec_col), dim, vec_col, n_bits=n_bits, seed=seed
+    )
     qcodes = bq_encode(
-        queries.select(qid_col, qvec_col), dim, qvec_col, out_col="qcode"
+        queries.select(qid_col, qvec_col), dim, qvec_col, out_col="qcode",
+        n_bits=n_bits, seed=seed,
     )
     shortlist = bq_topk(
         ccodes.select(id_col, "bq_code"),

@@ -509,7 +509,10 @@ class VectorStore:
 
     # -- binary (1-bit) compressed sidecar ----------------------------------
 
-    def build_bq(self, spark: SparkSession) -> None:
+    _BQ_KEEP = object()  # build_bq default: adopt the persisted config
+
+    def build_bq(self, spark: SparkSession, n_bits=_BQ_KEEP,
+                 seed=_BQ_KEEP) -> None:
         """Build (or rebuild) the binary codes sidecar: one projection
         scan packs each vector's sign bits into ceil(dim/32) bigint
         words (operators/bq.py), written as a shard-partitioned
@@ -521,7 +524,21 @@ class VectorStore:
         no append-sync path: a batch append bumps the store generation,
         knn_bq's staleness guard trips, and the fix is re-running this
         one cheap scan — simpler than the SQ bounds-sync machinery for
-        a sidecar that costs a projection to regenerate."""
+        a sidecar that costs a projection to regenerate.
+
+        ``n_bits=B`` switches to B seeded sign-random-projections
+        (super-bit codes) instead of raw-dimension signs — the scale
+        path: identity signs give only dim+1 Hamming levels, which
+        drowns the shortlist in ties at corpus scale (BASELINE.md:
+        recall 0.16 at 500k×64-D identity vs 0.8+ at B=256). The
+        (n_bits, seed) pair is persisted in the sidecar config and is
+        AUTHORITATIVE at query time — knn_bq encodes queries from it,
+        never from caller arguments, so a store reopened elsewhere
+        cannot mis-encode (the r4 TextIndex reopen bug class). For the
+        same reason a REBUILD with default arguments keeps the
+        persisted config — a post-append refresh cannot silently
+        switch a 256-bit store back to identity codes; pass n_bits
+        explicitly to change the encoding."""
         from distributedvectordatabase_spark.operators.bq import bq_encode
 
         if os.path.exists(self._sink_log_path):
@@ -529,16 +546,29 @@ class VectorStore:
                 "store is an active streaming sink (_spark_metadata "
                 "present); run compact(spark) to finalize it before build_bq"
             )
+        prev = {}
+        if os.path.exists(self._bq_params_path):
+            with open(self._bq_params_path) as f:
+                prev = json.load(f)
+        if n_bits is VectorStore._BQ_KEEP:
+            n_bits = prev.get("n_bits")
+        if seed is VectorStore._BQ_KEEP:
+            seed = prev.get("seed", 42)
         live = self._read_live(spark)
         (
-            bq_encode(live, self.lsh.dim, vec_col=self.vec_col)
+            bq_encode(live, self.lsh.dim, vec_col=self.vec_col,
+                      n_bits=n_bits, seed=seed)
             .select(self.id_col, "bq_code", "shard_id", "_gen")
             .write.mode("overwrite")
             .partitionBy("shard_id")
             .parquet(self._bq_path)
         )
         with open(self._bq_params_path, "w") as f:
-            json.dump({"dim": self.lsh.dim, "gen": self._gen()}, f)
+            json.dump(
+                {"dim": self.lsh.dim, "gen": self._gen(),
+                 "n_bits": n_bits, "seed": int(seed)},
+                f,
+            )
 
     def _bq_record_gen(self, gen: int) -> None:
         with open(self._bq_params_path) as f:
@@ -577,6 +607,8 @@ class VectorStore:
 
         k = max(int(k), 1)
         fetch = max(int(rerank), 1) * k
+        with open(self._bq_params_path) as f:
+            side = json.load(f)
         codes = filter_live(
             spark, spark.read.parquet(self._bq_path), self._tombstone_path,
             self.id_col,
@@ -595,7 +627,12 @@ class VectorStore:
             all_shards = sorted({s for ss in shard_map.values() for s in ss})
             # literal IN-list → Catalyst partition pruning on _bq/
             codes = codes.filter(F.col("shard_id").isin(all_shards))
-        qcodes = bq_encode(queries, self.lsh.dim, qvec_col, out_col="qcode")
+        # the persisted (n_bits, seed) are authoritative: queries MUST
+        # be encoded exactly like the stored codes were
+        qcodes = bq_encode(
+            queries, self.lsh.dim, qvec_col, out_col="qcode",
+            n_bits=side.get("n_bits"), seed=int(side.get("seed", 42)),
+        )
         shortlist = bq_topk(
             codes, qcodes.select(qid_col, "qcode"), k=fetch,
             id_col=self.id_col, qid_col=qid_col,

@@ -190,3 +190,74 @@ def test_store_compact_carries_bq_sidecar_and_folds_tombstones(spark, bq_store):
     assert got == want
     raw_codes = spark.read.parquet(bq_store._bq_path)
     assert raw_codes.filter("vec_id = 0").count() == 0
+
+
+# -- sign-random-projection (super-bit) path --------------------------------
+
+
+def test_projection_codes_lift_recall_over_identity(spark, corpus, queries):
+    """B=256 projections must beat the identity 64-bit pack on the same
+    shortlist budget — the whole point of decoupling code length from
+    dim (identity Hamming has only dim+1 levels)."""
+    exact = knn(corpus, queries, k=10, metric="l2sq")
+    r_id = recall_at_k(exact, bq_knn(corpus, queries, dim=DIM, k=10, rerank=4), 10)
+    r_256 = recall_at_k(
+        exact, bq_knn(corpus, queries, dim=DIM, k=10, rerank=4, n_bits=256), 10
+    )
+    assert r_256 >= r_id, (r_256, r_id)
+    assert r_256 >= 0.70, r_256
+
+
+def test_projection_codes_deterministic_across_layouts_and_sessions(
+    spark, corpus, queries
+):
+    """Seeded default_rng streams are platform-stable, so the same
+    (n_bits, seed) gives byte-identical codes regardless of
+    partitioning; a different seed gives different codes."""
+    a = sorted(
+        map(tuple, bq_knn(corpus, queries, dim=DIM, k=5, rerank=2, n_bits=128).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            bq_knn(
+                corpus.repartition(11), queries, dim=DIM, k=5, rerank=2, n_bits=128
+            ).collect(),
+        )
+    )
+    assert a == b
+    c1 = bq_encode(corpus.limit(5), DIM, n_bits=128, seed=1).collect()
+    c2 = bq_encode(corpus.limit(5), DIM, n_bits=128, seed=2).collect()
+    assert [r.bq_code for r in c1] != [r.bq_code for r in c2]
+
+
+def test_projection_nbits_must_be_word_aligned(corpus):
+    with pytest.raises(ValueError, match="multiple"):
+        bq_encode(corpus, DIM, n_bits=100)
+
+
+def test_store_bq_persisted_nbits_is_authoritative(spark, tmp_path, corpus):
+    """build_bq(n_bits=128) → append → rebuild with DEFAULT args must
+    keep 128-bit codes (a default rebuild may not silently switch the
+    encoding), and knn_bq must encode queries from the persisted
+    config."""
+    import json, os
+
+    vs = VectorStore(str(tmp_path / "emb"), SignLSH(dim=64))
+    vs.write(corpus)
+    vs.build_bq(spark, n_bits=128)
+    vec = np.full(64, 2.5)
+    vs.append(
+        spark.createDataFrame(
+            [(9001, vec.tolist())], schema="vec_id long, embedding array<float>"
+        )
+    )
+    vs.build_bq(spark)  # post-append refresh, default args
+    with open(vs._bq_params_path) as f:
+        side = json.load(f)
+    assert side["n_bits"] == 128 and side["seed"] == 42
+    q = spark.createDataFrame(
+        [(1, vec.tolist())], schema="qid long, qvec array<double>"
+    )
+    res = vs.knn_bq(spark, q, k=1, pruned=False, rerank=2).collect()
+    assert res and res[0].neighbor_id == 9001
