@@ -23,7 +23,11 @@ DIM = 64
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    return load_table(spark, "embeddings", SF_DIR).cache()
+    # unpersist at module teardown: a lingering cached plan shadows the
+    # parquet scan for later modules' pushdown/plan assertions
+    df = load_table(spark, "embeddings", SF_DIR).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
