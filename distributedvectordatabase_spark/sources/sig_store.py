@@ -30,6 +30,15 @@ buckets; here band rows → band-key buckets):
 - **append**: new corpus rows band + tokenize into the same bucketed
   layout; after append, join_batch is indistinguishable from a fresh
   build over the union (same contract as TextIndex.append).
+- **delete / compact**: merge-on-read take-downs with the shared
+  (id, gen) tombstone mechanics of sources/tombstones.py — the same
+  scheme VectorStore/IVFStore use. A deleted document stops
+  generating near-dup candidate pairs immediately (both the band
+  rows and the verification token sets filter live), O(deleted)
+  bytes written; ``compact()`` folds the tombstones in physically.
+  Without this, a policy take-down (PII/DMCA) would keep colliding
+  with every future ingest batch until a full rebuild — the
+  compliance hole the vector stores already closed.
 
 At 100 TB: band rows are ~bands × corpus rows of short strings
 (dictionary-encoded parquet); the build's only shuffle is the
@@ -49,6 +58,11 @@ from distributedvectordatabase_spark.operators.dedup import (
     _band_explode,
     minhash_signatures,
     tokenized,
+)
+from distributedvectordatabase_spark.sources.tombstones import (
+    GEN_COL,
+    append_tombstones,
+    filter_live,
 )
 
 __all__ = ["SigStore"]
@@ -83,9 +97,34 @@ class SigStore:
     def _config_path(self) -> str:
         return os.path.join(self.path, "_config.json")
 
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "_tombstones")
+
     def _config(self) -> dict:
         with open(self._config_path) as f:
             return json.load(f)
+
+    def _gen(self) -> int:
+        """Last persisted write/delete generation (0 for a new or
+        pre-generation store)."""
+        if os.path.exists(self._config_path):
+            return int(self._config().get("gen", 0))
+        return 0
+
+    def _write_config(self, gen: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._config_path, "w") as f:
+            json.dump(
+                {
+                    "bands": self.bands,
+                    "rows": self.rows,
+                    "shingle_n": self.shingle_n,
+                    "n_buckets": self.n_buckets,
+                    "gen": int(gen),
+                },
+                f,
+            )
 
     def _adopt(self, cfg: dict) -> None:
         """The persisted band/row/shingle/bucket parameters are the only
@@ -115,39 +154,96 @@ class SigStore:
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         toks, banded = self._prepared(docs, id_col, text_col)
         (
-            banded.repartition("bucket")
+            banded.withColumn(GEN_COL, F.lit(1))
+            .repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(self._bands_path)
         )
-        toks.withColumn("sz", F.size("toks")).write.mode("overwrite").parquet(
-            self._toks_path
-        )
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._config_path, "w") as f:
-            json.dump(
-                {
-                    "bands": self.bands,
-                    "rows": self.rows,
-                    "shingle_n": self.shingle_n,
-                    "n_buckets": self.n_buckets,
-                },
-                f,
-            )
+        toks.withColumn("sz", F.size("toks")).withColumn(
+            GEN_COL, F.lit(1)
+        ).write.mode("overwrite").parquet(self._toks_path)
+        # write gen only AFTER the data lands (tombstones.py crash
+        # rule: a crashed build burns nothing — there is no config yet)
+        self._write_config(gen=1)
 
     def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Index additional corpus documents incrementally. Caller owns
         doc-id uniqueness (same contract as TextIndex.append)."""
         self._adopt(self._config())
+        gen = self._gen() + 1
         toks, banded = self._prepared(docs, id_col, text_col)
         (
-            banded.repartition("bucket")
+            banded.withColumn(GEN_COL, F.lit(gen))
+            .repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(self._bands_path)
         )
-        toks.withColumn("sz", F.size("toks")).write.mode("append").parquet(
-            self._toks_path
+        toks.withColumn("sz", F.size("toks")).withColumn(
+            GEN_COL, F.lit(gen)
+        ).write.mode("append").parquet(self._toks_path)
+        self._write_config(gen=gen)
+
+    # -- delete / compact ---------------------------------------------------
+
+    def delete(self, spark: SparkSession, ids) -> None:
+        """Merge-on-read take-down: hide every current corpus document
+        whose id is in ``ids`` (list/iterable or one-column DataFrame)
+        from BOTH persisted tables — it stops generating near-dup
+        candidate pairs immediately. O(deleted) bytes written;
+        ``compact()`` reclaims the space. Documents appended AFTER the
+        delete are untouched (strict ``row._gen > tombstone gen``
+        survival, shared with VectorStore.delete)."""
+        self._adopt(self._config())
+        gen = self._gen() + 1
+        # gen persists BEFORE the tombstones exist (tombstones.py crash
+        # rule: a burned gen is harmless; the reverse order could hand
+        # a later append the tombstone's gen and wrongly kill its rows)
+        self._write_config(gen=gen)
+        append_tombstones(spark, self._tombstone_path, "doc_id", ids, gen)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold tombstones in physically: rewrite only live band/token
+        rows (keeping their ``_gen``), then swap — the new copy is
+        fully materialized in a sibling directory before the old one
+        is removed, so a failed compaction never loses the store (same
+        pattern as VectorStore.compact).
+
+        On a store fed by ``stream_neardup_ingest`` this FINALIZES the
+        ingest: the ``_ingest_marker.json`` committed-batch marker is
+        not carried over, so the finished stream cannot be resumed
+        into the compacted store (same sink-era contract as
+        VectorStore.compact)."""
+        import shutil
+
+        self._adopt(self._config())
+        tmp = self.path.rstrip("/") + "__compacting"
+        (
+            self._bands_live(spark)
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(tmp, "bands"))
+        )
+        self._toks_live(spark).write.mode("overwrite").parquet(
+            os.path.join(tmp, "toks")
+        )
+        # config rides the swap (the tmp copy is complete before the
+        # old directory goes away; tombstones are NOT carried — the
+        # swap is the physical delete)
+        shutil.copy(self._config_path, os.path.join(tmp, "_config.json"))
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
+    def _bands_live(self, spark: SparkSession) -> DataFrame:
+        return filter_live(
+            spark, self.corpus_bands(spark), self._tombstone_path, "doc_id"
+        )
+
+    def _toks_live(self, spark: SparkSession) -> DataFrame:
+        return filter_live(
+            spark, self.corpus_toks(spark), self._tombstone_path, "doc_id"
         )
 
     def corpus_bands(self, spark: SparkSession) -> DataFrame:
@@ -179,9 +275,14 @@ class SigStore:
         buckets = sorted(
             r.bucket for r in new_banded.select("bucket").distinct().collect()
         )
-        corpus_banded = self.corpus_bands(spark).filter(
-            F.col("bucket").isin(buckets)
-        )
+        # bucket pruning applies UNDER the tombstone anti-filter, so
+        # the partition-pruned scan shape is unchanged by deletes
+        corpus_banded = filter_live(
+            spark,
+            self.corpus_bands(spark).filter(F.col("bucket").isin(buckets)),
+            self._tombstone_path,
+            "doc_id",
+        ).drop(GEN_COL)
         cand = (
             new_banded.alias("n")
             .join(
@@ -202,7 +303,7 @@ class SigStore:
             F.col("toks").alias("toks_a"),
             F.size("toks").alias("sz_a"),
         )
-        tb = self.corpus_toks(spark).select(
+        tb = self._toks_live(spark).select(
             F.col("doc_id").alias("corpus_id"),
             F.col("toks").alias("toks_b"),
             F.col("sz").alias("sz_b"),

@@ -96,4 +96,65 @@ def test_corpus_tables_readable(spark, store):
     assert store.corpus_toks(spark).count() == n
     bands = store.corpus_bands(spark)
     assert bands.count() == n * BANDS
-    assert set(bands.columns) == {"doc_id", "band", "band_key", "bucket"}
+    assert set(bands.columns) == {"doc_id", "band", "band_key", "bucket", "_gen"}
+
+
+# -- take-downs (r6: tombstone parity with the vector stores) -----------
+
+
+def test_delete_equals_fresh_build_without_deleted(spark, tmp_path):
+    """A deleted corpus doc must stop generating candidate pairs —
+    join_batch over the tombstoned store is row-identical to a fresh
+    build over the surviving corpus."""
+    corpus, batch = _corpus_and_batch(spark)
+    s = SigStore(str(tmp_path / "s"), bands=BANDS, rows=ROWS,
+                 shingle_n=SHINGLE, n_buckets=8)
+    s.build(corpus)
+    before = _key(s.join_batch(batch, threshold=THRESH).collect())
+    assert before, "fixture corpus must produce near-dup hits"
+    victim_ids = sorted({cid for _, cid, _ in before})[:2]
+    s.delete(spark, victim_ids)
+
+    survivors = corpus.filter(~F.col("doc_id").isin(victim_ids))
+    fresh = SigStore(str(tmp_path / "fresh"), bands=BANDS, rows=ROWS,
+                     shingle_n=SHINGLE, n_buckets=8)
+    fresh.build(survivors)
+    got = _key(s.join_batch(batch, threshold=THRESH).collect())
+    want = _key(fresh.join_batch(batch, threshold=THRESH).collect())
+    assert got == want
+    assert not {cid for _, cid, _ in got} & set(victim_ids)
+
+
+def test_delete_then_append_same_id_is_upsert(spark, tmp_path):
+    """Rows appended AFTER a delete carry a strictly greater gen and
+    survive the tombstone (the shared upsert contract)."""
+    corpus, batch = _corpus_and_batch(spark)
+    s = SigStore(str(tmp_path / "s"), bands=BANDS, rows=ROWS,
+                 shingle_n=SHINGLE, n_buckets=8)
+    s.build(corpus)
+    before = _key(s.join_batch(batch, threshold=THRESH).collect())
+    victim = sorted({cid for _, cid, _ in before})[0]
+    s.delete(spark, [victim])
+    s.append(corpus.filter(F.col("doc_id") == victim))
+    got = _key(s.join_batch(batch, threshold=THRESH).collect())
+    assert got == before
+
+
+def test_compact_folds_tombstones(spark, tmp_path):
+    corpus, batch = _corpus_and_batch(spark)
+    s = SigStore(str(tmp_path / "s"), bands=BANDS, rows=ROWS,
+                 shingle_n=SHINGLE, n_buckets=8)
+    s.build(corpus)
+    before = _key(s.join_batch(batch, threshold=THRESH).collect())
+    victim_ids = sorted({cid for _, cid, _ in before})[:2]
+    s.delete(spark, victim_ids)
+    want = _key(s.join_batch(batch, threshold=THRESH).collect())
+    s.compact(spark)
+    # physically gone from both tables, tombstones dropped, results same
+    import os
+    assert not os.path.exists(s._tombstone_path)
+    toks_ids = {r.doc_id for r in s.corpus_toks(spark).select("doc_id").collect()}
+    band_ids = {r.doc_id for r in s.corpus_bands(spark).select("doc_id").collect()}
+    assert not set(victim_ids) & (toks_ids | band_ids)
+    got = _key(s.join_batch(batch, threshold=THRESH).collect())
+    assert got == want
