@@ -26,6 +26,20 @@ this partitions postings by term hash-bucket):
 At 100 TB: postings are ~tokens-sized but compress well (ints +
 dictionary-encoded terms); the build's only shuffle is the tf groupBy;
 queries shuffle O(matched docs) pre-aggregated rows.
+
+Take-downs (r6, parity with the vector stores): postings carry the
+shared (id, gen) merge-on-read generation of sources/tombstones.py;
+``delete()`` appends tombstones and scoring filters live, so a policy
+take-down stops being served immediately — O(deleted) bytes written,
+``compact()`` folds physically. BM25 needs EXACT live corpus stats
+(n_docs, avgdl feed every score), so the index persists a small
+``doclens`` table (doc_id, dl — O(n_docs) rows, not O(tokens)):
+deletes decrement the stats sidecar by the tombstoned docs' exact
+counts, and a ``stats_gen`` marker makes the two-step
+(tombstones, then stats) crash-safe — a mismatch triggers a one-time
+exact recount from the live doclens table. After delete, every score
+is byte-identical to a fresh build over the surviving corpus (pinned
+in tests/test_text_index.py).
 """
 
 from __future__ import annotations
@@ -37,6 +51,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributedvectordatabase_spark.functions import text as T
+from distributedvectordatabase_spark.sources.tombstones import (
+    GEN_COL,
+    append_tombstones,
+    filter_live,
+)
 
 __all__ = ["TextIndex"]
 
@@ -51,8 +70,16 @@ class TextIndex:
         return os.path.join(self.path, "postings")
 
     @property
+    def _doclens_path(self) -> str:
+        return os.path.join(self.path, "doclens")
+
+    @property
     def _stats_path(self) -> str:
         return os.path.join(self.path, "_stats.json")
+
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "_tombstones")
 
     # ------------------------------------------------------------------
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
@@ -74,6 +101,7 @@ class TextIndex:
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
             )
+            .withColumn(GEN_COL, F.lit(1))
         )
         (
             postings.repartition("term_bucket")
@@ -81,6 +109,9 @@ class TextIndex:
             .partitionBy("term_bucket")
             .parquet(self._postings_path)
         )
+        base.select("doc_id", F.size("toks").alias("dl")).withColumn(
+            GEN_COL, F.lit(1)
+        ).write.mode("overwrite").parquet(self._doclens_path)
         os.makedirs(self.path, exist_ok=True)
         with open(self._stats_path, "w") as f:
             json.dump(
@@ -88,6 +119,8 @@ class TextIndex:
                     "n_docs": int(n_docs),
                     "total_len": int(total_len or 0),
                     "n_buckets": self.n_buckets,
+                    "gen": 1,
+                    "stats_gen": 1,
                 },
                 f,
             )
@@ -100,8 +133,14 @@ class TextIndex:
         after append, queries are indistinguishable from a fresh
         build over the union (pinned by tests). Caller owns doc-id
         uniqueness (same contract as VectorStore.append)."""
-        st = self.stats()
+        st = self._live_stats(docs.sparkSession)
         n_buckets = self._persisted_buckets(st)
+        gen = int(st.get("gen", 0)) + 1
+        if not os.path.exists(self._doclens_path):
+            # upgrade a pre-r6 index before mixing in new rows: the
+            # derived doclens of the EXISTING docs must land first, or
+            # a later delete would see only post-upgrade docs
+            self._doclens(docs.sparkSession).write.parquet(self._doclens_path)
         toks = F.expr(T.tokens(text_col, T.SPARK))
         base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         n_new, len_new = base.agg(F.count("*"), F.sum(F.size("toks"))).first()
@@ -115,6 +154,7 @@ class TextIndex:
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
             )
+            .withColumn(GEN_COL, F.lit(gen))
         )
         (
             postings.repartition("term_bucket")
@@ -122,14 +162,126 @@ class TextIndex:
             .partitionBy("term_bucket")
             .parquet(self._postings_path)
         )
+        base.select("doc_id", F.size("toks").alias("dl")).withColumn(
+            GEN_COL, F.lit(gen)
+        ).write.mode("append").parquet(self._doclens_path)
+        # gen + stats persist together, only AFTER the data lands
+        # (tombstones.py crash rule for writes)
         st["n_docs"] = int(st["n_docs"]) + int(n_new)
         st["total_len"] = int(st["total_len"]) + int(len_new or 0)
+        st["gen"] = gen
+        st["stats_gen"] = gen
         with open(self._stats_path, "w") as f:
             json.dump(st, f)
 
     def stats(self) -> dict:
         with open(self._stats_path) as f:
             return json.load(f)
+
+    def _write_stats(self, st: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._stats_path, "w") as f:
+            json.dump(st, f)
+
+    def _doclens(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, dl, _gen) — one row per indexed document version.
+        Pre-r6 stores have no doclens table; derive it from the
+        postings (dl rides every posting row) — one full scan, paid
+        only on the delete/repair paths, never at query time."""
+        if os.path.exists(self._doclens_path):
+            return spark.read.parquet(self._doclens_path)
+        post = self.postings(spark)
+        if GEN_COL not in post.columns:
+            post = post.withColumn(GEN_COL, F.lit(0))
+        return post.select("doc_id", "dl", GEN_COL).distinct()
+
+    def _doclens_live(self, spark: SparkSession) -> DataFrame:
+        return filter_live(
+            spark, self._doclens(spark), self._tombstone_path, "doc_id"
+        )
+
+    def _live_stats(self, spark: SparkSession) -> dict:
+        """Corpus stats over LIVE documents — exact, because BM25's
+        n_docs/avgdl feed every score. Normally a sidecar read; if a
+        crash split a delete between its tombstone append and its
+        stats decrement (stats_gen < gen), recount once from the live
+        doclens table and heal the sidecar."""
+        st = self.stats()
+        if int(st.get("stats_gen", st.get("gen", 0))) == int(st.get("gen", 0)):
+            return st
+        n_docs, total_len = self._doclens_live(spark).agg(
+            F.count("*"), F.sum("dl")
+        ).first()
+        st["n_docs"] = int(n_docs)
+        st["total_len"] = int(total_len or 0)
+        st["stats_gen"] = int(st.get("gen", 0))
+        self._write_stats(st)
+        return st
+
+    # -- delete / compact ---------------------------------------------------
+
+    def delete(self, spark: SparkSession, ids) -> None:
+        """Merge-on-read take-down: hide every current posting of the
+        given doc ids (list/iterable or one-column DataFrame) — the
+        documents stop being served immediately, and the corpus stats
+        decrement by their exact counts so every surviving score is
+        byte-identical to a fresh build without them. O(deleted) bytes
+        written; ``compact()`` reclaims the space. Docs appended AFTER
+        the delete are untouched (strict ``row._gen > tombstone gen``
+        survival, shared with VectorStore.delete)."""
+        st = self._live_stats(spark)
+        gen = int(st.get("gen", 0)) + 1
+        if not isinstance(ids, DataFrame):
+            ids = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+        ids = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+        # exact decrement of the docs this delete actually kills,
+        # pinned BEFORE the tombstones exist (the aggregate executes
+        # here; re-deleting a dead id decrements nothing)
+        dead = self._doclens_live(spark).join(
+            F.broadcast(ids.distinct()), "doc_id", "semi"
+        )
+        n_dead, len_dead = dead.agg(F.count("*"), F.sum("dl")).first()
+        # 1) burn the gen (crash here: harmless unused gen)
+        st["gen"] = gen
+        self._write_stats(st)
+        # 2) tombstones (crash here: stats_gen < gen -> exact recount
+        #    on next use)
+        append_tombstones(spark, self._tombstone_path, "doc_id", ids, gen)
+        # 3) exact decrement marks the stats current again
+        st["n_docs"] = int(st["n_docs"]) - int(n_dead)
+        st["total_len"] = int(st["total_len"]) - int(len_dead or 0)
+        st["stats_gen"] = gen
+        self._write_stats(st)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold tombstones in physically: rewrite only live postings /
+        doclens rows (keeping their ``_gen``), then swap — the new copy
+        is fully materialized in a sibling directory before the old one
+        is removed, so a failed compaction never loses the index (same
+        pattern as VectorStore.compact). Also upgrades a pre-r6 index:
+        the rewrite materializes the doclens table and the ``_gen``
+        column."""
+        import shutil
+
+        st = self._live_stats(spark)
+        tmp = self.path.rstrip("/") + "__compacting"
+        post = self.postings(spark)
+        if GEN_COL not in post.columns:
+            post = post.withColumn(GEN_COL, F.lit(0))
+        (
+            filter_live(spark, post, self._tombstone_path, "doc_id")
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(tmp, "postings"))
+        )
+        self._doclens_live(spark).write.mode("overwrite").parquet(
+            os.path.join(tmp, "doclens")
+        )
+        with open(os.path.join(tmp, "_stats.json"), "w") as f:
+            json.dump(st, f)
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
 
     def _persisted_buckets(self, st: dict) -> int:
         """The bucket count the index was BUILT with is the only one
@@ -207,7 +359,7 @@ class TextIndex:
         exact decimal sum of 1e-6-quantized contributions."""
         from distributedvectordatabase_spark.operators.knn import MAX_QUERY_BATCH
 
-        st = self.stats()
+        st = self._live_stats(spark)
         n_buckets = self._persisted_buckets(st)
         qterms = (
             queries.select(
@@ -236,11 +388,16 @@ class TextIndex:
                 .collect()
             }
         )
-        post = (
+        # tombstone anti-filter sits ABOVE the bucket/term-pruned scan,
+        # so deletes never change the partition-pruned plan shape
+        post = filter_live(
+            spark,
             self.postings(spark)
             .filter(F.col("term_bucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
-        )
+            .filter(F.col("term").isin(terms)),
+            self._tombstone_path,
+            "doc_id",
+        ).drop(GEN_COL)
         df_t = post.groupBy("term").agg(F.count("*").alias("df"))
         m = F.lit(1e6)
         qz6 = lambda c: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731

@@ -428,3 +428,55 @@ def test_hybrid_serve_batch_sq_leg(spark, tmp_path):
         ).collect()
     }
     assert sq == raw and len(sq) == 10
+
+
+def test_hybrid_serve_batch_excludes_deleted_docs(spark, tmp_path):
+    """Take-down parity end-to-end (r6): a doc deleted from BOTH
+    persisted structures must vanish from hybrid serving, and the
+    surviving rows must equal a serve over freshly built stores
+    without it — the text leg's BM25 stats decrement exactly."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    store = VectorStore(str(tmp_path / "vs"), SignLSH(dim=64))
+    store.write(emb)
+    index = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    index.build(docs)
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    qterms = {0: ["dup", "vector"], 1: ["query", "the"]}
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], qterms[q]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+
+    def serve(s, ix):
+        return {
+            (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+            for r in hybrid_serve_batch(
+                spark, s, ix, queries, k=5, dist_quantize=6
+            ).collect()
+        }
+
+    before = serve(store, index)
+    victims = sorted({d for _, d in before})[:2]
+    store.delete(spark, victims)
+    index.delete(spark, victims)
+    got = serve(store, index)
+    assert not {d for _, d in got} & set(victims)
+
+    fresh_store = VectorStore(str(tmp_path / "vs_f"), SignLSH(dim=64))
+    fresh_store.write(emb.filter(~F.col("vec_id").isin(victims)))
+    fresh_index = TextIndex(str(tmp_path / "ix_f"), n_buckets=8)
+    fresh_index.build(docs.filter(~F.col("doc_id").isin(victims)))
+    want = serve(fresh_store, fresh_index)
+    assert got == want

@@ -161,3 +161,100 @@ def test_batch_requires_terms(spark, index):
     empty = spark.createDataFrame([], "qid long, terms array<string>")
     with pytest.raises(ValueError, match="at least one"):
         index.bm25_batch(spark, empty)
+
+
+# -- take-downs (r6: tombstone parity with the vector stores) -----------
+
+
+def _scores(rows):
+    return [(r.doc_id, r.score, r.rnk) for r in rows]
+
+
+def test_delete_equals_fresh_build_without_deleted(spark, tmp_path):
+    """After delete, every surviving score must be BYTE-identical to a
+    fresh build over the surviving corpus — n_docs/avgdl feed every
+    BM25 score, so the stats decrement has to be exact."""
+    docs = load_table(spark, "documents", SF_SMALL)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(docs)
+    victims = [r.doc_id for r in ix.bm25(spark, TERMS, k=3).collect()][:2]
+    ix.delete(spark, victims)
+
+    fresh = TextIndex(str(tmp_path / "fresh"), n_buckets=8)
+    fresh.build(docs.filter(~F.col("doc_id").isin(victims)))
+    got = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    want = _scores(fresh.bm25(spark, TERMS, k=10).collect())
+    assert got == want
+    assert not {d for d, _, _ in got} & set(victims)
+
+
+def test_delete_then_append_same_id_is_upsert(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_SMALL)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(docs)
+    before = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    victim = before[0][0]
+    ix.delete(spark, [victim])
+    ix.append(docs.filter(F.col("doc_id") == victim))
+    got = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    assert got == before
+
+
+def test_compact_folds_tombstones(spark, tmp_path):
+    import os
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(docs)
+    victims = [r.doc_id for r in ix.bm25(spark, TERMS, k=2).collect()]
+    ix.delete(spark, victims)
+    want = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    ix.compact(spark)
+    assert not os.path.exists(ix._tombstone_path)
+    left = {r.doc_id for r in ix.postings(spark).select("doc_id").collect()}
+    assert not set(victims) & left
+    got = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    assert got == want
+
+
+def test_delete_crash_between_tombstone_and_stats_heals(spark, tmp_path):
+    """Simulated crash: tombstones landed but the stats decrement did
+    not (stats_gen < gen). The next query must recount exactly from
+    the live doclens table — same rows as the clean-delete path."""
+    import json
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(docs)
+    pre = ix.stats()
+    victims = [r.doc_id for r in ix.bm25(spark, TERMS, k=2).collect()]
+    ix.delete(spark, victims)
+    st = ix.stats()
+    clean = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    # rewind the stats to their pre-decrement state (gen burned,
+    # tombstones landed, counts stale) — exactly what a crash between
+    # delete's steps 2 and 3 leaves behind
+    st_crash = dict(
+        st, n_docs=pre["n_docs"], total_len=pre["total_len"],
+        stats_gen=pre["stats_gen"],
+    )
+    with open(str(tmp_path / "ix" / "_stats.json"), "w") as f:
+        json.dump(st_crash, f)
+    healed = _scores(ix.bm25(spark, TERMS, k=10).collect())
+    assert healed == clean
+    assert ix.stats()["stats_gen"] == ix.stats()["gen"]
+    assert ix.stats()["n_docs"] == st["n_docs"]
+    assert ix.stats()["total_len"] == st["total_len"]
+
+
+def test_deleted_doc_counts_once(spark, tmp_path):
+    """Re-deleting an already-dead id must decrement nothing."""
+    docs = load_table(spark, "documents", SF_SMALL)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(docs)
+    victim = ix.bm25(spark, TERMS, k=1).collect()[0].doc_id
+    ix.delete(spark, [victim])
+    st1 = ix.stats()
+    ix.delete(spark, [victim, victim])
+    st2 = ix.stats()
+    assert (st2["n_docs"], st2["total_len"]) == (st1["n_docs"], st1["total_len"])
