@@ -128,6 +128,7 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else DIM
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    rank = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="dvdb-bench-scale", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -138,7 +139,7 @@ def main() -> None:
     from distributedvectordatabase_spark.functions.lsh import SignLSH
 
     store = VectorStore(os.path.join(tmp, "store"), SignLSH(dim=dim))
-    corpus = synth_corpus(spark, n_rows, partitions=int(cpus), dim=dim)
+    corpus = synth_corpus(spark, n_rows, partitions=int(cpus), dim=dim, rank=rank)
 
     # absorb Python-worker launch so the ingest number measures
     # generate+assign+shuffle+write, not process startup
@@ -269,6 +270,35 @@ def main() -> None:
     bq256 = bq_knn(loaded, queries, dim=dim, k=10, rerank=8, n_bits=256)
     timings["bq256_hamming_rerank8_20q"] = timed_min(lambda: bq256.count())
     recall_bq256 = round(recall_at_k(exact, bq256, 10), 4)
+
+    # Normalized-domain BQ (r6): the corpus where 1-bit codes EARN the
+    # 64x — L2-normalized vectors queried in the cosine metric, so the
+    # angular Hamming shortlist and the rerank agree on "near". Ground
+    # truth is exact cosine kNN over the normalized corpus.
+    from distributedvectordatabase_spark.functions.vector import l2_normalize
+
+    norm_corpus = loaded.select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    ).cache()
+    norm_corpus.count()
+    norm_queries = (
+        norm_corpus.orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+    norm_queries.count()
+    exact_cos = knn(norm_corpus, norm_queries, k=10, metric="cosine", impl="arrow")
+    bq256n = bq_knn(norm_corpus, norm_queries, dim=dim, k=10, rerank=8,
+                    n_bits=256, metric="cosine")
+    timings["bq256_normalized_cosine_rerank8_20q"] = timed_min(lambda: bq256n.count())
+    recall_bq256_norm = round(recall_at_k(exact_cos, bq256n, 10), 4)
+    bq256n32 = bq_knn(norm_corpus, norm_queries, dim=dim, k=10, rerank=32,
+                      n_bits=256, metric="cosine")
+    timings["bq256_normalized_cosine_rerank32_20q"] = timed_min(lambda: bq256n32.count())
+    recall_bq256_norm32 = round(recall_at_k(exact_cos, bq256n32, 10), 4)
+    norm_corpus.unpersist()
+    norm_queries.unpersist()
 
     text_stats: dict[str, float] = {}
     if n_docs:
@@ -404,6 +434,9 @@ def main() -> None:
                 "recall_at_10_bq_rerank2": recall_bq2,
                 "recall_at_10_bq_rerank8": recall_bq8,
                 "recall_at_10_bq256_rerank8": recall_bq256,
+                "recall_at_10_bq256_normalized_cosine": recall_bq256_norm,
+                "recall_at_10_bq256_normalized_cosine_rerank32": recall_bq256_norm32,
+                "corpus_rank": rank or None,
                 "semdedup_planted": n_planted,
                 "semdedup_removed": semdedup_removed,
                 **text_stats,

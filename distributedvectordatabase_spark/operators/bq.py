@@ -50,8 +50,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from distributedvectordatabase_spark.functions.vector import l2sq
-from distributedvectordatabase_spark.operators.knn import collect_query_batch
+from distributedvectordatabase_spark.operators.knn import _dist_expr, collect_query_batch
 
 BITS_PER_WORD = 32
 
@@ -226,16 +225,29 @@ def bq_knn(
     qvec_col: str = "qvec",
     n_bits: int | None = None,
     seed: int = 42,
+    metric: str = "l2sq",
 ) -> DataFrame:
     """Approximate kNN: Hamming shortlist of ``rerank * k`` candidates
-    per query over the 1-bit codes, then exact squared-L2 rerank on the
-    raw vectors (the FAISS binary+refine pattern).
+    per query over the 1-bit codes, then exact rerank on the raw
+    vectors (the FAISS binary+refine pattern).
 
     Returns (qid, neighbor_id, dist, rnk) shaped like operators/knn.knn
     — the final top-k is by exact float distance, so at full rerank
-    budget (rerank·k ≥ corpus) it EQUALS exact kNN. The shortlist scan
-    reads only the packed codes; raw vectors are touched only for the
-    broadcast R·k joinback."""
+    budget (rerank·k ≥ corpus) it EQUALS exact kNN in the same metric.
+    The shortlist scan reads only the packed codes; raw vectors are
+    touched only for the broadcast R·k joinback.
+
+    ``metric`` picks the rerank distance (``"l2sq"`` | ``"cosine"``,
+    the knn() metrics). Sign codes are SCALE-INVARIANT — ``sign(x@R)
+    == sign((x/|x|)@R)`` — so the Hamming shortlist always estimates
+    ANGULAR order and normalizing inputs before encoding is a no-op by
+    construction (that is also why no norm column needs persisting).
+    ``metric="cosine"`` is therefore the honest pairing: the shortlist
+    and the rerank agree on what "near" means, and on L2-normalized
+    embeddings it coincides with L2 order. ``l2sq`` against
+    non-normalized data keeps working but pays the known recall floor
+    — norms dominate L2 yet are invisible to signs (BASELINE.md
+    records the measured decomposition)."""
     k = max(int(k), 1)
     fetch = max(int(rerank), 1) * k
     ccodes = bq_encode(
@@ -263,7 +275,9 @@ def bq_knn(
             ),
             "qid",
         )
-        .select("qid", "neighbor_id", l2sq("_qvec", vec_col).alias("dist"))
+        .select(
+            "qid", "neighbor_id", _dist_expr(metric, "_qvec", vec_col).alias("dist")
+        )
     )
     w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
     return (

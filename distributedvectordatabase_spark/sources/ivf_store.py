@@ -106,8 +106,31 @@ class IVFStore:
 
     # -- build ---------------------------------------------------------------
 
-    def build(self, df: DataFrame) -> None:
-        """Fit KMeans cells and write the cell-partitioned table."""
+    def build(
+        self,
+        df: DataFrame,
+        split_threshold: float | None = None,
+        max_split_rounds: int = 3,
+    ) -> None:
+        """Fit KMeans cells and write the cell-partitioned table.
+
+        ``split_threshold=t`` bounds cell skew: KMeans minimizes SSE,
+        not balance, so a dense region (one tight mode holding most of
+        the mass) collapses into ONE cell — and at 100 TB a hot cell is
+        a straggler scan on every probe that touches it (the same
+        failure class as the MinHash hot band keys, which got a cap +
+        audit in r5). After the initial fit, any cell holding more than
+        ``t×`` the mean count is recursively re-fit: KMeans splits it
+        into ``ceil(size/(t·mean))`` subcells, the parent centroid is
+        replaced by the subcentroids, and ONE global nearest-centroid
+        reassignment pass restores the store invariant (every row in
+        its nearest cell — exactly what append/query assume), repeated
+        up to ``max_split_rounds`` or until no cell exceeds the bound.
+        Cost per round: one bounded per-cell fit per oversized cell +
+        one matmul projection over the corpus — never an extra
+        shuffle; the partitioned write at the end is unchanged. Audit
+        via :meth:`cell_metrics` / :meth:`cell_distribution`; probed
+        in tests + BASELINE.md on a planted-hot-mode corpus."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -119,11 +142,17 @@ class IVFStore:
         ).fit(feats)
         assigned = model.transform(feats).select(
             self.id_col, self.vec_col, "cell_id"
-        ).withColumn("_gen", F.lit(1))
+        )
+        centers = [list(map(float, np.asarray(c))) for c in model.clusterCenters()]
+        if split_threshold is not None:
+            assigned, centers = self._split_oversized(
+                assigned, centers, float(split_threshold), int(max_split_rounds)
+            )
+            self.n_cells = len(centers)
+        assigned = assigned.withColumn("_gen", F.lit(1))
         # the static overwrite drops the whole store dir, tombstones and
         # sidecars included — a rebuild starts a fresh delete history
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(self.path)
-        centers = [list(map(float, np.asarray(c))) for c in model.clusterCenters()]
         with open(self._centroid_path, "w") as f:
             json.dump(
                 {"n_cells": self.n_cells, "seed": self.seed, "centers": centers,
@@ -131,9 +160,86 @@ class IVFStore:
                 f,
             )
 
+    def _split_oversized(
+        self,
+        assigned: DataFrame,
+        centers: list,
+        t: float,
+        max_rounds: int,
+    ) -> tuple:
+        """Recursive oversized-cell split (see build). Returns the
+        rebalanced (assignment df, centers). Bounded driver state:
+        per-round cell counts (O(n_cells) rows) and the centroid
+        matrix."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        if t <= 1.0:
+            raise ValueError("split_threshold must exceed 1 (t x mean cells split)")
+        assigned = assigned.localCheckpoint(eager=True)
+        for rnd in range(max_rounds):
+            sizes = {
+                int(r["cell_id"]): int(r["n"])
+                for r in assigned.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+            }
+            total = sum(sizes.values())
+            mean = total / max(len(centers), 1)
+            oversized = sorted(c for c, s in sizes.items() if s > t * mean)
+            if not oversized:
+                break
+            new_centers = [c for i, c in enumerate(centers) if i not in set(oversized)]
+            for c in oversized:
+                m = max(2, -(-sizes[c] // int(max(t * mean, 1))))
+                sub = assigned.filter(F.col("cell_id") == c).select(
+                    array_to_vector(F.col(self.vec_col)).alias("_f")
+                )
+                subm = KMeans(
+                    k=min(m, sizes[c]), seed=self.seed + 1 + c, featuresCol="_f",
+                    predictionCol="_sub",
+                ).fit(sub)
+                new_centers.extend(
+                    [list(map(float, np.asarray(sc))) for sc in subm.clusterCenters()]
+                )
+            centers = new_centers
+            # one global nearest-centroid pass: restores the invariant
+            # every row sits in its nearest cell of the FINAL set
+            C = np.array(centers, dtype=np.float64)
+
+            @F.pandas_udf("int")
+            def nearest(vecs: pd.Series) -> pd.Series:
+                X = np.array(list(vecs.values), dtype=np.float64)
+                d2 = (
+                    (X ** 2).sum(1)[:, None]
+                    - 2.0 * X @ C.T
+                    + (C ** 2).sum(1)[None, :]
+                )
+                return pd.Series(d2.argmin(axis=1), dtype="int32")
+
+            assigned = assigned.select(
+                self.id_col, self.vec_col, nearest(F.col(self.vec_col)).alias("cell_id")
+            ).localCheckpoint(eager=True)
+        return assigned, centers
+
     def centroids(self) -> np.ndarray:
         with open(self._centroid_path) as f:
             return np.array(json.load(f)["centers"], dtype=np.float64)
+
+    # -- balance audit -------------------------------------------------------
+
+    def cell_distribution(self, spark: SparkSession) -> DataFrame:
+        """Per-cell live count + pct — the O15 shard analytics applied
+        to IVF cells (one partial+final aggregation, no driver loop)."""
+        from distributedvectordatabase_spark.operators.stats import shard_distribution
+
+        return shard_distribution(self._read_live(spark), shard_col="cell_id")
+
+    def cell_metrics(self, spark: SparkSession) -> DataFrame:
+        """One-row balance audit (min/max/avg/CV/imbalance + quality
+        bucket) over live cell counts — a hot cell here is a straggler
+        scan at scale; rebuild with ``split_threshold`` to bound it."""
+        from distributedvectordatabase_spark.operators.stats import distribution_metrics
+
+        return distribution_metrics(self._read_live(spark), shard_col="cell_id")
 
     # -- ingest --------------------------------------------------------------
 

@@ -512,7 +512,7 @@ class VectorStore:
     _BQ_KEEP = object()  # build_bq default: adopt the persisted config
 
     def build_bq(self, spark: SparkSession, n_bits=_BQ_KEEP,
-                 seed=_BQ_KEEP) -> None:
+                 seed=_BQ_KEEP, normalize=_BQ_KEEP) -> None:
         """Build (or rebuild) the binary codes sidecar: one projection
         scan packs each vector's sign bits into ceil(dim/32) bigint
         words (operators/bq.py), written as a shard-partitioned
@@ -538,7 +538,20 @@ class VectorStore:
         same reason a REBUILD with default arguments keeps the
         persisted config — a post-append refresh cannot silently
         switch a 256-bit store back to identity codes; pass n_bits
-        explicitly to change the encoding."""
+        explicitly to change the encoding.
+
+        ``normalize=True`` declares the store's BQ domain NORMALIZED
+        (cosine): knn_bq then reranks by cosine distance by default,
+        so the angular Hamming shortlist and the final metric agree —
+        the corpus where 1-bit codes actually earn their 64×
+        (BASELINE.md: recall collapses when Hamming's angular order
+        scores an L2 oracle on non-normalized data). The flag is
+        persisted and reopen-authoritative like (n_bits, seed). It
+        does NOT re-scale the stored codes: ``sign(x@R) ==
+        sign((x/|x|)@R)``, so sign codes are scale-invariant by
+        construction and no normalization pass (or persisted norm
+        column) is needed — the flag changes what the RERANK means,
+        which is the only place a norm could matter."""
         from distributedvectordatabase_spark.operators.bq import bq_encode
 
         if os.path.exists(self._sink_log_path):
@@ -554,6 +567,8 @@ class VectorStore:
             n_bits = prev.get("n_bits")
         if seed is VectorStore._BQ_KEEP:
             seed = prev.get("seed", 42)
+        if normalize is VectorStore._BQ_KEEP:
+            normalize = bool(prev.get("normalize", False))
         live = self._read_live(spark)
         (
             bq_encode(live, self.lsh.dim, vec_col=self.vec_col,
@@ -566,7 +581,8 @@ class VectorStore:
         with open(self._bq_params_path, "w") as f:
             json.dump(
                 {"dim": self.lsh.dim, "gen": self._gen(),
-                 "n_bits": n_bits, "seed": int(seed)},
+                 "n_bits": n_bits, "seed": int(seed),
+                 "normalize": bool(normalize)},
                 f,
             )
 
@@ -583,16 +599,23 @@ class VectorStore:
 
     def knn_bq(self, spark: SparkSession, queries: DataFrame, k: int = 10,
                rerank: int = 2, pruned: bool = True, num_candidates: int = 2,
-               qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+               qid_col: str = "qid", qvec_col: str = "qvec",
+               metric: str | None = None) -> DataFrame:
         """Top-k via the binary sidecar: Hamming shortlist of
         ``rerank·k`` candidates over the 1-bit codes (with the same LSH
         multi-probe pruning as knn(pruned=True): a literal shard
         IN-list prunes partitions, per-query shard sets mask inside the
-        fan-out), then exact squared-L2 rerank against the raw store —
-        rerank is mandatory because sign bits alone carry no usable
-        distance scale. Returns (qid, neighbor_id, dist, rnk) like
-        knn(); at full budget over an unpruned scan it EQUALS exact
-        kNN (pinned in tests)."""
+        fan-out), then exact rerank against the raw store — rerank is
+        mandatory because sign bits alone carry no usable distance
+        scale. Returns (qid, neighbor_id, dist, rnk) like knn(); at
+        full budget over an unpruned scan it EQUALS exact kNN in the
+        same metric (pinned in tests).
+
+        ``metric=None`` adopts the store's persisted domain: a
+        ``build_bq(normalize=True)`` store reranks by cosine (the
+        honest pairing — the Hamming shortlist is angular by
+        construction), others by squared L2. Pass ``"l2sq"``/
+        ``"cosine"`` to override per call."""
         if not os.path.exists(self._bq_params_path):
             raise ValueError("no binary sidecar: run build_bq(spark) first")
         if self._bq_synced_gen() != self._gen():
@@ -602,13 +625,18 @@ class VectorStore:
                 "projection scan) to regenerate"
             )
         from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
-        from distributedvectordatabase_spark.operators.knn import collect_query_batch
+        from distributedvectordatabase_spark.operators.knn import (
+            _dist_expr,
+            collect_query_batch,
+        )
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         k = max(int(k), 1)
         fetch = max(int(rerank), 1) * k
         with open(self._bq_params_path) as f:
             side = json.load(f)
+        if metric is None:
+            metric = "cosine" if side.get("normalize") else "l2sq"
         codes = filter_live(
             spark, spark.read.parquet(self._bq_path), self._tombstone_path,
             self.id_col,
@@ -652,7 +680,9 @@ class VectorStore:
                 "qid",
             )
             .select(
-                "qid", "neighbor_id", l2sq("_qvec", self.vec_col).alias("dist")
+                "qid",
+                "neighbor_id",
+                _dist_expr(metric, "_qvec", self.vec_col).alias("dist"),
             )
         )
         w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")

@@ -265,3 +265,79 @@ def test_store_bq_persisted_nbits_is_authoritative(spark, tmp_path, corpus):
     )
     res = vs.knn_bq(spark, q, k=1, pruned=False, rerank=2).collect()
     assert res and res[0].neighbor_id == 9001
+
+
+# -- normalized-domain (cosine) BQ (r6) --------------------------------------
+
+
+def test_full_rerank_budget_equals_exact_knn_cosine(spark, corpus, queries):
+    """metric='cosine': at full rerank budget the binary path equals
+    exact cosine kNN — the honest metric pairing (the Hamming
+    shortlist is angular by construction)."""
+    n = corpus.count()
+    approx = bq_knn(
+        corpus, queries, dim=DIM, k=5, rerank=(n // 5) + 1, metric="cosine"
+    )
+    exact = knn(corpus, queries, k=5, metric="cosine")
+    a = sorted((r.qid, r.neighbor_id, r.rnk) for r in approx.collect())
+    e = sorted((r.qid, r.neighbor_id, r.rnk) for r in exact.collect())
+    assert a == e
+
+
+def test_cosine_metric_beats_l2_on_angular_truth(spark, corpus, queries):
+    """Scoring a COSINE ground truth, the cosine rerank at modest
+    budget must beat the L2 rerank at the same budget — the measured
+    reason normalize=True exists."""
+    exact_cos = knn(corpus, queries, k=10, metric="cosine")
+    r_cos = recall_at_k(
+        exact_cos, bq_knn(corpus, queries, dim=DIM, k=10, rerank=8,
+                          n_bits=256, metric="cosine"), 10,
+    )
+    r_l2 = recall_at_k(
+        exact_cos, bq_knn(corpus, queries, dim=DIM, k=10, rerank=8,
+                          n_bits=256, metric="l2sq"), 10,
+    )
+    assert r_cos >= r_l2
+    assert r_cos >= 0.9, r_cos
+
+
+def test_store_normalize_flag_defaults_cosine_and_survives_rebuild(
+    spark, tmp_path, corpus
+):
+    """build_bq(normalize=True) persists the domain flag; knn_bq with
+    metric=None then reranks by cosine (equal to exact cosine kNN at
+    full budget), and a default-args rebuild keeps the flag."""
+    import json
+
+    vs = VectorStore(str(tmp_path / "emb"), SignLSH(dim=64))
+    vs.write(corpus)
+    vs.build_bq(spark, n_bits=256, normalize=True)
+    q = queries_fixture(spark, SF_DIR, n=4)
+    n = corpus.count()
+    got = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in vs.knn_bq(
+            spark, q, k=5, pruned=False, rerank=(n // 5) + 1
+        ).collect()
+    )
+    want = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in knn(corpus, q, k=5, metric="cosine").collect()
+    )
+    assert got == want
+    vs.build_bq(spark)  # default-args refresh keeps the domain
+    with open(vs._bq_params_path) as f:
+        side = json.load(f)
+    assert side["normalize"] is True and side["n_bits"] == 256
+    # explicit override still wins per call
+    l2 = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in vs.knn_bq(
+            spark, q, k=5, pruned=False, rerank=(n // 5) + 1, metric="l2sq"
+        ).collect()
+    )
+    want_l2 = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in knn(corpus, q, k=5, metric="l2sq").collect()
+    )
+    assert l2 == want_l2

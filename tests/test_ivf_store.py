@@ -404,3 +404,74 @@ def test_ivfsq_compact_carries_sidecar(spark, built_sq):
     assert got == want
     assert spark.read.parquet(built_sq._sq_path).filter("vec_id = 0").count() == 0
     assert not os.path.exists(built_sq._tombstone_path)
+
+
+# -- cell-balance audit + oversized-cell split (r6) --------------------------
+
+
+def _skewed_df(spark, n=6000, dim=16):
+    """80% of rows in one tight mode: KMeans minimizes SSE, so the
+    mode collapses into one hot cell — the straggler-scan shape."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    hot = rng.standard_normal((int(n * 0.8), dim)) * 0.05 + 5.0
+    spread = rng.standard_normal((n - len(hot), dim)) * 3.0
+    X = np.vstack([hot, spread])
+    return spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+
+
+def test_cell_metrics_audit(spark, built):
+    # the module-scoped store may have absorbed earlier tests' appends;
+    # audit against its current live count, not the fixture's 500
+    n = built.read(spark).count()
+    m = built.cell_metrics(spark).first()
+    assert m.max_count >= m.min_count
+    assert abs(m.avg_count - n / 8) < 1e-6
+    assert m.distribution_quality in {"excellent", "good", "acceptable", "uneven"}
+    dist = built.cell_distribution(spark)
+    assert abs(sum(r.pct for r in dist.collect()) - 100.0) < 1e-3
+
+
+def test_split_threshold_bounds_hot_cell(spark, tmp_path):
+    df = _skewed_df(spark)
+    n = df.count()
+    plain = IVFStore(str(tmp_path / "plain"), n_cells=8)
+    plain.build(df)
+    m0 = plain.cell_metrics(spark).first()
+    assert m0.max_count > 0.5 * n  # the skew is real before the fix
+
+    split = IVFStore(str(tmp_path / "split"), n_cells=8)
+    split.build(df, split_threshold=2.0)
+    m1 = split.cell_metrics(spark).first()
+    assert split.n_cells > 8  # subcells were added
+    assert m1.max_count <= 2.0 * m1.avg_count + 1  # the promised bound
+    assert m1.max_count < 0.2 * n
+
+
+def test_split_store_exact_probe_and_reopen(spark, tmp_path):
+    """Full-probe kNN over the split store must equal exact kNN (the
+    ann_ivf_exact_probe invariant), reopen must adopt the enlarged
+    n_cells, and append must route into subcells."""
+    df = _skewed_df(spark, n=3000)
+    s = IVFStore(str(tmp_path / "s"), n_cells=6)
+    s.build(df, split_threshold=2.0)
+    qs = df.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in s.knn(spark, qs, k=5, n_probe=s.n_cells).collect()
+    )
+    e = sorted((r.qid, r.neighbor_id, r.rnk) for r in knn(df, qs, k=5).collect())
+    assert a == e
+    reopened = IVFStore(str(tmp_path / "s"))
+    assert reopened.n_cells == s.n_cells
+    assert reopened.centroids().shape == (s.n_cells, 16)
+    extra = df.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    reopened.append(extra)
+    assert reopened.read(spark).count() == 3000 + 10
