@@ -6,6 +6,8 @@ from distributedvectordatabase_spark.streaming.ingest import (  # noqa: F401
     stream_dedup_documents,
     stream_ingest_vectors,
     stream_knn_serve,
+    stream_neardup_ingest,
+    stream_text_index_ingest,
     windowed_event_counts,
     sessionize_events,
 )

@@ -455,3 +455,80 @@ def stream_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_text_index_ingest(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    *,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming posting ingest: each micro-batch of new documents is
+    tokenized once and appended to a persistent
+    :class:`~...sources.text_index.TextIndex`, so BM25 serving sees
+    batch 0..N as soon as batch N commits — closing the streaming
+    matrix (vectors stream via stream_ingest_vectors, signatures via
+    stream_neardup_ingest, postings here). Caller owns doc-id
+    uniqueness across batches, the same contract as TextIndex.append.
+
+    Exactly-once shape (the stream_neardup_ingest pattern,
+    ingest.py:352-457): a marker file next to the index records the
+    last batch whose postings committed, so a replayed batch id ≤
+    marker skips the append instead of double-counting its postings
+    AND its n_docs/total_len stats increment — after a crash-replay
+    the index is byte-identical to the sequential batch fold (pinned
+    in tests/test_streaming.py). The index's own stats write already
+    lands only after the postings data (TextIndex.append's crash
+    rule), so a crash mid-append burns at most one batch replay.
+
+    The foreachBatch append writes plain parquet — the index never
+    enters a ``_spark_metadata`` sink era, so batch append/delete/
+    compact stay legal on it throughout and after the stream (no
+    finalize step needed, unlike the VectorStore streaming sink)."""
+    import json
+    import os
+
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    marker_path = os.path.join(index_path, "_ingest_marker.json")
+
+    def committed_batch() -> int:
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                return int(json.load(f)["batch_id"])
+        return -1
+
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= committed_batch():
+            return  # replayed batch whose postings already committed
+        if batch_df.isEmpty():
+            return
+        ix = TextIndex(index_path, n_buckets=n_buckets)
+        # pin the batch rows: the postings and doclens writes must see
+        # the SAME rows even if the source re-lists non-deterministically
+        batch = batch_df.localCheckpoint(eager=True)
+        if os.path.exists(os.path.join(index_path, "_stats.json")):
+            ix.append(batch, id_col=id_col, text_col=text_col)
+        else:
+            ix.build(batch, id_col=id_col, text_col=text_col)
+        with open(marker_path, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

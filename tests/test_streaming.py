@@ -528,3 +528,75 @@ def test_streamed_store_delete_and_sink_finalize_lifecycle(spark, tmp_path):
         stream_ingest_vectors(
             spark, str(src), store, str(tmp_path / "vckpt2"), available_now=True
         )
+
+
+def test_stream_text_index_ingest_matches_batch_fold(spark, tmp_path):
+    """Streaming posting ingest (r6): after the stream drains, BM25
+    over the streamed index must be byte-identical to a fresh build
+    over the union of batches; a replay with the same checkpoint adds
+    nothing (committed-batch marker), and take-downs work on the
+    streamed index (no sink era to finalize)."""
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.streaming.ingest import (
+        stream_text_index_ingest,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        land(b, f"f{i}")
+
+    ix_path = str(tmp_path / "tix")
+    q = stream_text_index_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), ix_path,
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    terms = ["dup", "vector", "query"]
+    streamed = TextIndex(ix_path)
+    fresh = TextIndex(str(tmp_path / "fresh"), n_buckets=8)
+    fresh.build(docs)
+    got = [
+        (r.doc_id, r.score, r.rnk)
+        for r in streamed.bm25(spark, terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.rnk)
+        for r in fresh.bm25(spark, terms, k=10).collect()
+    ]
+    assert got == want
+    assert streamed.stats()["n_docs"] == docs.count()
+
+    # replay idempotency: marker + checkpoint make the rerun a no-op
+    q = stream_text_index_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), ix_path,
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert streamed.stats()["n_docs"] == docs.count()
+    assert [
+        (r.doc_id, r.score, r.rnk)
+        for r in streamed.bm25(spark, terms, k=10).collect()
+    ] == want
+
+    # the streamed index never enters a sink era: delete works directly
+    victim = want[0][0]
+    streamed.delete(spark, [victim])
+    assert victim not in {
+        r.doc_id for r in streamed.bm25(spark, terms, k=10).collect()
+    }
