@@ -418,6 +418,53 @@ def main() -> None:
             lambda: lm.agg(F.sum("lm_score")).first(), reps=1
         )
 
+        # hybrid serving at scale (r6): the engine's flagship composed
+        # query served entirely from persisted structures — SQ8
+        # semantic leg (1 byte/dim codes, LSH-pruned) + indexed BM25
+        # leg (term-bucket-pruned postings), RRF-fused per qid. One
+        # embedding per doc so the two legs share an id space; the
+        # legs are timed separately to show their share of the serve.
+        from distributedvectordatabase_spark.operators.search import (
+            hybrid_serve_batch,
+        )
+
+        demb = synth_corpus(spark, n_docs, partitions=int(cpus), dim=dim)
+        hstore = VectorStore(os.path.join(tmp, "hybrid_store"), SignLSH(dim=dim))
+        t0 = time.perf_counter()
+        hstore.write(demb, validate_dim=False)
+        hstore.build_sq(spark)
+        timings["hybrid_store_build_sq8"] = round(time.perf_counter() - t0, 3)
+        hq = (
+            hstore.read(spark)
+            .orderBy("vec_id")
+            .limit(8)
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"),
+            )
+            .withColumn(
+                "terms",
+                F.array(F.lit("w7"), F.lit("w42"),
+                        F.concat(F.lit("w"), (F.col("qid") % 100).cast("string"))),
+            )
+            .cache()
+        )
+        hq.count()
+        vec_leg = hstore.knn_sq(
+            spark, hq.select("qid", "qvec"), k=40, pruned=True,
+            num_candidates=2, rerank=2,
+        )
+        timings["hybrid_vec_leg_sq8_8q"] = timed_min(lambda: vec_leg.count())
+        text_leg = tix.bm25_batch(spark, hq.select("qid", "terms"), k=40)
+        timings["hybrid_text_leg_indexed_8q"] = timed_min(lambda: text_leg.count())
+        served = hybrid_serve_batch(
+            spark, hstore, tix, hq, k=10, use_sq=True,
+            num_candidates=2,
+        )
+        timings["hybrid_serve_batch_sq8_8q"] = timed_min(lambda: served.count())
+        text_stats["hybrid_serve_rows"] = served.count()
+        hq.unpersist()
+
     print(
         json.dumps(
             {
