@@ -47,6 +47,22 @@ inverted index's partition-pruned scoring plan (TextIndex.bm25):
 
 Result columns: (doc_id, score, rnk). The two compose in one query —
 hybrid search is a plain SQL join over the two table factors.
+
+``hybrid(...)`` (r6) is the pre-fused form — one SQL line for the
+engine's flagship composed query, rewritten into the
+``hybrid_serve_batch`` plan over both persisted structures (exact or
+LSH-pruned semantic leg + term-bucket-pruned BM25 leg, RRF-fused):
+
+    hybrid('<store_path>', '<index_path>', <vector expr>, <terms expr>,
+           <k> [, <probes>])
+
+- ``store_path``: a built VectorStore dir (the serving store);
+- ``index_path``: a built TextIndex dir;
+- ``probes``: optional integer — ``num_candidates`` for the LSH
+  multi-probe semantic leg; omitted = exact scan.
+
+Result columns: (doc_id, rrf_score, rnk) — pinned row-identical to
+``hybrid_serve_batch`` in tests/test_sql_sugar.py.
 """
 
 from __future__ import annotations
@@ -57,7 +73,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_SUGAR_TOKEN = re.compile(r"(?i)(?<![A-Za-z0-9_])(knn|bm25)\s*\(")
+_SUGAR_TOKEN = re.compile(r"(?i)(?<![A-Za-z0-9_])(knn|bm25|hybrid)\s*\(")
 _VIEW_IDS = itertools.count()
 
 
@@ -205,6 +221,52 @@ def _bm25_view(spark: SparkSession, args: list[str]) -> str:
     return name
 
 
+def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
+    if not 5 <= len(args) <= 6:
+        raise ValueError(
+            "hybrid(...) takes (store_path, index_path, vector, terms, "
+            f"k[, probes]), got {len(args)} arguments"
+        )
+    store_path = _string_literal(args[0], "store path")
+    index_path = _string_literal(args[1], "index path")
+    k = int(args[4])
+    probes = int(args[5]) if len(args) == 6 else None
+    vec = spark.sql(f"SELECT cast({args[2]} as array<double>) AS v").first()[0]
+    if vec is None:
+        raise ValueError(f"hybrid(...) vector expression evaluated to NULL: {args[2]}")
+    terms = spark.sql(f"SELECT cast({args[3]} as array<string>) AS t").first()[0]
+    if not terms:
+        raise ValueError(f"hybrid(...) terms expression evaluated empty: {args[3]}")
+    if not os.path.exists(os.path.join(store_path, "_lsh.json")):
+        raise ValueError(
+            f"no vector store found at {store_path!r} (hybrid(...) serves "
+            "from a built VectorStore — an _lsh.json sidecar)"
+        )
+    if not os.path.exists(os.path.join(index_path, "_stats.json")):
+        raise ValueError(
+            f"no text index found at {index_path!r} (expected a _stats.json sidecar)"
+        )
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vec], [str(t) for t in terms])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    res = hybrid_serve_batch(
+        spark,
+        VectorStore(store_path),  # sidecar-config reopen
+        TextIndex(index_path),
+        queries,
+        k=k,
+        num_candidates=probes,
+    ).drop("qid")
+    name = f"_hybrid_sugar_{next(_VIEW_IDS)}"
+    res.createOrReplaceTempView(name)
+    return name
+
+
 def rewrite(spark: SparkSession, query: str) -> str:
     """Replace every ``knn(...)`` / ``bm25(...)`` table factor in
     ``query`` with the name of a temp view holding the corresponding
@@ -219,12 +281,12 @@ def rewrite(spark: SparkSession, query: str) -> str:
         end = _balanced_span(query, open_paren)
         args = _split_args(query[open_paren + 1 : end - 1])
         out.append(query[pos : m.start()])
-        view = (
-            _knn_view(spark, args)
-            if m.group(1).lower() == "knn"
-            else _bm25_view(spark, args)
-        )
-        out.append(view)
+        factory = {
+            "knn": _knn_view,
+            "bm25": _bm25_view,
+            "hybrid": _hybrid_view,
+        }[m.group(1).lower()]
+        out.append(factory(spark, args))
         pos = end
 
 

@@ -153,3 +153,59 @@ def test_bm25_sql_errors(spark, text_index):
         sql(spark, "SELECT * FROM bm25('/nonexistent', array('a'), 3)")
     with pytest.raises(ValueError, match="empty"):
         sql(spark, f"SELECT * FROM bm25('{text_index.path}', array(), 3)")
+
+
+# -- hybrid(...) table factor (r6) -------------------------------------------
+
+
+def test_hybrid_sql_matches_serve_api(spark, stores, text_index):
+    """hybrid('<store>','<index>', vec, terms, k) must return exactly
+    the hybrid_serve_batch rows for the same single query — exact and
+    LSH-pruned forms."""
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+
+    vs, _ = stores
+    vec_sql, xs = _vec(spark, 3)
+    terms_sql = "array('dup', 'vector')"
+    q = spark.createDataFrame(
+        [(0, xs, ["dup", "vector"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+
+    got = sql(
+        spark,
+        f"SELECT * FROM hybrid('{vs.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5)",
+    ).collect()
+    want = hybrid_serve_batch(spark, vs, text_index, q, k=5).drop("qid").collect()
+    key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want)) and len(got) == 5
+
+    pruned = sql(
+        spark,
+        f"SELECT * FROM hybrid('{vs.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5, 2)",
+    ).collect()
+    want_p = hybrid_serve_batch(
+        spark, vs, text_index, q, k=5, num_candidates=2
+    ).drop("qid").collect()
+    assert sorted(map(key, pruned)) == sorted(map(key, want_p))
+
+
+def test_hybrid_sql_composes_and_errors(spark, stores, text_index):
+    vs, _ = stores
+    vec_sql = _vec_sql(spark, 1)
+    n = sql(
+        spark,
+        f"SELECT count(*) AS n FROM hybrid('{vs.path}', '{text_index.path}', "
+        f"{vec_sql}, array('query'), 3) WHERE rnk <= 2",
+    ).first().n
+    assert n == 2
+    with pytest.raises(ValueError, match="no vector store"):
+        sql(
+            spark,
+            f"SELECT * FROM hybrid('/nope', '{text_index.path}', "
+            f"{vec_sql}, array('x'), 3)",
+        )
+    with pytest.raises(ValueError, match="takes"):
+        sql(spark, f"SELECT * FROM hybrid('{vs.path}', {vec_sql}, 3)")
