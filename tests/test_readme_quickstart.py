@@ -28,4 +28,6 @@ def test_quickstart_snippet_runs(spark, tmp_path):
     exec(compile(snippet, str(README), "exec"), ns)  # noqa: S102
     # the snippet's own objects prove each stage really ran
     assert ns["sample"].count() > 0
-    assert ns["store"].read(ns["spark"]).count() == 500
+    # 499: the quickstart's take-down section (3d) deletes doc 7
+    assert ns["store"].read(ns["spark"]).count() == 499
+    assert ns["ix"].stats()["n_docs"] == 499
