@@ -439,6 +439,8 @@ def hybrid_serve_batch(
     dist_quantize: int | None = None,
     use_sq: bool = False,
     sq_rerank: int = 2,
+    use_bq: bool = False,
+    bq_rerank: int = 4,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED structures — the
     production form of :func:`hybrid_topk_batch`: the semantic leg
@@ -467,7 +469,21 @@ def hybrid_serve_batch(
         F.col(terms_col).alias("terms"),
     )
     qvecs = q.select("qid", "qvec")
-    if use_sq:
+    if use_sq and use_bq:
+        raise ValueError("pick ONE compressed leg: use_sq or use_bq")
+    if use_bq:
+        # semantic leg over the 1-bit binary sidecar (Hamming shortlist
+        # + exact rerank in the store's persisted metric domain —
+        # cosine for build_bq(normalize=True) stores). Requires
+        # build_bq(). The cheapest first-pass scan on the ladder;
+        # recall depends on the corpus domain (BASELINE.md).
+        hits = store.knn_bq(
+            spark, qvecs, k=fetch,
+            pruned=num_candidates is not None,
+            num_candidates=int(num_candidates or 2),
+            rerank=bq_rerank,
+        )
+    elif use_sq:
         # semantic leg over the store's SQ8 codes sidecar (1 byte/dim
         # scan + exact rerank) — SQ distances are squared-L2, so this
         # leg ranks by L2 regardless of ``metric``; on L2-normalized

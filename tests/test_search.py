@@ -480,3 +480,54 @@ def test_hybrid_serve_batch_excludes_deleted_docs(spark, tmp_path):
     fresh_index.build(docs.filter(~F.col("doc_id").isin(victims)))
     want = serve(fresh_store, fresh_index)
     assert got == want
+
+
+def test_hybrid_serve_batch_bq_leg(spark, tmp_path):
+    """use_bq=True serves the semantic leg from the 1-bit binary
+    sidecar; at full rerank budget the fused rows match the raw-leg
+    serve (the rerank is exact in the same metric)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    store = VectorStore(str(tmp_path / "vs4"), SignLSH(dim=64))
+    store.write(emb)
+    store.build_bq(spark, n_bits=256)
+    index = TextIndex(str(tmp_path / "ix4"), n_buckets=8)
+    index.build(docs)
+    n = emb.count()
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], ["dup", "vector"]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+    raw = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, index, queries, k=5, metric="l2sq", dist_quantize=6
+        ).collect()
+    }
+    bq = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, index, queries, k=5, use_bq=True,
+            bq_rerank=n,  # full shortlist -> exact rerank == raw leg
+            dist_quantize=6,
+        ).collect()
+    }
+    assert bq == raw and len(bq) == 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ONE compressed leg"):
+        hybrid_serve_batch(
+            spark, store, index, queries, k=5, use_sq=True, use_bq=True
+        )
