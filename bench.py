@@ -77,7 +77,7 @@ EXTRA = [
     "dedup_minhash_capped",
     "ann_ivf_topk",
     "events_approx_distinct",
-    # ceded gate slots in r4 (catalog.py); still exact-checked in
+    # ceded gate slots (catalog.py overflow); still exact-checked in
     # tests and measured here
     "events_value_histogram",
     "customer_set_ops",
@@ -85,6 +85,9 @@ EXTRA = [
     "mix_weighted_sources",
     "strat_sample_quota",
     "strat_sample_weighted",
+    # r6 rotation moved these three INTO the driver's gate window;
+    # they stay here (not headline) so round-over-round bench deltas
+    # keep comparing like with like
     "doc_pii_scrub",
     "doc_lm_score",
     "knn_hamming",
