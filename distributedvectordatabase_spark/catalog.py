@@ -2898,19 +2898,28 @@ def build_catalog() -> dict[str, Query]:
         # error stays pinned in tests/test_catalog.py and its runtime
         # stays benched under BENCH "extra".
         Query("events_range_join", _run_events_range_join, _events_range_join_oracle()),
-        # relational star schema (X8)
-        _sql_query("tpch_q1_pricing", _q_tpch_q1),
-        _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),
+        # relational star schema (X8). Second r6 rotation: tpch_q5
+        # (6-table join — the deepest relational plan) and tpch_q17
+        # (correlated-agg subquery) stay as the in-window relational
+        # representatives; the six single-mechanism gates hash-green
+        # since r2-r3 (tpch_q1_pricing, tpch_q3_topk_revenue,
+        # customer_rank_analytics, order_part_lists,
+        # sales_grouping_sets, returnflag_pivot_unpivot) cede their
+        # slots to the six overflow entries the driver has NEVER
+        # hash-checked, so after r6 every oracle-able declared query
+        # has been externally verified in at least one round.
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
-        _sql_query("customer_rank_analytics", _q_customer_rank_analytics),
-        _sql_query("order_part_lists", _q_order_part_lists),
-        _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
-        Query(
-            "returnflag_pivot_unpivot",
-            _run_returnflag_unpivot,
-            _returnflag_unpivot_oracle(),
-        ),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
+        _sql_query("events_value_histogram", _q_events_value_histogram),
+        _sql_query("customer_set_ops", _q_customer_set_ops),
+        Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
+        Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
+        Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
+        Query(
+            "strat_sample_weighted",
+            _run_strat_sample_weighted,
+            _q_strat_sample_weighted(DUCKDB),
+        ),
         # r6 gate rotation (VERDICT r5 #1): the four r5 query families
         # enter the driver's 50-gate window so the external DuckDB
         # oracle hash-checks them; four long-stable single-mechanism
@@ -2934,35 +2943,30 @@ def build_catalog() -> dict[str, Query]:
         # position 51+: past the driver's 50-gate cap, but still
         # exact-checked by tests/test_catalog.py (and benched where in
         # bench.py's lists). Slot cessions, r4: events_value_histogram →
-        # doc_bm25_topk (binning arithmetic is events/lineitem-stats
-        # coverage; BM25 is a whole new capability family);
-        # customer_set_ops → doc_chunks (INTERSECT/EXCEPT is one of 12
-        # remaining relational gates; chunking is a core training-data
-        # shaping op). doc_packs joins the overflow as chunking's
-        # companion (same module, exact-checked). Slot cessions, r6:
+        # doc_bm25_topk; customer_set_ops → doc_chunks; doc_packs joins
+        # as chunking's companion. Slot cessions, r6 first rotation:
         # priority_stats, order_window_ranks, source_regex_stats,
         # lineitem_price_stats → hybrid_rrf_topk, doc_pii_scrub,
-        # doc_lm_score, knn_hamming (long-stable single-mechanism
-        # relational gates cede to the never-driver-checked r5
-        # families; VERDICT r5 next-round #1).
+        # doc_lm_score, knn_hamming (VERDICT r5 next-round #1). Second
+        # r6 rotation: the six r2-r3 relational gates below cede to the
+        # six r4/r5 overflow entries above, completing external
+        # hash-verification coverage of every oracle-able declared
+        # query. Everything here was driver-green for 3+ consecutive
+        # rounds before demotion and stays strict-checked by
+        # tests/exact_compare.py (driver-style bit-for-bit).
         _sql_query("priority_stats", _q_priority_stats),
         _sql_query("order_window_ranks", _q_order_window_ranks),
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
-        _sql_query("events_value_histogram", _q_events_value_histogram),
-        _sql_query("customer_set_ops", _q_customer_set_ops),
-        Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
-        # r4 tail: deterministic weighted source mixing (the missing
-        # training-pipeline piece — epoch-expanded mixture sampling).
-        Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
-        Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
-        # r5: probability-proportional-to-weight order sampling
-        # (Ohlsson sequential Poisson; the weighted mixture-sampling
-        # shape). Past the gate cap — strict-checked locally.
+        _sql_query("tpch_q1_pricing", _q_tpch_q1),
+        _sql_query("tpch_q3_topk_revenue", _q_tpch_q3),
+        _sql_query("customer_rank_analytics", _q_customer_rank_analytics),
+        _sql_query("order_part_lists", _q_order_part_lists),
+        _sql_query("sales_grouping_sets", _q_sales_grouping_sets),
         Query(
-            "strat_sample_weighted",
-            _run_strat_sample_weighted,
-            _q_strat_sample_weighted(DUCKDB),
+            "returnflag_pivot_unpivot",
+            _run_returnflag_unpivot,
+            _returnflag_unpivot_oracle(),
         ),
     ]
     return {q.name: q for q in qs}

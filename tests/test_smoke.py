@@ -25,12 +25,12 @@ DOCUMENTED_OVERFLOW = {
     "order_window_ranks",
     "source_regex_stats",
     "lineitem_price_stats",
-    "events_value_histogram",
-    "customer_set_ops",
-    "doc_packs",
-    "mix_weighted_sources",
-    "strat_sample_quota",
-    "strat_sample_weighted",
+    "tpch_q1_pricing",
+    "tpch_q3_topk_revenue",
+    "customer_rank_analytics",
+    "order_part_lists",
+    "sales_grouping_sets",
+    "returnflag_pivot_unpivot",
 }
 
 
