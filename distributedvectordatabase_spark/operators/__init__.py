@@ -25,7 +25,9 @@ from distributedvectordatabase_spark.operators.knn import (
     recall_at_k,
 )
 from distributedvectordatabase_spark.operators.multimodal import (
+    as_audio_table,
     as_media_table,
+    audio_window_stats,
     decode_stats,
     infer_embeddings,
     resize_metadata,
@@ -104,6 +106,8 @@ __all__ = [
     "semantic_dup_members",
     "similarity_join",
     "as_media_table",
+    "as_audio_table",
+    "audio_window_stats",
     "decode_stats",
     "infer_embeddings",
     "resize_metadata",

@@ -209,6 +209,98 @@ def resize_metadata(media: DataFrame, target_w: int, target_h: int) -> DataFrame
     )
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def as_audio_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic audio table from a text corpus: payload =
+    utf-8 bytes reinterpreted as PCM16 (truncated to an even length),
+    sample_rate derived from the id. Fixture generator, like
+    :func:`as_media_table`; production input is any DataFrame matching
+    AUDIO_SCHEMA (item_id, payload: raw little-endian int16 PCM,
+    sample_rate)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    even_len = (F.octet_length(payload) - F.octet_length(payload) % 2).cast("int")
+    return docs.select(
+        F.col(id_col).alias("item_id"),
+        F.substring(payload, F.lit(1), even_len).alias("payload"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("sample_rate"),
+    )
+
+
+def audio_window_stats(audio: DataFrame, window: int = 256, max_windows: int = 16) -> DataFrame:
+    """Windowed audio feature extraction over Arrow batches.
+
+    Unlike the image/video paths, this decode is REAL, not stubbed:
+    raw little-endian int16 PCM needs no codec, so the per-window DSP
+    (RMS, peak magnitude, zero-crossing count) runs as actual numpy
+    over the payload bytes. One input row fans out to
+    ``<= max_windows`` feature rows inside the task; the payload dies
+    with this stage, so at 100 TB the stage is scan-bound with no
+    payload shuffle — same contract as :func:`decode_stats`.
+
+    A payload with an odd byte count has its trailing byte ignored
+    (standard PCM16 framing); an empty payload yields zero rows.
+    """
+    import numpy as np
+
+    w = max(int(window), 1)
+    mw = max(int(max_windows), 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            rms: list[float] = []
+            peaks: list[int] = []
+            zcs: list[int] = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                b = bytes(payload)
+                samples = np.frombuffer(b[: len(b) - len(b) % 2], dtype="<i2")
+                n_win = min(mw, (len(samples) + w - 1) // w)
+                for i in range(n_win):
+                    chunk = samples[i * w : (i + 1) * w].astype(np.float64)
+                    ids.append(item_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    rms.append(float(np.sqrt(np.mean(chunk * chunk))))
+                    peaks.append(int(np.max(np.abs(chunk))))
+                    zcs.append(int(np.count_nonzero(np.signbit(chunk[:-1]) != np.signbit(chunk[1:]))))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(lens, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "zero_crossings": pd.Series(zcs, dtype="int32"),
+                }
+            )
+
+    return audio.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Video-style frame sampling over Arrow batches: emit up to
     ``max_frames`` fixed-stride byte windows per payload (deterministic
