@@ -45,19 +45,22 @@ class IVFStore:
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        meta_cols: tuple | None = None,
     ):
         self.path = path
         # reopening a built store: the persisted centroid sidecar's
-        # n_cells is authoritative (same reopen contract as
-        # VectorStore/_lsh.json); an explicit argument wins for builds
-        if n_cells is None:
-            cpath = os.path.join(path, "_centroids.json")
-            if os.path.exists(cpath):
-                with open(cpath) as f:
-                    n_cells = int(json.load(f)["n_cells"])
-            else:
-                n_cells = 16
-        self.n_cells = n_cells
+        # n_cells / meta_cols are authoritative (same reopen contract
+        # as VectorStore/_lsh.json); an explicit argument wins for
+        # builds
+        side: dict = {}
+        cpath = os.path.join(path, "_centroids.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                side = json.load(f)
+        self.n_cells = int(side["n_cells"]) if n_cells is None and side else (n_cells or 16)
+        self.meta_cols = (
+            tuple(side.get("meta_cols", ())) if meta_cols is None else tuple(meta_cols)
+        )
         self.seed = seed
         self.id_col = id_col
         self.vec_col = vec_col
@@ -135,13 +138,14 @@ class IVFStore:
         from pyspark.ml.functions import array_to_vector
 
         feats = df.select(
-            self.id_col, self.vec_col, array_to_vector(F.col(self.vec_col)).alias("_f")
+            self.id_col, self.vec_col, *self.meta_cols,
+            array_to_vector(F.col(self.vec_col)).alias("_f"),
         )
         model = KMeans(
             k=self.n_cells, seed=self.seed, featuresCol="_f", predictionCol="cell_id"
         ).fit(feats)
         assigned = model.transform(feats).select(
-            self.id_col, self.vec_col, "cell_id"
+            self.id_col, self.vec_col, *self.meta_cols, "cell_id"
         )
         centers = [list(map(float, np.asarray(c))) for c in model.clusterCenters()]
         if split_threshold is not None:
@@ -153,12 +157,48 @@ class IVFStore:
         # the static overwrite drops the whole store dir, tombstones and
         # sidecars included — a rebuild starts a fresh delete history
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(self.path)
+        radii = self._cell_radii_of(
+            df.sparkSession.read.parquet(self.path), np.array(centers, dtype=np.float64)
+        )
         with open(self._centroid_path, "w") as f:
             json.dump(
                 {"n_cells": self.n_cells, "seed": self.seed, "centers": centers,
-                 "gen": 1},
+                 "gen": 1, "meta_cols": list(self.meta_cols), "radii": radii},
                 f,
             )
+
+    def _cell_radii_of(self, df: DataFrame, C: np.ndarray) -> list:
+        """Per-cell radius (max member distance to the cell centroid) —
+        one batched matmul + one tiny aggregation. The radii power the
+        triangle-inequality cell bound in filtered search: any point of
+        cell c is at least (||q - centroid_c|| - r_c) from q, so cells
+        whose bound exceeds the current kth distance can be pruned
+        EXACTLY instead of heuristically."""
+
+        @F.pandas_udf("double")
+        def cdist(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+            X = np.array(list(vecs.values), dtype=np.float64)
+            cc = C[cells.to_numpy()]
+            return pd.Series(np.sqrt(((X - cc) ** 2).sum(axis=1)))
+
+        radii = [0.0] * len(C)
+        for r in (
+            df.select(F.col("cell_id"), cdist(F.col(self.vec_col), F.col("cell_id")).alias("_d"))
+            .groupBy("cell_id")
+            .agg(F.max("_d").alias("r"))
+            .collect()
+        ):
+            radii[int(r["cell_id"])] = float(r["r"])
+        return radii
+
+    def cell_radii(self) -> np.ndarray | None:
+        """Radii from the sidecar (None on stores built before radii
+        existed — filtered search then falls back to fill-to-k).
+        Deletes only shrink cells, so a stale radius stays a valid
+        upper bound; appends extend it exactly (see append)."""
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        return np.array(side["radii"], dtype=np.float64) if "radii" in side else None
 
     def _split_oversized(
         self,
@@ -216,7 +256,8 @@ class IVFStore:
                 return pd.Series(d2.argmin(axis=1), dtype="int32")
 
             assigned = assigned.select(
-                self.id_col, self.vec_col, nearest(F.col(self.vec_col)).alias("cell_id")
+                self.id_col, self.vec_col, *self.meta_cols,
+                nearest(F.col(self.vec_col)).alias("cell_id"),
             ).localCheckpoint(eager=True)
         return assigned, centers
 
@@ -265,18 +306,31 @@ class IVFStore:
                     "compact(spark) once to upgrade before appending"
                 )
         gen = self._gen() + 1
-        out = df.select(self.id_col, self.vec_col).withColumn(
+        out = df.select(self.id_col, self.vec_col, *self.meta_cols).withColumn(
             "cell_id", nearest_cell(F.col(self.vec_col))
         ).withColumn("_gen", F.lit(gen))
         has_pq = os.path.exists(self._pq_codebook_path)
         has_sq = os.path.exists(self._sq_params_path)
-        if has_pq or has_sq:
-            # pin the assigned batch so the raw write and the codes
-            # write see the SAME rows — without this, a
-            # non-deterministic input (stream batch, sample, generated
-            # ids) would be recomputed per write and the two tables
-            # could silently diverge
-            out = out.cache()
+        old_radii = self.cell_radii()
+        # pin the assigned batch so the raw write, the codes writes and
+        # the radius aggregation all see the SAME rows — without this,
+        # a non-deterministic input (stream batch, sample, generated
+        # ids) would be recomputed per action and the tables could
+        # silently diverge
+        out = out.cache()
+        if old_radii is not None:
+            # widen the radii BEFORE the data lands: a too-large radius
+            # is merely conservative for the filtered-search bound, but
+            # a crash between the data write and a later radius update
+            # would leave radii too SMALL — and wrongly prune cells
+            # holding the new rows
+            batch = self._cell_radii_of(out, self.centroids())
+            merged = [max(a, b) for a, b in zip(old_radii.tolist(), batch)]
+            with open(self._centroid_path) as f:
+                side = json.load(f)
+            side["radii"] = merged
+            with open(self._centroid_path, "w") as f:
+                json.dump(side, f)
         out.write.mode("append").partitionBy("cell_id").parquet(self.path)
         # keep the IVFPQ codes table in sync: new rows are encoded with
         # the EXISTING codebook (standard IVFPQ ingest — codes are only
@@ -309,8 +363,7 @@ class IVFStore:
                     .parquet(self._sq_path)
                 )
         finally:
-            if has_pq or has_sq:
-                out.unpersist()
+            out.unpersist()
         # gen persists only after the data lands (tombstones.py contract)
         self._persist_gen(gen)
 
@@ -642,6 +695,8 @@ class IVFStore:
         qvec_col: str = "qvec",
         impl: str = "arrow",
         rescore: str = "auto",
+        where: str | None = None,
+        escalate: bool = True,
     ) -> DataFrame:
         """Probe the ``n_probe`` nearest cells per query; partition
         pruning limits the scan to probed cells' directories.
@@ -651,9 +706,107 @@ class IVFStore:
         cell mask — the interpreted ``aggregate/zip_with`` expression
         path (``impl="expr"``) is ~25× slower per pair at 500k rows
         (BASELINE.md scale probe) and kept only as the plan-shape
-        reference."""
+        reference.
+
+        ``where`` is a SQL predicate over the store's metadata columns
+        (``build(..., meta_cols=...)`` co-locates them with the
+        vectors): the filter is applied to the probed scan itself, so
+        Catalyst pushes it to the parquet reader NEXT TO the cell
+        pruning — pre-filtering, the 100 TB shape, never
+        score-then-discard over unfiltered candidates. Because a
+        selective predicate can starve a probe (the k nearest matching
+        rows may live outside the probed cells), ``escalate=True``
+        re-runs the starved queries with the probe count doubled. A
+        query is starved while it has under k rows, OR — for l2sq on a
+        store with radius sidecars — while some unprobed cell's
+        triangle-inequality bound ``(||q-c|| - r_c)^2`` still
+        undercuts its kth distance; with that bound the loop
+        terminates only when no unprobed cell can possibly hold a
+        closer match, so the escalated result is EXACT filtered kNN
+        over the live store, at a scan cost that stays proportional to
+        the probed cells. (Other metrics / radius-less stores fall
+        back to fill-to-k, which guarantees k rows but not exactness.)
+        Driver state stays bounded: the loop inspects at most
+        (batch x k) result rows and O(n_cells) bounds per round, never
+        corpus rows."""
         C = self.centroids()
         qrows = collect_query_batch(queries, qid_col, qvec_col)
+        result = self._knn_probe(
+            spark, queries, qrows, C, k, n_probe, metric, qid_col, qvec_col,
+            impl, rescore, where,
+        )
+        if where is None or not escalate or n_probe >= self.n_cells:
+            return result
+
+        import pandas as pd_
+
+        kk = max(int(k), 1)
+        radii = self.cell_radii() if metric == "l2sq" else None
+        qinfo = {}
+        for r in qrows:
+            qv = np.asarray(list(r[qvec_col]), dtype=np.float64)
+            d2 = ((C - qv) ** 2).sum(axis=1)
+            qinfo[int(r[qid_col])] = (np.argsort(d2), d2)
+
+        def still_starved(qid: int, cur: int, counts: dict, kth: dict) -> bool:
+            if cur >= self.n_cells:
+                return False
+            if counts.get(qid, 0) < kk:
+                return True
+            if radii is None:
+                return False
+            order, d2 = qinfo[qid]
+            unprobed = order[cur:]
+            lb = np.maximum(np.sqrt(d2[unprobed]) - radii[unprobed], 0.0) ** 2
+            # slack keeps the prune conservative against float-sum
+            # divergence between the BLAS kth distance and this bound
+            kd = kth[qid]
+            return bool((lb <= kd * (1.0 + 1e-9) + 1e-12).any())
+
+        out = result.toPandas()  # bounded: <= batch x k rows
+        cur = int(n_probe)
+        active = {int(r[qid_col]): r for r in qrows}
+        while cur < self.n_cells and active:
+            counts = out.groupby("qid").size().to_dict() if len(out) else {}
+            kth = (
+                out[out["rnk"] == kk].set_index("qid")["dist"].to_dict()
+                if len(out)
+                else {}
+            )
+            active = {
+                qid: r for qid, r in active.items()
+                if still_starved(qid, cur, counts, kth)
+            }
+            if not active:
+                break
+            cur = min(cur * 2, self.n_cells)
+            starved_ids = list(active)
+            sub = self._knn_probe(
+                spark,
+                queries.filter(F.col(qid_col).isin(starved_ids)),
+                list(active.values()), C, k, cur, metric, qid_col, qvec_col,
+                impl, rescore, where,
+            ).toPandas()
+            out = pd_.concat(
+                [out[~out["qid"].isin(starved_ids)], sub], ignore_index=True
+            )
+        return spark.createDataFrame(out, schema=result.schema) if len(out) else result
+
+    def _knn_probe(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        qrows: list,
+        C: np.ndarray,
+        k: int,
+        n_probe: int,
+        metric: str,
+        qid_col: str,
+        qvec_col: str,
+        impl: str,
+        rescore: str,
+        where: str | None,
+    ) -> DataFrame:
         probe_pairs = []
         cand_map: dict[int, frozenset] = {}
         for r in qrows:
@@ -665,6 +818,8 @@ class IVFStore:
         k = max(int(k), 1)
 
         corpus = self.read(spark).filter(F.col("cell_id").isin(probed_cells))
+        if where is not None:
+            corpus = corpus.filter(where)
         if impl == "arrow":
             if rescore == "auto":
                 from distributedvectordatabase_spark.operators.knn import (

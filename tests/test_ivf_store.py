@@ -475,3 +475,66 @@ def test_split_store_exact_probe_and_reopen(spark, tmp_path):
     )
     reopened.append(extra)
     assert reopened.read(spark).count() == 3000 + 10
+
+
+# -- metadata-filtered search (r6) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def built_meta(spark, tmp_path_factory):
+    store = IVFStore(
+        str(tmp_path_factory.mktemp("ivf_meta") / "idx"), n_cells=8,
+        meta_cols=("label",),
+    )
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    return store
+
+
+def test_meta_cols_colocated_and_reopen_authoritative(spark, built_meta):
+    assert "label" in built_meta.read(spark).columns
+    # a bare reopen learns meta_cols (and n_cells) from the sidecar
+    re = IVFStore(built_meta.path)
+    assert re.meta_cols == ("label",)
+    assert re.n_cells == built_meta.n_cells
+
+
+def test_filtered_knn_full_probe_equals_exact_filtered(spark, built_meta):
+    qs = queries_fixture(spark, SF_SMALL, n=10)
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    exact = knn(emb.filter("label % 4 = 1"), qs, k=K)
+    got = built_meta.knn(spark, qs, k=K, n_probe=8, where="label % 4 = 1")
+    assert recall_at_k(exact, got, K) == 1.0
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r.neighbor_id] % 4 == 1 for r in got.collect())
+
+
+def test_filtered_knn_escalates_to_exact(spark, built_meta):
+    """A selective predicate (~43 of 500 rows, spread over 8 cells)
+    starves a 1-cell probe; the radius-bound escalation must terminate
+    on the EXACT filtered top-k (the triangle-inequality stop rule:
+    no unprobed cell can undercut the kth distance)."""
+    qs = queries_fixture(spark, SF_SMALL, n=6)
+    got = built_meta.knn(spark, qs, k=K, n_probe=1, where="label = 3")
+    counts = {r.qid: r.n for r in got.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {K}, counts
+    exact = knn(
+        load_table(spark, "embeddings", SF_SMALL).filter("label = 3"), qs, k=K
+    )
+    assert recall_at_k(exact, got, K) == 1.0
+    assert {(r.qid, r.rnk, r.neighbor_id) for r in got.collect()} == {
+        (r.qid, r.rnk, r.neighbor_id) for r in exact.collect()
+    }
+    # without escalation, at least one 1-probe query comes back short
+    noesc = built_meta.knn(spark, qs, k=K, n_probe=1, where="label = 3", escalate=False)
+    assert noesc.count() < got.count()
+
+
+def test_filtered_append_carries_meta(spark, built_meta):
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    extra = emb.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding", "label"
+    ).limit(20)
+    built_meta.append(extra)
+    new = built_meta.read(spark).filter(F.col("vec_id") >= 50_000)
+    assert new.count() == 20
+    assert new.filter(F.col("label").isNull()).count() == 0
