@@ -205,6 +205,25 @@ def main() -> None:
     timings["ivfpq_probe4_rerank4_20q"] = timed_min(lambda: ivfpq.count())
     recall_ivfpq = round(recall_at_k(exact, ivfpq, 10), 4)
 
+    # Metadata-filtered IVF (r6): 1% selectivity starves a 4-probe
+    # shortlist, so this measures the radius-bound escalation — scan
+    # stays cell-pruned AND predicate-pushed, and the triangle bound
+    # certifies the result EXACT against filtered brute force
+    ivf_meta = IVFStore(os.path.join(tmp, "ivf_meta"), n_cells=16, meta_cols=("tag",))
+    tagged = loaded.withColumn("tag", (F.col("vec_id") % 100).cast("int"))
+    t0 = time.perf_counter()
+    ivf_meta.build(tagged)
+    timings["ivf_meta_build"] = round(time.perf_counter() - t0, 3)
+    # escalation materializes inside the call (driver-bounded result
+    # merge), so the timed unit is the full call, not a lazy count
+    filt = ivf_meta.knn(spark, queries, k=10, n_probe=4, where="tag = 7")
+    timings["ivf_filtered_1pct_probe4_20q"] = timed_min(
+        lambda: ivf_meta.knn(spark, queries, k=10, n_probe=4, where="tag = 7").count()
+    )
+    exact_filt = knn(tagged.filter("tag = 7"), queries, k=10, impl="arrow")
+    timings["knn_exact_filtered_1pct_20q"] = timed_min(lambda: exact_filt.count())
+    recall_filtered = round(recall_at_k(exact_filt, filt, 10), 4)
+
     # IVF-SQ8 on the same cells: routing keeps the partition pruning,
     # the scan reads 1 byte/dim — isolates routing loss from code loss
     t0 = time.perf_counter()
@@ -477,6 +496,7 @@ def main() -> None:
                 "recall_at_10_pruned": recall,
                 "recall_at_10_ivfpq": recall_ivfpq,
                 "recall_at_10_ivfsq": recall_ivfsq,
+                "recall_at_10_filtered_escalated": recall_filtered,
                 "recall_at_10_sq8_rerank2": recall_sq,
                 "recall_at_10_bq_rerank2": recall_bq2,
                 "recall_at_10_bq_rerank8": recall_bq8,
