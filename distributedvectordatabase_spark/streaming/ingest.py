@@ -532,3 +532,78 @@ def stream_text_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_ingest(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_path: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming vector ingest into a pre-built
+    :class:`~...sources.ivf_store.IVFStore`: each micro-batch is
+    assigned to the EXISTING centroids and appended, so cell-pruned
+    (and metadata-filtered) search sees batch 0..N as soon as batch N
+    commits. The store must be built first — IVF centroids are trained
+    offline by construction (``build()``), and streaming assignment
+    against frozen centroids is the standard IVF ingest shape; a
+    centroid refresh is a caller policy, same as ``append``.
+
+    ``IVFStore.append`` already carries the whole sidecar lifecycle
+    per batch — metadata columns, PQ/SQ code sync, and the crash-safe
+    radius widening (radii grow BEFORE the data lands, so the filtered
+    search bound stays a valid upper bound through a crash).
+
+    Exactly-once shape (the stream_neardup_ingest marker pattern): a
+    marker file next to the store records the last committed batch, so
+    a replayed batch id ≤ marker skips the append instead of
+    double-inserting rows and double-widening radii. Plain-parquet
+    appends — the store never enters a ``_spark_metadata`` sink era,
+    so delete/compact stay legal throughout."""
+    import json
+    import os
+
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+    if not os.path.exists(os.path.join(store_path, "_centroids.json")):
+        raise ValueError(
+            "stream_ivf_ingest requires a built IVFStore (no centroid "
+            "sidecar at {}): train cells with IVFStore.build() first, "
+            "then stream appends against the frozen centroids".format(store_path)
+        )
+    marker_path = os.path.join(store_path, "_ingest_marker.json")
+
+    def committed_batch() -> int:
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                return int(json.load(f)["batch_id"])
+        return -1
+
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= committed_batch():
+            return  # replayed batch whose rows already committed
+        if batch_df.isEmpty():
+            return
+        store = IVFStore(store_path)
+        # pin the batch rows: append runs several actions (radius agg,
+        # raw write, code writes) that must all see the SAME rows even
+        # if the source re-lists non-deterministically
+        store.append(batch_df.localCheckpoint(eager=True))
+        with open(marker_path, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -600,3 +600,96 @@ def test_stream_text_index_ingest_matches_batch_fold(spark, tmp_path):
     assert victim not in {
         r.doc_id for r in streamed.bm25(spark, terms, k=10).collect()
     }
+
+
+def test_stream_ivf_ingest_matches_batch_append(spark, tmp_path):
+    """Streaming IVF ingest = build(seed) + append(batch) fold: same
+    rows, same cell assignments (frozen centroids), radii stay valid
+    upper bounds, and replay — same checkpoint OR a fresh one hitting
+    the committed-batch marker — adds nothing."""
+    import json
+
+    import numpy as np
+
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.streaming.ingest import stream_ivf_ingest
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    seed_df = emb.filter(F.col("vec_id") < 200)
+    b1 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    b2 = emb.filter(F.col("vec_id") >= 350)
+
+    # an unbuilt store refuses streaming: centroids are trained
+    # offline by construction
+    with pytest.raises(ValueError, match="built IVFStore"):
+        stream_ivf_ingest(
+            spark, str(tmp_path / "nosrc"), str(tmp_path / "c0"),
+            str(tmp_path / "unbuilt"),
+        )
+
+    s_path = str(tmp_path / "streamed")
+    streamed = IVFStore(s_path, n_cells=8)
+    streamed.build(seed_df)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    land(b1, "f0")
+    land(b2, "f1")
+    q = stream_ivf_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), s_path, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    # oracle: identical build + sequential batch appends (same seed ->
+    # same centroids -> assignment must match bit-for-bit)
+    oracle = IVFStore(str(tmp_path / "batch"), n_cells=8)
+    oracle.build(seed_df)
+    oracle.append(b1)
+    oracle.append(b2)
+
+    got = {
+        (r.vec_id, r.cell_id)
+        for r in streamed.read(spark).select("vec_id", "cell_id").collect()
+    }
+    want = {
+        (r.vec_id, r.cell_id)
+        for r in oracle.read(spark).select("vec_id", "cell_id").collect()
+    }
+    assert got == want and len(got) == 500
+
+    # radii widened through the appends: every row within its cell's
+    # recorded radius (the filtered-search pruning bound stays valid)
+    C = streamed.centroids()
+    radii = streamed.cell_radii()
+    for r in streamed.read(spark).select("embedding", "cell_id").collect():
+        d = float(np.linalg.norm(np.array(r.embedding) - C[r.cell_id]))
+        assert d <= radii[r.cell_id] + 1e-6
+
+    # replay idempotency 1: same checkpoint -> no-op
+    gen_before = streamed._gen()
+    q = stream_ivf_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), s_path, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    assert streamed.read(spark).count() == 500
+    assert streamed._gen() == gen_before
+
+    # replay idempotency 2: FRESH checkpoint redelivers batch ids 0..1,
+    # but the committed-batch marker (batch_id=1) suppresses both —
+    # the crash-between-append-and-checkpoint-commit guard
+    with open(os.path.join(s_path, "_ingest_marker.json")) as f:
+        assert json.load(f)["batch_id"] == 1
+    q = stream_ivf_ingest(
+        spark, str(src), str(tmp_path / "ckpt2"), s_path, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    assert streamed.read(spark).count() == 500
+    assert streamed._gen() == gen_before
