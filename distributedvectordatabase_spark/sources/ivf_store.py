@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from distributedvectordatabase_spark.operators.knn import (
     _arrow_partial_topk,
@@ -106,6 +107,14 @@ class IVFStore:
     @property
     def _sq_params_path(self) -> str:
         return os.path.join(self.path, "_sq_params.json")
+
+    @property
+    def _bq_path(self) -> str:
+        return os.path.join(self.path, "_bq")
+
+    @property
+    def _bq_params_path(self) -> str:
+        return os.path.join(self.path, "_bq_params.json")
 
     # -- build ---------------------------------------------------------------
 
@@ -311,6 +320,7 @@ class IVFStore:
         ).withColumn("_gen", F.lit(gen))
         has_pq = os.path.exists(self._pq_codebook_path)
         has_sq = os.path.exists(self._sq_params_path)
+        has_bq = os.path.exists(self._bq_params_path)
         old_radii = self.cell_radii()
         # pin the assigned batch so the raw write, the codes writes and
         # the radius aggregation all see the SAME rows — without this,
@@ -362,6 +372,22 @@ class IVFStore:
                     .partitionBy("cell_id")
                     .parquet(self._sq_path)
                 )
+            if has_bq:
+                from distributedvectordatabase_spark.operators.bq import bq_encode
+
+                # the persisted (n_bits, seed) are authoritative — new
+                # codes must be bit-compatible with the stored ones
+                with open(self._bq_params_path) as f:
+                    bside = json.load(f)
+                (
+                    bq_encode(out, int(bside["dim"]), vec_col=self.vec_col,
+                              n_bits=bside.get("n_bits"),
+                              seed=int(bside.get("seed", 42)))
+                    .select(self.id_col, "bq_code", "cell_id", "_gen")
+                    .write.mode("append")
+                    .partitionBy("cell_id")
+                    .parquet(self._bq_path)
+                )
         finally:
             out.unpersist()
         # gen persists only after the data lands (tombstones.py contract)
@@ -412,6 +438,17 @@ class IVFStore:
             shutil.copy(
                 self._sq_params_path,
                 os.path.join(tmp, os.path.basename(self._sq_params_path)),
+            )
+        if os.path.exists(self._bq_params_path):
+            (
+                self._bq_codes_live(spark)
+                .write.mode("overwrite")
+                .partitionBy("cell_id")
+                .parquet(os.path.join(tmp, os.path.basename(self._bq_path)))
+            )
+            shutil.copy(
+                self._bq_params_path,
+                os.path.join(tmp, os.path.basename(self._bq_params_path)),
             )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
@@ -639,6 +676,153 @@ class IVFStore:
             shard_col="cell_id", cand_map=cand_map,
             cell_centroids=C if self.pq_is_residual() else None,
             rotation=self.pq_rotation(),
+        )
+
+    # -- IVF-BQ ----------------------------------------------------------------
+
+    _BQ_KEEP = object()  # build_bq default: adopt the persisted config
+
+    def build_bq(self, spark: SparkSession, n_bits=_BQ_KEEP,
+                 seed=_BQ_KEEP, normalize=_BQ_KEEP) -> None:
+        """Build (or rebuild) the binary codes sidecar inside the IVF
+        layout: one projection scan packs sign bits into ceil(bits/32)
+        bigint words (operators/bq.py), written cell-partitioned to
+        ``_bq/`` — FAISS ``IndexBinaryIVF`` shape: cell routing prunes
+        partitions, the Hamming scan reads 1 bit/dim, exact rerank
+        touches raw vectors only for the shortlist. This completes the
+        compression matrix — flat {exact, SQ8, BQ} × IVF {exact, PQ,
+        SQ8, BQ} — so the cheapest first-pass scan also gets the
+        ~n_probe/n_cells IO cut.
+
+        Config semantics mirror ``VectorStore.build_bq``: the
+        (n_bits, seed, normalize) triple is persisted and AUTHORITATIVE
+        at query time (queries are encoded from it, never from caller
+        args), and a default-argument rebuild keeps the persisted
+        config. One deliberate difference: ``append`` here keeps the
+        codes table in sync inline (the PQ/SQ pattern — the encode is a
+        pure function of the persisted params), so there is no
+        staleness generation to guard and streamed stores
+        (``stream_ivf_ingest``) stay BQ-queryable without a rebuild."""
+        from distributedvectordatabase_spark.operators.bq import bq_encode
+
+        prev = {}
+        if os.path.exists(self._bq_params_path):
+            with open(self._bq_params_path) as f:
+                prev = json.load(f)
+        if n_bits is IVFStore._BQ_KEEP:
+            n_bits = prev.get("n_bits")
+        if seed is IVFStore._BQ_KEEP:
+            seed = prev.get("seed", 42)
+        if normalize is IVFStore._BQ_KEEP:
+            normalize = bool(prev.get("normalize", False))
+        dim = int(self.centroids().shape[1])
+        (
+            bq_encode(self._read_live(spark), dim, vec_col=self.vec_col,
+                      n_bits=n_bits, seed=int(seed))
+            .select(self.id_col, "bq_code", "cell_id", "_gen")
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(self._bq_path)
+        )
+        with open(self._bq_params_path, "w") as f:
+            json.dump(
+                {"dim": dim,
+                 "n_bits": None if n_bits is None else int(n_bits),
+                 "seed": int(seed), "normalize": bool(normalize)},
+                f,
+            )
+
+    def _bq_codes_live(self, spark: SparkSession) -> DataFrame:
+        from distributedvectordatabase_spark.sources.tombstones import filter_live
+
+        return filter_live(
+            spark, spark.read.parquet(self._bq_path), self._tombstone_path,
+            self.id_col,
+        )
+
+    def knn_bq(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        rerank: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        metric: str | None = None,
+    ) -> DataFrame:
+        """IVF-BQ search: probe the ``n_probe`` nearest cells (literal
+        IN-list → Catalyst partition pruning on the 1-bit codes table),
+        Hamming-scan only those cells with a per-query cell mask inside
+        the join-free fan-out (bq_topk's shard_map), then exact-rerank
+        the ``rerank·k`` shortlist against the raw vectors of the same
+        probed cells. Rerank is mandatory — sign bits alone carry no
+        usable distance scale.
+
+        ``metric=None`` adopts the persisted domain: a
+        ``build_bq(normalize=True)`` store reranks by cosine (the
+        honest pairing — the Hamming shortlist is angular by
+        construction), others by squared L2. Returns
+        (qid, neighbor_id, dist, rnk), the knn() shape."""
+        from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
+
+        if not os.path.exists(self._bq_params_path):
+            raise ValueError("no binary sidecar: run build_bq(spark) first")
+        with open(self._bq_params_path) as f:
+            side = json.load(f)
+        if metric is None:
+            metric = "cosine" if side.get("normalize") else "l2sq"
+        k = max(int(k), 1)
+        fetch = max(int(rerank), 1) * k
+        C = self.centroids()
+        qrows = collect_query_batch(queries, qid_col, qvec_col)
+        cand_map: dict[int, frozenset] = {}
+        for r in qrows:
+            qv = np.asarray(list(r[qvec_col]), dtype=np.float64)
+            order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
+            cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
+        probed = sorted({c for s in cand_map.values() for c in s})
+        codes = self._bq_codes_live(spark).drop("_gen").filter(
+            F.col("cell_id").isin(probed)
+        )
+        # persisted (n_bits, seed) are authoritative for query encoding
+        qcodes = bq_encode(
+            queries, int(side["dim"]), qvec_col, out_col="qcode",
+            n_bits=side.get("n_bits"), seed=int(side.get("seed", 42)),
+        )
+        shortlist = bq_topk(
+            codes, qcodes.select(qid_col, "qcode"), k=fetch,
+            id_col=self.id_col, qid_col=qid_col,
+            shard_map=cand_map, shard_col="cell_id",
+        )
+        raw = (
+            self.read(spark)
+            .filter(F.col("cell_id").isin(probed))
+            .select(F.col(self.id_col).alias("neighbor_id"), self.vec_col)
+        )
+        rescored = (
+            raw.join(
+                F.broadcast(shortlist.select("qid", "neighbor_id")), "neighbor_id"
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec")
+                    )
+                ),
+                "qid",
+            )
+            .select(
+                "qid",
+                "neighbor_id",
+                _dist_expr(metric, "_qvec", self.vec_col).alias("dist"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+        return (
+            rescored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "neighbor_id", "dist", "rnk")
         )
 
     # -- delete / upsert -----------------------------------------------------

@@ -538,3 +538,119 @@ def test_filtered_append_carries_meta(spark, built_meta):
     new = built_meta.read(spark).filter(F.col("vec_id") >= 50_000)
     assert new.count() == 20
     assert new.filter(F.col("label").isNull()).count() == 0
+
+
+# -- IVF-BQ (r6: the compression matrix's last cell) --------------------------
+
+
+@pytest.fixture()
+def built_bq(spark, tmp_path):
+    store = IVFStore(str(tmp_path / "ivfbq"), n_cells=8)
+    store.build(load_table(spark, "embeddings", SF_SMALL))
+    store.build_bq(spark)
+    return store
+
+
+def test_ivfbq_full_probe_full_rerank_is_exact(spark, built_bq):
+    """rerank·k >= corpus at full probe ==> exact kNN (the FAISS
+    binary+refine identity the flat knn_bq pins, now cell-routed)."""
+    qs = queries_fixture(spark, SF_SMALL, n=10)
+    exact = knn(load_table(spark, "embeddings", SF_SMALL), qs, k=K)
+    res = built_bq.knn_bq(spark, qs, k=K, n_probe=8, rerank=50)
+    assert recall_at_k(exact, res, K) == 1.0
+    top = {r.qid: r.neighbor_id for r in res.filter("rnk = 1").collect()}
+    assert all(nid == qid for qid, nid in top.items())
+
+
+def test_ivfbq_prunes_partitions_and_masks_cells(spark, built_bq):
+    """Partition pruning reaches the codes scan, and at full rerank
+    budget the result IS exact kNN restricted to each query's probed
+    cells — the cell MASK is the guarantee, not a recall-vs-n_probe
+    ordering: at a fixed shortlist budget more probed cells can
+    displace L2-good candidates with Hamming-good-but-L2-bad ones
+    (identity sign codes on this non-normalized corpus are the
+    documented weak domain, BASELINE.md)."""
+    import numpy as np
+
+    qs = queries_fixture(spark, SF_SMALL, n=10)
+    res = built_bq.knn_bq(spark, qs, k=K, n_probe=2, rerank=50)
+    pf = scan_partition_filters(res)
+    assert pf and any("cell_id" in f for f in pf), pf
+
+    C = built_bq.centroids()
+    rows = built_bq.read(spark).select("vec_id", "cell_id", "embedding").collect()
+    cell_of = {r.vec_id: r.cell_id for r in rows}
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got: dict = {}
+    for r in res.collect():
+        got.setdefault(r.qid, []).append((r.rnk, r.neighbor_id))
+    for q in qs.collect():
+        qv = np.array(q.qvec, dtype=np.float64)
+        probe = set(np.argsort(((C - qv) ** 2).sum(axis=1))[:2].tolist())
+        cand = sorted(
+            (float(((emb[i] - qv) ** 2).sum()), i)
+            for i in emb
+            if cell_of[i] in probe
+        )
+        want = [i for _, i in cand[:K]]
+        assert [nid for _, nid in sorted(got[q.qid])] == want
+
+
+def test_ivfbq_append_delete_compact_stay_in_sync(spark, built_bq):
+    import os
+
+    import numpy as np
+
+    vec = np.full(64, 3.0)
+    extra = spark.createDataFrame(
+        [(9001, vec.tolist())], schema="vec_id long, embedding array<float>"
+    )
+    built_bq.append(extra)  # append must encode into _bq/ inline
+    q = spark.createDataFrame(
+        [(1, vec.tolist())], schema="qid long, qvec array<double>"
+    )
+    res = built_bq.knn_bq(spark, q, k=1, n_probe=8, rerank=2).collect()
+    assert res and res[0].neighbor_id == 9001
+    built_bq.delete(spark, [9001])
+    after = built_bq.knn_bq(spark, q, k=3, n_probe=8, rerank=2).collect()
+    assert 9001 not in {r.neighbor_id for r in after}
+    # compact folds the tombstone into the codes table and carries params
+    qs = queries_fixture(spark, SF_SMALL, n=5)
+    want = {(r.qid, r.neighbor_id, r.rnk)
+            for r in built_bq.knn_bq(spark, qs, k=5, n_probe=8, rerank=4).collect()}
+    built_bq.compact(spark)
+    got = {(r.qid, r.neighbor_id, r.rnk)
+           for r in built_bq.knn_bq(spark, qs, k=5, n_probe=8, rerank=4).collect()}
+    assert got == want
+    assert spark.read.parquet(built_bq._bq_path).filter("vec_id = 9001").count() == 0
+    assert not os.path.exists(built_bq._tombstone_path)
+
+
+def test_ivfbq_config_authoritative_and_normalized_domain(spark, tmp_path):
+    """(n_bits, seed, normalize) persist; a default-arg rebuild keeps
+    them; normalize=True flips the default rerank metric to cosine."""
+    import json
+    import os
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    s = IVFStore(str(tmp_path / "nbq"), n_cells=8)
+    s.build(emb)
+    s.build_bq(spark, n_bits=128, seed=7, normalize=True)
+    with open(s._bq_params_path) as f:
+        side = json.load(f)
+    assert side == {"dim": 64, "n_bits": 128, "seed": 7, "normalize": True}
+    s.build_bq(spark)  # refresh with defaults must keep the config
+    with open(s._bq_params_path) as f:
+        assert json.load(f) == side
+
+    qs = queries_fixture(spark, SF_SMALL, n=8)
+    from distributedvectordatabase_spark.operators.knn import knn as exact_knn
+
+    exact_cos = exact_knn(emb, qs, k=K, metric="cosine")
+    got = s.knn_bq(spark, qs, k=K, n_probe=8, rerank=50)  # metric=None -> cosine
+    assert recall_at_k(exact_cos, got, K) == 1.0
+    # an unbuilt sidecar refuses
+    bare = IVFStore(str(tmp_path / "bare"), n_cells=4)
+    bare.build(emb.limit(100))
+    with pytest.raises(ValueError, match="build_bq"):
+        bare.knn_bq(spark, qs, k=3)
