@@ -91,6 +91,8 @@ EXTRA = [
     "doc_pii_scrub",
     "doc_lm_score",
     "knn_hamming",
+    # r6: BPE merge-step statistics (catalog overflow slot)
+    "bpe_pair_stats",
 ]
 
 

@@ -426,6 +426,44 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_pair_stats(d: str) -> str:
+    """One BPE merge step's statistics (Sennrich 2016 — the loop body
+    of tokenizer training): frequency of every adjacent character pair,
+    weighted by word frequency; top-20 by (count desc, pair). The gate
+    is all-integer, so it hash-compares with zero float parity surface.
+
+    The 100 TB shape is the point: the corpus-sized work is ONE
+    whitespace tokenize + word-frequency aggregation (map-side
+    combinable, the word-count plan), and the pair explode runs over
+    the DISTINCT VOCABULARY — millions of rows, not the corpus — each
+    word carrying its frequency. Exploding pairs straight off the
+    corpus would multiply the scan by avg word length; folding to
+    vocab first makes every later merge iteration vocabulary-bounded.
+    Pairs come from ``transform(sequence(...))`` / ``list_transform(
+    range(...))`` — a codegen-fused projection, no join, and the
+    length >= 2 guard keeps Spark's descending-sequence corner out."""
+    toks = T.tokens("text", d)
+    if d == SPARK:
+        words = f"SELECT word FROM documents LATERAL VIEW explode({toks}) e AS word"
+        mk = "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+        ex = "SELECT freq, pair FROM wp LATERAL VIEW explode(pairs) e AS pair"
+    else:
+        words = f"SELECT unnest({toks}) AS word FROM documents"
+        mk = "list_transform(range(1, length(word)), i -> substring(word, i, 2))"
+        ex = "SELECT freq, unnest(pairs) AS pair FROM wp"
+    return f"""
+    WITH w AS ({words}),
+    vf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    wp AS (SELECT freq, {mk} AS pairs FROM vf WHERE length(word) >= 2),
+    p AS ({ex}),
+    agg AS (SELECT pair, cast(sum(freq) as bigint) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt, rnk FROM (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+      FROM agg
+    ) r WHERE rnk <= 20
+    """
+
+
 def _q_doc_sample_fingerprint(d: str) -> str:
     """Deterministic ~1/8 sample via content-independent hashing of the
     key — reproducible across engines, runs, and cluster sizes, unlike
@@ -2968,5 +3006,10 @@ def build_catalog() -> dict[str, Query]:
             _run_returnflag_unpivot,
             _returnflag_unpivot_oracle(),
         ),
+        # r6: BPE merge-step statistics — tokenizer-training analytics
+        # over the documents corpus (vocabulary-bounded pair explode).
+        # All-integer output; strict-checked by tests/exact_compare.py
+        # until a future gate rotation promotes it into the window.
+        _sql_query("bpe_pair_stats", _q_bpe_pair_stats),
     ]
     return {q.name: q for q in qs}

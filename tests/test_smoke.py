@@ -31,6 +31,7 @@ DOCUMENTED_OVERFLOW = {
     "order_part_lists",
     "sales_grouping_sets",
     "returnflag_pivot_unpivot",
+    "bpe_pair_stats",
 }
 
 
