@@ -68,6 +68,44 @@ def filter_live(
     )
 
 
+def filter_as_of(
+    spark: SparkSession, df: DataFrame, tomb_dir: str, id_col: str, gen: int
+) -> DataFrame:
+    """Snapshot read at generation ``gen``: exactly the rows that
+    ``filter_live`` would have returned when the store's persisted gen
+    was ``gen`` — rows written at ``_gen <= gen`` minus tombstones
+    recorded at ``_del_gen <= gen`` (same strict survival rule).
+    Time travel for training reproducibility: pin
+    ``store.current_gen()`` when a run starts and the exact corpus the
+    model saw stays reconstructable through later appends/deletes.
+
+    The filters compose with the live read's plan shape: the row-side
+    ``_gen <= gen`` is a pushable scan predicate, the tombstone side
+    shrinks (never grows) before the same broadcast anti-filter.
+    History is bounded by compaction, not forever: ``compact()``
+    physically folds tombstones and drops dead rows (VACUUM
+    semantics), so snapshots older than the last compact see the
+    post-compact physical state — surviving rows keep their original
+    ``_gen`` through the rewrite, so snapshots at or after it stay
+    exact."""
+    if GEN_COL not in df.columns:
+        df = df.withColumn(GEN_COL, F.lit(0))
+    df = df.filter(F.col(GEN_COL) <= int(gen))
+    if not os.path.exists(tomb_dir):
+        return df
+    tomb = (
+        spark.read.parquet(tomb_dir)
+        .filter(F.col(DEL_GEN_COL) <= int(gen))
+        .groupBy(id_col)
+        .agg(F.max(DEL_GEN_COL).alias("_tomb_gen"))
+    )
+    return (
+        df.join(F.broadcast(tomb), id_col, "left")
+        .filter(F.col("_tomb_gen").isNull() | (F.col(GEN_COL) > F.col("_tomb_gen")))
+        .drop("_tomb_gen")
+    )
+
+
 def max_tombstoned_id(spark: SparkSession, tomb_dir: str, id_col: str) -> int:
     """Largest id ever deleted (0 if none) — auto-id allocation must
     clear this too, or a reissued id would be silently killed by its

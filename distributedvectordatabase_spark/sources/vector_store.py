@@ -709,8 +709,22 @@ class VectorStore:
             spark, spark.read.parquet(self.path), self._tombstone_path, self.id_col
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return self._read_live(spark).drop("_gen")
+    def current_gen(self) -> int:
+        """The store's persisted write/delete generation — pin it when
+        a training run starts and ``read(as_of_gen=...)`` reconstructs
+        exactly the corpus that run saw (see tombstones.filter_as_of
+        for the semantics and the compaction-bounded history caveat)."""
+        return self._gen()
+
+    def read(self, spark: SparkSession, as_of_gen: int | None = None) -> DataFrame:
+        if as_of_gen is None:
+            return self._read_live(spark).drop("_gen")
+        from distributedvectordatabase_spark.sources.tombstones import filter_as_of
+
+        return filter_as_of(
+            spark, spark.read.parquet(self.path), self._tombstone_path,
+            self.id_col, as_of_gen,
+        ).drop("_gen")
 
     def knn(self, spark: SparkSession, queries: DataFrame, k: int = 10, pruned: bool = True,
             num_candidates: int = 2, metric: str = "l2sq", **kw) -> DataFrame:
