@@ -2,6 +2,7 @@
 # refits KMeans per call (plan-shape demo); the production IVF path is
 # sources.ivf_store.IVFStore (build once, partition-pruned probes).
 from distributedvectordatabase_spark.operators.asof import asof_join
+from distributedvectordatabase_spark.operators.bpe import bpe_apply, bpe_train, word_vocab
 from distributedvectordatabase_spark.operators.chunking import chunk_documents, pack_documents
 from distributedvectordatabase_spark.operators.mixing import (
     mix_corpus,

@@ -1,0 +1,113 @@
+"""BPE tokenizer training/application vs a pure-Python reference
+implementation of Sennrich 2016 — identical merges on real testdata,
+greedy non-overlap semantics, apply round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.bpe import (
+    bpe_apply,
+    bpe_train,
+    word_vocab,
+)
+from distributedvectordatabase_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _py_word_freqs(texts):
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def _py_merge_once(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_bpe_train(word_freqs, n_merges):
+    vocab = [[tuple(w), f] for w, f in word_freqs.items() if len(w) >= 2]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        vocab = [
+            [s2, f]
+            for syms, f in vocab
+            if len(s2 := _py_merge_once(syms, a, b)) >= 2
+        ]
+    return merges
+
+
+def test_bpe_train_matches_reference_on_testdata(spark):
+    docs = load_table(spark, "documents", SF_SMALL)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _py_bpe_train(_py_word_freqs(texts), 12)
+    got = bpe_train(docs, n_merges=12)
+    assert got == want
+    assert len(got) == 12  # real text has plenty of repeated pairs
+
+
+def test_word_vocab_matches_python_split(spark):
+    docs = load_table(spark, "documents", SF_SMALL)
+    got = {r.word: r.freq for r in word_vocab(docs).collect()}
+    want = _py_word_freqs([r.text for r in docs.select("text").collect()])
+    assert got == want
+
+
+def test_merge_is_greedy_non_overlapping(spark):
+    # 'aaaa' under merge (a,a) must become [aa, aa] — never [aaa, a] or
+    # a cascaded [aaaa]; 'aaa' becomes [aa, a]
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa aaa")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    toks = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(docs, merges).collect()
+    }
+    assert toks[0] == ["aa", "aa"] * 3 + ["aa", "a"]
+
+
+def test_train_stops_when_no_pair_repeats(spark):
+    docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    assert bpe_train(docs, n_merges=10) == []
+
+
+def test_apply_roundtrip_and_merge_order(spark):
+    docs = load_table(spark, "documents", SF_SMALL).limit(50)
+    merges = bpe_train(docs, n_merges=8)
+    out = bpe_apply(docs, merges)
+    joined = {
+        r.doc_id: "".join(r.bpe_tokens)
+        for r in out.collect()
+    }
+    want = {
+        r.doc_id: r.text.replace(" ", "")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert joined == want
+    # empty merge list degenerates to character tokens
+    chars = bpe_apply(docs.limit(2), [])
+    for r in chars.join(docs.select("doc_id", "text"), "doc_id").collect():
+        assert r.bpe_tokens == [c for c in r.text if c != " "]
