@@ -316,6 +316,20 @@ def main() -> None:
                       n_bits=256, metric="cosine")
     timings["bq256_normalized_cosine_rerank32_20q"] = timed_min(lambda: bq256n32.count())
     recall_bq256_norm32 = round(recall_at_k(exact_cos, bq256n32, 10), 4)
+
+    # IVF-BQ (r6): the compression matrix's last cell, measured on the
+    # honest domain — cell routing prunes partitions AND the probed
+    # scan reads 1 bit/dim; same exact-cosine ground truth as above
+    ivfbq = IVFStore(os.path.join(tmp, "ivfbq"), n_cells=16)
+    t0 = time.perf_counter()
+    ivfbq.build(norm_corpus)
+    timings["ivfbq_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ivfbq.build_bq(spark, n_bits=256, normalize=True)
+    timings["ivfbq_encode"] = round(time.perf_counter() - t0, 3)
+    ivfbq_res = ivfbq.knn_bq(spark, norm_queries, k=10, n_probe=4, rerank=32)
+    timings["ivfbq256_probe4_rerank32_20q"] = timed_min(lambda: ivfbq_res.count())
+    recall_ivfbq = round(recall_at_k(exact_cos, ivfbq_res, 10), 4)
     norm_corpus.unpersist()
     norm_queries.unpersist()
 
@@ -503,6 +517,7 @@ def main() -> None:
                 "recall_at_10_bq256_rerank8": recall_bq256,
                 "recall_at_10_bq256_normalized_cosine": recall_bq256_norm,
                 "recall_at_10_bq256_normalized_cosine_rerank32": recall_bq256_norm32,
+                "recall_at_10_ivfbq256_probe4_rerank32": recall_ivfbq,
                 "corpus_rank": rank or None,
                 "semdedup_planted": n_planted,
                 "semdedup_removed": semdedup_removed,
