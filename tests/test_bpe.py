@@ -111,3 +111,22 @@ def test_apply_roundtrip_and_merge_order(spark):
     chars = bpe_apply(docs.limit(2), [])
     for r in chars.join(docs.select("doc_id", "text"), "doc_id").collect():
         assert r.bpe_tokens == [c for c in r.text if c != " "]
+
+
+def test_first_merge_agrees_with_pair_stats_gate(spark):
+    """operators/bpe.bpe_train and the catalog's bpe_pair_stats gate
+    claim the same pair-count semantics — the gate's rank-1 pair must
+    BE the first learned merge (same corpus, same whitespace split,
+    same (count desc, pair asc) order)."""
+    from distributedvectordatabase_spark.catalog import build_catalog
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    merges = bpe_train(docs, n_merges=1)
+    top = (
+        build_catalog()["bpe_pair_stats"]
+        .run(spark, SF_DIR)
+        .filter("rnk = 1")
+        .collect()[0]
+    )
+    assert (top.pair, int(top.cnt)) == (merges[0][0] + merges[0][1], merges[0][2])
