@@ -170,18 +170,21 @@ def main() -> None:
     extra_medians = {name: t[1] for name, t in timed_extra.items()}
 
     total = round(sum(timings.values()), 4)
+    # value/value_median are emitted LAST: the driver's line capture
+    # truncated from the head in r5/r6 and kept only the tail of the
+    # JSON, losing the headline totals both rounds (VERDICT r6 #8).
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": total,
                 "unit": "sec",
+                "sf": sf,
                 "queries": timings,
                 "median": medians,
-                "value_median": round(sum(medians.values()), 4),
                 "extra": extra,
                 "extra_median": extra_medians,
-                "sf": sf,
+                "value": total,
+                "value_median": round(sum(medians.values()), 4),
             }
         )
     )

@@ -2948,7 +2948,12 @@ def build_catalog() -> dict[str, Query]:
         # has been externally verified in at least one round.
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
-        _sql_query("events_value_histogram", _q_events_value_histogram),
+        # r7 rotation (VERDICT r6 #1): bpe_pair_stats — the only
+        # oracle-able declared query never externally hash-checked —
+        # takes the events_value_histogram slot (hash-green in r6,
+        # single-mechanism fixed-width binning, strict-checked locally
+        # after demotion).
+        _sql_query("bpe_pair_stats", _q_bpe_pair_stats),
         _sql_query("customer_set_ops", _q_customer_set_ops),
         Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
         Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
@@ -3006,10 +3011,10 @@ def build_catalog() -> dict[str, Query]:
             _run_returnflag_unpivot,
             _returnflag_unpivot_oracle(),
         ),
-        # r6: BPE merge-step statistics — tokenizer-training analytics
-        # over the documents corpus (vocabulary-bounded pair explode).
-        # All-integer output; strict-checked by tests/exact_compare.py
-        # until a future gate rotation promotes it into the window.
-        _sql_query("bpe_pair_stats", _q_bpe_pair_stats),
+        # r7 rotation: events_value_histogram demoted here after its r6
+        # external hash-pass, ceding its slot to bpe_pair_stats (the
+        # last never-hash-checked oracle-able query). Stays bit-for-bit
+        # green under tests/exact_compare.py like every other demotion.
+        _sql_query("events_value_histogram", _q_events_value_histogram),
     ]
     return {q.name: q for q in qs}
