@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_apply", "word_vocab"]
+__all__ = ["bpe_train", "bpe_train_from_vocab", "bpe_apply", "word_vocab"]
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,8 +102,26 @@ def bpe_train(
     text_col: str = "text",
     checkpoint_every: int = 8,
 ) -> list[tuple[str, str, int]]:
-    """Learn ``n_merges`` BPE merges; returns [(a, b, pair_count)] in
-    merge order. Deterministic: argmax pair ties break on (a, b)
+    """Learn ``n_merges`` BPE merges over a document corpus; returns
+    [(a, b, pair_count)] in merge order. One corpus pass folds to the
+    (word, freq) vocabulary, then :func:`bpe_train_from_vocab` runs the
+    vocab-bounded merge loop."""
+    return bpe_train_from_vocab(
+        word_vocab(docs, text_col), n_merges, checkpoint_every=checkpoint_every
+    )
+
+
+def bpe_train_from_vocab(
+    vocab_df: DataFrame,
+    n_merges: int = 50,
+    checkpoint_every: int = 8,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) vocabulary —
+    the corpus' sufficient statistic for BPE, which is exactly what
+    ``TokenizerStore`` persists (training never needs the corpus twice).
+    Deterministic: argmax pair ties break on (a, b)
     lexicographically, so two engines (or two cluster sizes) learn the
     identical tokenizer. Stops early when no pair occurs twice.
 
@@ -113,8 +131,8 @@ def bpe_train(
     projection, no shuffle) and ``localCheckpoint`` every
     ``checkpoint_every`` iterations keeps the plan from growing
     unboundedly."""
-    vocab = word_vocab(docs, text_col).select(
-        F.split(F.col("word"), "").alias("syms"), "freq"
+    vocab = vocab_df.select(
+        F.split(F.col(word_col), "").alias("syms"), F.col(freq_col).alias("freq")
     )
     # tokens of length 1 can never merge; keep them out of the loop
     vocab = vocab.filter(F.size("syms") >= 2).localCheckpoint(eager=True)
@@ -177,6 +195,8 @@ def bpe_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    broadcast_vocab: bool | None = None,
+    broadcast_max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """(id_col, out_col) — each document's text as BPE tokens under the
     learned merge list, word boundaries respected (tokens never span
@@ -186,8 +206,18 @@ def bpe_apply(
     folding the merge list; chaining the fold as nested Catalyst
     lambdas would exceed codegen method limits past a few dozen
     merges) and joins back to the exploded corpus by word — so the
-    Python cost is O(vocabulary) however large the corpus, and the
-    join's build side is the vocab's token arrays."""
+    Python cost is O(vocabulary) however large the corpus.
+
+    The joinback is size-aware: ``broadcast_vocab=None`` (default)
+    materializes the tokenized vocabulary once (``localCheckpoint`` —
+    also keeps the pandas_udf from re-running per join partition) and
+    broadcasts it only while it fits ``broadcast_max_vocab`` rows; a
+    realistic zipfian web vocabulary (millions of distinct words at
+    100 TB) takes the shuffled hash join on ``word`` instead — corpus
+    side shuffles once, hot words are probe-side duplicates so skew
+    costs nothing. Both paths are row-identical (pinned in
+    tests/test_bpe.py). Pass True/False to pin the strategy and skip
+    the count."""
     pair_list = [(m[0], m[1]) for m in merges]
 
     @F.pandas_udf("array<string>")
@@ -203,8 +233,12 @@ def bpe_apply(
     vocab_tokens = (
         exploded.select("word").distinct().withColumn("toks", tokenize("word"))
     )
-    return (
-        exploded.join(F.broadcast(vocab_tokens), "word")
+    if broadcast_vocab is None:
+        vocab_tokens = vocab_tokens.localCheckpoint(eager=True)
+        broadcast_vocab = vocab_tokens.count() <= int(broadcast_max_vocab)
+    build_side = F.broadcast(vocab_tokens) if broadcast_vocab else vocab_tokens
+    tokenized = (
+        exploded.join(build_side, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(
@@ -212,5 +246,17 @@ def bpe_apply(
                     F.collect_list(F.struct("pos", "toks"))
                 ).getField("toks")
             ).alias(out_col)
+        )
+    )
+    # empty / whitespace-only / NULL texts posexplode to zero rows and
+    # would vanish from the output, breaking downstream inner joins on
+    # the doc id — left-join back onto the full id set so every input
+    # document yields a row, with an empty token array.
+    return (
+        docs.select(id_col)
+        .join(tokenized, id_col, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.array().cast("array<string>")),
         )
     )

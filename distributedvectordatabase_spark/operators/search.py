@@ -441,6 +441,8 @@ def hybrid_serve_batch(
     sq_rerank: int = 2,
     use_bq: bool = False,
     bq_rerank: int = 4,
+    store_as_of: int | None = None,
+    index_as_of: int | None = None,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED structures — the
     production form of :func:`hybrid_topk_batch`: the semantic leg
@@ -451,6 +453,15 @@ def hybrid_serve_batch(
     legs fuse per qid with :func:`rrf_fuse`. Neither corpus is
     re-tokenized or re-scanned beyond its pruned partitions; the
     one-time build cost is amortized across every serving batch.
+
+    ``store_as_of`` / ``index_as_of`` pin each leg to a snapshot
+    generation (each store numbers its own gens — pin both
+    ``store.current_gen()`` and ``index.current_gen()`` together when
+    a run starts): the fused result equals serving over fresh builds
+    of those historical corpora (pinned in tests/test_snapshot.py).
+    Snapshot serving uses the exact/pruned raw legs — the SQ/BQ code
+    sidecars are rebuilt artifacts without per-gen history, so
+    ``store_as_of`` with ``use_sq``/``use_bq`` raises.
 
     ``queries`` carries (qid, qvec array, terms array<string>);
     returns (qid, id_col, rrf_score, rnk). With ``num_candidates=None``
@@ -471,10 +482,18 @@ def hybrid_serve_batch(
     qvecs = q.select("qid", "qvec")
     if use_sq and use_bq:
         raise ValueError("pick ONE compressed leg: use_sq or use_bq")
+    if store_as_of is not None and (use_sq or use_bq):
+        raise ValueError(
+            "snapshot serving (store_as_of) requires the raw semantic "
+            "leg: SQ/BQ code sidecars carry no per-generation history"
+        )
     if use_bq:
         # semantic leg over the 1-bit binary sidecar (Hamming shortlist
-        # + exact rerank in the store's persisted metric domain —
-        # cosine for build_bq(normalize=True) stores). Requires
+        # + exact rerank). The caller's ``metric`` is passed through to
+        # the rerank (knn_bq accepts a per-call override), so
+        # metric='cosine' ranks by cosine even against a store whose
+        # BQ sidecar was built without normalization — the shortlist
+        # stays angular-by-construction either way. Requires
         # build_bq(). The cheapest first-pass scan on the ladder;
         # recall depends on the corpus domain (BASELINE.md).
         hits = store.knn_bq(
@@ -482,6 +501,7 @@ def hybrid_serve_batch(
             pruned=num_candidates is not None,
             num_candidates=int(num_candidates or 2),
             rerank=bq_rerank,
+            metric=metric,
         )
     elif use_sq:
         # semantic leg over the store's SQ8 codes sidecar (1 byte/dim
@@ -495,11 +515,15 @@ def hybrid_serve_batch(
             rerank=sq_rerank,
         )
     elif num_candidates is None:
-        hits = store.knn(spark, qvecs, k=fetch, pruned=False, metric=metric)
+        hits = store.knn(
+            spark, qvecs, k=fetch, pruned=False, metric=metric,
+            as_of_gen=store_as_of,
+        )
     else:
         hits = store.knn(
             spark, qvecs, k=fetch, pruned=True,
             num_candidates=int(num_candidates), metric=metric,
+            as_of_gen=store_as_of,
         )
     dist_order = F.col("dist")
     if dist_quantize is not None:
@@ -513,6 +537,6 @@ def hybrid_serve_batch(
         .alias("rnk"),
     )
     text_leg = index.bm25_batch(
-        spark, q.select("qid", "terms"), k=fetch,
+        spark, q.select("qid", "terms"), k=fetch, as_of_gen=index_as_of,
     ).select("qid", F.col("doc_id").alias(id_col), "rnk")
     return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])

@@ -13,6 +13,7 @@ from distributedvectordatabase_spark.sources.npz import read_npz, write_npz
 from distributedvectordatabase_spark.sources.sig_store import SigStore
 from distributedvectordatabase_spark.sources.tables import TABLES, load_table, load_tables
 from distributedvectordatabase_spark.sources.text_index import TextIndex
+from distributedvectordatabase_spark.sources.tokenizer_store import TokenizerStore
 from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "IVFStore",
     "TextIndex",
     "SigStore",
+    "TokenizerStore",
     "export_shards",
     "read_manifest",
     "read_shards",

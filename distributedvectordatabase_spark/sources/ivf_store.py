@@ -75,19 +75,30 @@ class IVFStore:
         return os.path.join(self.path, "_tombstones")
 
     def _gen(self) -> int:
-        """Last persisted write/delete generation (see
+        """Last persisted (committed) write/delete generation (see
         sources/tombstones.py for the ordering contract)."""
         if os.path.exists(self._centroid_path):
             with open(self._centroid_path) as f:
                 return int(json.load(f).get("gen", 0))
         return 0
 
-    def _persist_gen(self, gen: int) -> None:
-        with open(self._centroid_path) as f:
-            side = json.load(f)
-        side["gen"] = int(gen)
-        with open(self._centroid_path, "w") as f:
-            json.dump(side, f)
+    def _aborted_gens(self) -> tuple:
+        """Gens burned by crashed appends (tombstones.heal_pending) —
+        their orphan rows are filtered from every read and reclaimed
+        physically by compact()."""
+        if os.path.exists(self._centroid_path):
+            with open(self._centroid_path) as f:
+                return tuple(json.load(f).get("aborted_gens", ()))
+        return ()
+
+    def ingest_batch(self) -> int:
+        """Last streaming batch id whose append COMMITTED (recorded by
+        the same sidecar dump that bumps gen — stream_ivf_ingest's
+        exactly-once marker). -1 if the store never streamed."""
+        if os.path.exists(self._centroid_path):
+            with open(self._centroid_path) as f:
+                return int(json.load(f).get("ingest_batch", -1))
+        return -1
 
     # underscore-prefixed entries are invisible to spark.read.parquet
     # on self.path, so the compressed table and its codebook can live
@@ -293,11 +304,28 @@ class IVFStore:
 
     # -- ingest --------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, ingest_batch: int | None = None) -> None:
         """Assign new rows to the existing centroids (no refit) and
         append — the nearest-centroid math runs as a pandas_udf batch
-        matmul, no shuffle beyond the partitioned write."""
+        matmul, no shuffle beyond the partitioned write.
+
+        Crash-atomic (tombstones.heal_pending two-phase protocol): the
+        sidecar persists a ``pending_gen`` intent before any data job
+        runs, and the final sidecar dump — one file write — commits the
+        gen, clears the intent, and (for ``stream_ivf_ingest``) records
+        ``ingest_batch`` in the same dump, so "batch committed" and
+        "rows visible" are literally the same event. A crash anywhere
+        in between leaves the orphan rows above the committed horizon
+        (invisible to every read via filter_committed); the next writer
+        heals the intent into ``aborted_gens`` and the replay lands
+        under a fresh gen. ``compact()`` reclaims aborted rows
+        physically."""
         from pyspark.sql.functions import pandas_udf
+
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
 
         C = self.centroids()
 
@@ -314,7 +342,15 @@ class IVFStore:
                     "store predates delete support (no _gen column); run "
                     "compact(spark) once to upgrade before appending"
                 )
-        gen = self._gen() + 1
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        side = heal_pending(side)
+        gen = next_gen(side)
+        # phase 1: persist the write intent BEFORE any data job — a
+        # crash from here on leaves rows that no read will ever see
+        side["pending_gen"] = gen
+        with open(self._centroid_path, "w") as f:
+            json.dump(side, f)
         out = df.select(self.id_col, self.vec_col, *self.meta_cols).withColumn(
             "cell_id", nearest_cell(F.col(self.vec_col))
         ).withColumn("_gen", F.lit(gen))
@@ -390,8 +426,17 @@ class IVFStore:
                 )
         finally:
             out.unpersist()
-        # gen persists only after the data lands (tombstones.py contract)
-        self._persist_gen(gen)
+        # phase 2 — THE commit: one sidecar dump bumps gen, clears the
+        # intent, and stamps the ingest batch id; rows become visible
+        # and the streaming marker advances in the same file write
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        side["gen"] = int(gen)
+        side["pending_gen"] = None
+        if ingest_batch is not None:
+            side["ingest_batch"] = int(ingest_batch)
+        with open(self._centroid_path, "w") as f:
+            json.dump(side, f)
 
     def compact(self, spark: SparkSession, files_per_cell: int = 1) -> None:
         """Rewrite each cell into ``files_per_cell`` files. Appends leave
@@ -413,9 +458,14 @@ class IVFStore:
         # over, along with the IVFPQ sidecars if built. Tombstones are
         # NOT carried: this rewrite folds them into both tables (live
         # codes rewritten below), so the swap is the physical delete.
-        shutil.copy(
-            self._centroid_path, os.path.join(tmp, os.path.basename(self._centroid_path))
-        )
+        # Aborted/pending gens clear too — the _read_live rewrite just
+        # dropped their orphan rows physically.
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        side["aborted_gens"] = []
+        side["pending_gen"] = None
+        with open(os.path.join(tmp, os.path.basename(self._centroid_path)), "w") as f:
+            json.dump(side, f)
         if os.path.exists(self._pq_path):
             (
                 self._codes_live(spark)
@@ -598,8 +648,8 @@ class IVFStore:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         return filter_live(
-            spark, spark.read.parquet(self._sq_path), self._tombstone_path,
-            self.id_col,
+            spark, self._committed(spark.read.parquet(self._sq_path)),
+            self._tombstone_path, self.id_col,
         )
 
     def knn_sq(
@@ -736,8 +786,8 @@ class IVFStore:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         return filter_live(
-            spark, spark.read.parquet(self._bq_path), self._tombstone_path,
-            self.id_col,
+            spark, self._committed(spark.read.parquet(self._bq_path)),
+            self._tombstone_path, self.id_col,
         )
 
     def knn_bq(
@@ -835,10 +885,20 @@ class IVFStore:
         ``compact()`` folds both tables physically."""
         from distributedvectordatabase_spark.sources.tombstones import (
             append_tombstones,
+            heal_pending,
+            next_gen,
         )
 
-        gen = self._gen() + 1
-        self._persist_gen(gen)  # gen durable BEFORE its tombstones exist
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        # heal any crashed append first: its orphan rows must move to
+        # aborted_gens BEFORE this delete bumps the committed horizon
+        # past them, or they would surface as committed rows
+        side = heal_pending(side)
+        gen = next_gen(side)
+        side["gen"] = int(gen)  # gen durable BEFORE its tombstones exist
+        with open(self._centroid_path, "w") as f:
+            json.dump(side, f)
         append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
 
     def upsert(self, df: DataFrame) -> None:
@@ -850,19 +910,31 @@ class IVFStore:
 
     # -- query ---------------------------------------------------------------
 
+    def _committed(self, df: DataFrame) -> DataFrame:
+        """Scan-level commit filter: rows above the persisted gen
+        (in-flight or crashed append) and aborted-gen orphans are
+        invisible — both literal pushdown predicates, applied under
+        every read BEFORE the tombstone anti-join."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_committed,
+        )
+
+        return filter_committed(df, self._gen(), self._aborted_gens())
+
     def _read_live(self, spark: SparkSession) -> DataFrame:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         return filter_live(
-            spark, spark.read.parquet(self.path), self._tombstone_path, self.id_col
+            spark, self._committed(spark.read.parquet(self.path)),
+            self._tombstone_path, self.id_col,
         )
 
     def _codes_live(self, spark: SparkSession) -> DataFrame:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         return filter_live(
-            spark, spark.read.parquet(self._pq_path), self._tombstone_path,
-            self.id_col,
+            spark, self._committed(spark.read.parquet(self._pq_path)),
+            self._tombstone_path, self.id_col,
         )
 
     def current_gen(self) -> int:
@@ -877,8 +949,12 @@ class IVFStore:
             return self._read_live(spark).drop("_gen")
         from distributedvectordatabase_spark.sources.tombstones import filter_as_of
 
+        # aborted gens were never committed at ANY point in history, so
+        # the snapshot excludes them regardless of as_of_gen
         return filter_as_of(
-            spark, spark.read.parquet(self.path), self._tombstone_path,
+            spark,
+            self._committed(spark.read.parquet(self.path)),
+            self._tombstone_path,
             self.id_col, as_of_gen,
         ).drop("_gen")
 
@@ -927,6 +1003,9 @@ class IVFStore:
         Driver state stays bounded: the loop inspects at most
         (batch x k) result rows and O(n_cells) bounds per round, never
         corpus rows."""
+        # clamp at entry: n_probe=0 must probe one cell, not loop the
+        # escalation forever on cur = min(0*2, n_cells) == 0
+        n_probe = max(int(n_probe), 1)
         C = self.centroids()
         qrows = collect_query_batch(queries, qid_col, qvec_col)
         result = self._knn_probe(

@@ -246,6 +246,14 @@ class SigStore:
             spark, self.corpus_toks(spark), self._tombstone_path, "doc_id"
         )
 
+    def current_gen(self) -> int:
+        """The store's persisted write/delete generation — pin it when
+        a curation run starts and ``join_batch(..., as_of_gen=...)``
+        collides against exactly the corpus that run saw
+        (tombstones.filter_as_of semantics; compact() truncates
+        history, VACUUM-style)."""
+        return self._gen()
+
     def corpus_bands(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._bands_path)
 
@@ -260,13 +268,35 @@ class SigStore:
         threshold: float,
         id_col: str = "doc_id",
         text_col: str = "text",
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """(new_id, corpus_id, jaccard ≥ threshold) — row-identical to
         ``minhash_neardup_join(new_docs, corpus, ...)`` with the same
         bands/rows/shingle_n, but the corpus work is a pruned read of
-        the persisted tables instead of a recompute."""
+        the persisted tables instead of a recompute.
+
+        ``as_of_gen`` collides against the snapshot corpus at that
+        generation (pin :meth:`current_gen` when a run starts): both
+        the band rows and the verification token sets filter as-of, so
+        the result equals a fresh build over that historical corpus
+        (pinned in tests/test_snapshot.py). Reproducibility for
+        curation audits — "what would this batch have deduped against
+        last week's corpus" stays answerable through later
+        appends/deletes."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_as_of,
+        )
+
         spark = new_docs.sparkSession
         self._adopt(self._config())
+
+        def _visible(df: DataFrame) -> DataFrame:
+            if as_of_gen is None:
+                return filter_live(spark, df, self._tombstone_path, "doc_id")
+            return filter_as_of(
+                spark, df, self._tombstone_path, "doc_id", int(as_of_gen)
+            )
+
         new_toks, new_banded = self._prepared(new_docs, id_col, text_col)
         new_banded = new_banded.cache()
 
@@ -277,11 +307,8 @@ class SigStore:
         )
         # bucket pruning applies UNDER the tombstone anti-filter, so
         # the partition-pruned scan shape is unchanged by deletes
-        corpus_banded = filter_live(
-            spark,
-            self.corpus_bands(spark).filter(F.col("bucket").isin(buckets)),
-            self._tombstone_path,
-            "doc_id",
+        corpus_banded = _visible(
+            self.corpus_bands(spark).filter(F.col("bucket").isin(buckets))
         ).drop(GEN_COL)
         cand = (
             new_banded.alias("n")
@@ -303,7 +330,7 @@ class SigStore:
             F.col("toks").alias("toks_a"),
             F.size("toks").alias("sz_a"),
         )
-        tb = self._toks_live(spark).select(
+        tb = _visible(self.corpus_toks(spark)).select(
             F.col("doc_id").alias("corpus_id"),
             F.col("toks").alias("toks_b"),
             F.col("sz").alias("sz_b"),

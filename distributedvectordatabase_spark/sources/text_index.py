@@ -82,8 +82,18 @@ class TextIndex:
         return os.path.join(self.path, "_tombstones")
 
     # ------------------------------------------------------------------
-    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
-        """Tokenize once, persist bucketed postings + corpus stats."""
+    def build(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        ingest_batch: int | None = None,
+    ) -> None:
+        """Tokenize once, persist bucketed postings + corpus stats.
+        ``ingest_batch`` (streaming) rides the stats dump so the
+        batch-committed marker is atomic with the index becoming
+        readable; the overwrite writes make a replayed build
+        idempotent."""
         toks = F.expr(T.tokens(text_col, T.SPARK))
         base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
 
@@ -113,34 +123,60 @@ class TextIndex:
             GEN_COL, F.lit(1)
         ).write.mode("overwrite").parquet(self._doclens_path)
         os.makedirs(self.path, exist_ok=True)
+        st = {
+            "n_docs": int(n_docs),
+            "total_len": int(total_len or 0),
+            "n_buckets": self.n_buckets,
+            "gen": 1,
+            "stats_gen": 1,
+        }
+        if ingest_batch is not None:
+            st["ingest_batch"] = int(ingest_batch)
         with open(self._stats_path, "w") as f:
-            json.dump(
-                {
-                    "n_docs": int(n_docs),
-                    "total_len": int(total_len or 0),
-                    "n_buckets": self.n_buckets,
-                    "gen": 1,
-                    "stats_gen": 1,
-                },
-                f,
-            )
+            json.dump(st, f)
 
-    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        ingest_batch: int | None = None,
+    ) -> None:
         """Incrementally index new documents: their postings append to
         the same bucketed layout and the stats sidecar accumulates.
         Per-term document frequencies are derived at query time from
         the postings themselves, so appends need no df merge step —
         after append, queries are indistinguishable from a fresh
         build over the union (pinned by tests). Caller owns doc-id
-        uniqueness (same contract as VectorStore.append)."""
+        uniqueness (same contract as VectorStore.append).
+
+        Crash-atomic (tombstones.heal_pending two-phase protocol,
+        shared with IVFStore.append): a ``pending_gen`` intent persists
+        before the data jobs, and the final stats dump — one file
+        write — commits the gen, the n_docs/total_len increments, and
+        (for ``stream_text_index_ingest``) the ``ingest_batch`` marker
+        together. A crash mid-append leaves postings/doclens orphans
+        above the committed horizon, invisible to every read; the next
+        writer heals them into ``aborted_gens`` and the replay commits
+        under a fresh gen, so served scores never see a double-counted
+        batch."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
+
         st = self._live_stats(docs.sparkSession)
         n_buckets = self._persisted_buckets(st)
-        gen = int(st.get("gen", 0)) + 1
+        st = heal_pending(st)
+        gen = next_gen(st)
         if not os.path.exists(self._doclens_path):
             # upgrade a pre-r6 index before mixing in new rows: the
             # derived doclens of the EXISTING docs must land first, or
             # a later delete would see only post-upgrade docs
             self._doclens(docs.sparkSession).write.parquet(self._doclens_path)
+        # phase 1: persist the write intent BEFORE any data job
+        st["pending_gen"] = gen
+        self._write_stats(st)
         toks = F.expr(T.tokens(text_col, T.SPARK))
         base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         n_new, len_new = base.agg(F.count("*"), F.sum(F.size("toks"))).first()
@@ -165,18 +201,45 @@ class TextIndex:
         base.select("doc_id", F.size("toks").alias("dl")).withColumn(
             GEN_COL, F.lit(gen)
         ).write.mode("append").parquet(self._doclens_path)
-        # gen + stats persist together, only AFTER the data lands
-        # (tombstones.py crash rule for writes)
+        # phase 2 — THE commit: gen, stats increments, and the ingest
+        # marker land in one dump, only AFTER the data
         st["n_docs"] = int(st["n_docs"]) + int(n_new)
         st["total_len"] = int(st["total_len"]) + int(len_new or 0)
         st["gen"] = gen
         st["stats_gen"] = gen
+        st["pending_gen"] = None
+        if ingest_batch is not None:
+            st["ingest_batch"] = int(ingest_batch)
         with open(self._stats_path, "w") as f:
             json.dump(st, f)
 
     def stats(self) -> dict:
         with open(self._stats_path) as f:
             return json.load(f)
+
+    def ingest_batch(self) -> int:
+        """Last streaming batch id whose build/append COMMITTED
+        (recorded by the same stats dump that bumps gen —
+        stream_text_index_ingest's exactly-once marker). -1 if the
+        index never streamed."""
+        if os.path.exists(self._stats_path):
+            return int(self.stats().get("ingest_batch", -1))
+        return -1
+
+    def _committed(self, df: DataFrame) -> DataFrame:
+        """Scan-level commit filter (tombstones.filter_committed): rows
+        above the persisted gen (crashed/in-flight append) or in the
+        aborted list are invisible to every read."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_committed,
+        )
+
+        if not os.path.exists(self._stats_path):
+            return df
+        st = self.stats()
+        return filter_committed(
+            df, int(st.get("gen", 0)), st.get("aborted_gens", ())
+        )
 
     def _write_stats(self, st: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -187,13 +250,22 @@ class TextIndex:
         """(doc_id, dl, _gen) — one row per indexed document version.
         Pre-r6 stores have no doclens table; derive it from the
         postings (dl rides every posting row) — one full scan, paid
-        only on the delete/repair paths, never at query time."""
+        only on the delete/repair paths, never at query time.
+
+        Pre-r6 caveat: the postings derivation cannot see ZERO-token
+        documents (they emit no posting rows), so on a pre-r6 index
+        whose corpus contained empty docs, a delete/recount resolves
+        n_docs without them while the build-time sidecar counted them
+        — post-delete scores then deviate from a fresh build by that
+        count. Indexes built/appended at r6+ always write doclens at
+        index time (one row per doc, empties included), where the
+        fresh-build equivalence is exact."""
         if os.path.exists(self._doclens_path):
-            return spark.read.parquet(self._doclens_path)
+            return self._committed(spark.read.parquet(self._doclens_path))
         post = self.postings(spark)
         if GEN_COL not in post.columns:
             post = post.withColumn(GEN_COL, F.lit(0))
-        return post.select("doc_id", "dl", GEN_COL).distinct()
+        return self._committed(post.select("doc_id", "dl", GEN_COL).distinct())
 
     def _doclens_live(self, spark: SparkSession) -> DataFrame:
         return filter_live(
@@ -229,8 +301,16 @@ class TextIndex:
         written; ``compact()`` reclaims the space. Docs appended AFTER
         the delete are untouched (strict ``row._gen > tombstone gen``
         survival, shared with VectorStore.delete)."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
+
         st = self._live_stats(spark)
-        gen = int(st.get("gen", 0)) + 1
+        # heal any crashed append first: its orphans must be aborted
+        # BEFORE this delete bumps the committed horizon past them
+        st = heal_pending(st)
+        gen = next_gen(st)
         if not isinstance(ids, DataFrame):
             ids = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
         ids = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
@@ -269,7 +349,9 @@ class TextIndex:
         if GEN_COL not in post.columns:
             post = post.withColumn(GEN_COL, F.lit(0))
         (
-            filter_live(spark, post, self._tombstone_path, "doc_id")
+            filter_live(
+                spark, self._committed(post), self._tombstone_path, "doc_id"
+            )
             .repartition("term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
@@ -278,10 +360,45 @@ class TextIndex:
         self._doclens_live(spark).write.mode("overwrite").parquet(
             os.path.join(tmp, "doclens")
         )
+        # aborted/pending orphans were dropped physically just above
+        st["aborted_gens"] = []
+        st["pending_gen"] = None
         with open(os.path.join(tmp, "_stats.json"), "w") as f:
             json.dump(st, f)
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
+
+    def current_gen(self) -> int:
+        """The index's persisted write/delete generation — pin it when
+        a training run starts and ``bm25(..., as_of_gen=...)`` serves
+        exactly the corpus that run saw (tombstones.filter_as_of
+        semantics; compact() truncates history, VACUUM-style)."""
+        return int(self.stats().get("gen", 0))
+
+    def _stats_as_of(self, spark: SparkSession, gen: int) -> tuple[int, int]:
+        """(n_docs, total_len) of the corpus AS OF ``gen`` — BM25's
+        n_docs/avgdl feed every score, and the sidecar is gen-current
+        only, so the snapshot recounts from the as-of doclens table:
+        one O(n_docs) aggregation per snapshot query batch, never a
+        postings scan."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_as_of,
+        )
+
+        n_docs, total_len = (
+            filter_as_of(
+                spark, self._doclens(spark), self._tombstone_path,
+                "doc_id", gen,
+            )
+            .agg(F.count("*"), F.sum("dl"))
+            .first()
+        )
+        if not n_docs:
+            raise ValueError(
+                f"no documents at generation {gen}: the snapshot corpus "
+                "is empty (or compact() truncated history past it)"
+            )
+        return int(n_docs), int(total_len or 0)
 
     def _persisted_buckets(self, st: dict) -> int:
         """The bucket count the index was BUILT with is the only one
@@ -304,11 +421,19 @@ class TextIndex:
         k: int = 10,
         k1: float = 1.2,
         b: float = 0.75,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """BM25 top-k over the persisted index — identical rows to
         operators/search.bm25_topk on the same corpus/terms, but the
         scan touches only the query terms' hash buckets (partition
         pruning) and pays no tokenization.
+
+        ``as_of_gen`` serves the snapshot corpus at that generation
+        (pin :meth:`current_gen` when a run starts): postings filter
+        as-of, document frequencies re-derive from the as-of postings,
+        and n_docs/avgdl recount from the as-of doclens — scores are
+        byte-identical to a fresh build over that historical corpus
+        (pinned in tests/test_snapshot.py).
 
         The scoring arithmetic is _scored (shared verbatim with
         bm25_batch, so the parity-critical expressions live once); the
@@ -321,7 +446,7 @@ class TextIndex:
         q = spark.createDataFrame(
             [(0, sorted(set(terms)))], "qid long, terms array<string>"
         )
-        scored = self._scored(spark, q, "qid", "terms", k1, b)
+        scored = self._scored(spark, q, "qid", "terms", k1, b, as_of_gen)
         k = max(int(k), 1)
         return (
             scored.withColumn(
@@ -350,16 +475,25 @@ class TextIndex:
         terms_col: str,
         k1: float,
         b: float,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """(qid, doc_id, score_dec) for every candidate doc of every
         query — the shared scoring stage of bm25/bm25_batch: ONE
         postings scan partition-pruned to the union of the batch's
         term buckets, per-(doc, term) contributions computed once and
         fanned out by a broadcast (qid, term) join, per-(qid, doc)
-        exact decimal sum of 1e-6-quantized contributions."""
+        exact decimal sum of 1e-6-quantized contributions. With
+        ``as_of_gen``, the postings filter and the corpus stats both
+        resolve at that generation (snapshot serving)."""
         from distributedvectordatabase_spark.operators.knn import MAX_QUERY_BATCH
 
-        st = self._live_stats(spark)
+        if as_of_gen is None:
+            st = self._live_stats(spark)
+            n_docs = int(st["n_docs"])
+            total_len = float(st["total_len"])
+        else:
+            st = self.stats()
+            n_docs, total_len = self._stats_as_of(spark, int(as_of_gen))
         n_buckets = self._persisted_buckets(st)
         qterms = (
             queries.select(
@@ -389,24 +523,33 @@ class TextIndex:
             }
         )
         # tombstone anti-filter sits ABOVE the bucket/term-pruned scan,
-        # so deletes never change the partition-pruned plan shape
-        post = filter_live(
-            spark,
+        # so deletes never change the partition-pruned plan shape; the
+        # commit filter is two more literal predicates on the same scan
+        pruned = self._committed(
             self.postings(spark)
             .filter(F.col("term_bucket").isin(buckets))
-            .filter(F.col("term").isin(terms)),
-            self._tombstone_path,
-            "doc_id",
-        ).drop(GEN_COL)
+            .filter(F.col("term").isin(terms))
+        )
+        if as_of_gen is None:
+            post = filter_live(spark, pruned, self._tombstone_path, "doc_id")
+        else:
+            from distributedvectordatabase_spark.sources.tombstones import (
+                filter_as_of,
+            )
+
+            post = filter_as_of(
+                spark, pruned, self._tombstone_path, "doc_id", int(as_of_gen)
+            )
+        post = post.drop(GEN_COL)
         df_t = post.groupBy("term").agg(F.count("*").alias("df"))
         m = F.lit(1e6)
         qz6 = lambda c: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
         contrib = (
             post.join(F.broadcast(df_t), "term")
-            .withColumn("n_docs", F.lit(int(st["n_docs"])))
+            .withColumn("n_docs", F.lit(int(n_docs)))
             .withColumn(
                 "avgdl",
-                F.lit(float(st["total_len"])) / F.lit(int(st["n_docs"])),
+                F.lit(float(total_len)) / F.lit(int(n_docs)),
             )
             .withColumn(
                 "idf",
@@ -443,18 +586,21 @@ class TextIndex:
         b: float = 0.75,
         qid_col: str = "qid",
         terms_col: str = "terms",
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """BM25 top-k for a TABLE of term queries against the persisted
         index — the serving form of operators/search.bm25_topk_batch.
         ``queries`` carries (qid, terms array<string>); returns
         (qid, doc_id, score, rnk), row-identical per qid to
         :meth:`bm25` (pinned in tests). Scoring is the shared _scored
-        stage; the per-query top-k is one window over qid. The query
-        table is the small side by definition — its distinct terms are
-        collected driver-side to build the literal bucket/term pruning
-        lists (bounded like the kNN query batch)."""
+        stage (``as_of_gen`` serves a pinned snapshot generation, same
+        semantics as :meth:`bm25`); the per-query top-k is one window
+        over qid. The query table is the small side by definition —
+        its distinct terms are collected driver-side to build the
+        literal bucket/term pruning lists (bounded like the kNN query
+        batch)."""
         k = max(int(k), 1)
-        scored = self._scored(spark, queries, qid_col, terms_col, k1, b)
+        scored = self._scored(spark, queries, qid_col, terms_col, k1, b, as_of_gen)
         w = Window.partitionBy("qid").orderBy(
             F.col("score_dec").desc(), F.col("doc_id")
         )

@@ -106,6 +106,60 @@ def filter_as_of(
     )
 
 
+def filter_committed(
+    df: DataFrame, committed_gen: int | None = None, aborted_gens=()
+) -> DataFrame:
+    """Drop rows from writes that never committed their sidecar: rows
+    above the persisted commit horizon (an append crashed between its
+    data job and its sidecar commit — invisible until the next writer
+    heals them) and rows whose gen sits in the sidecar's aborted list
+    (healed crash leftovers, physically reclaimed by ``compact``).
+    Rows without a ``_gen`` column predate generations and are always
+    committed. Both predicates are literal scan filters — they push
+    down next to the store's partition pruning."""
+    if GEN_COL not in df.columns:
+        return df
+    if committed_gen is not None:
+        df = df.filter(F.col(GEN_COL) <= int(committed_gen))
+    ab = [int(g) for g in aborted_gens or ()]
+    if ab:
+        df = df.filter(~F.col(GEN_COL).isin(ab))
+    return df
+
+
+def heal_pending(side: dict) -> dict:
+    """Fold a crash-orphaned ``pending_gen`` into ``aborted_gens``.
+
+    Writers follow a two-phase commit on the sidecar: (1) persist
+    ``pending_gen = G+1`` as the write intent, (2) write data rows at
+    that gen, (3) persist ``gen = G+1`` and clear the intent — one
+    atomic sidecar dump, so the commit point is a single file write
+    (streaming ingest rides its batch id on the same dump). A sidecar
+    with a live ``pending_gen`` therefore marks a crashed write whose
+    rows may exist physically; every subsequent gen allocation calls
+    this first so those rows stay invisible forever (filter_committed)
+    and the replay's rows take a FRESH gen number."""
+    pending = side.get("pending_gen")
+    if pending is not None:
+        ab = set(int(g) for g in side.get("aborted_gens", ()))
+        ab.add(int(pending))
+        side["aborted_gens"] = sorted(ab)
+        side["pending_gen"] = None
+    return side
+
+
+def next_gen(side: dict) -> int:
+    """Allocate the next write/delete generation: above the committed
+    gen AND every burned number (pending intents, aborted gens), so a
+    healed crash's orphan rows can never share a gen with committed
+    ones."""
+    candidates = [int(side.get("gen", 0))]
+    if side.get("pending_gen") is not None:
+        candidates.append(int(side["pending_gen"]))
+    candidates.extend(int(g) for g in side.get("aborted_gens", ()))
+    return max(candidates) + 1
+
+
 def max_tombstoned_id(spark: SparkSession, tomb_dir: str, id_col: str) -> int:
     """Largest id ever deleted (0 if none) — auto-id allocation must
     clear this too, or a reissued id would be silently killed by its

@@ -727,10 +727,14 @@ class VectorStore:
         ).drop("_gen")
 
     def knn(self, spark: SparkSession, queries: DataFrame, k: int = 10, pruned: bool = True,
-            num_candidates: int = 2, metric: str = "l2sq", **kw) -> DataFrame:
+            num_candidates: int = 2, metric: str = "l2sq",
+            as_of_gen: int | None = None, **kw) -> DataFrame:
+        """``as_of_gen`` searches the snapshot corpus at that pinned
+        generation (read(as_of_gen=...) semantics) — shard layout and
+        LSH config are immutable across gens, so pruning stays exact."""
         from distributedvectordatabase_spark.operators.knn import knn, knn_pruned
 
-        corpus = self.read(spark)
+        corpus = self.read(spark, as_of_gen=as_of_gen)
         if pruned:
             return knn_pruned(
                 corpus, queries, self.lsh, k=k, num_candidates=num_candidates,

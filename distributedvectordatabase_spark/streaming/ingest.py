@@ -477,15 +477,20 @@ def stream_text_index_ingest(
     stream_neardup_ingest, postings here). Caller owns doc-id
     uniqueness across batches, the same contract as TextIndex.append.
 
-    Exactly-once shape (the stream_neardup_ingest pattern,
-    ingest.py:352-457): a marker file next to the index records the
-    last batch whose postings committed, so a replayed batch id ≤
-    marker skips the append instead of double-counting its postings
-    AND its n_docs/total_len stats increment — after a crash-replay
-    the index is byte-identical to the sequential batch fold (pinned
-    in tests/test_streaming.py). The index's own stats write already
-    lands only after the postings data (TextIndex.append's crash
-    rule), so a crash mid-append burns at most one batch replay.
+    Exactly-once: the batch id rides the SAME stats-sidecar dump that
+    commits the append's gen and stats increments
+    (``TextIndex.append(ingest_batch=...)``), so "batch committed" and
+    "postings visible" are one atomic file write — no window where an
+    append landed but its marker did not. A crash mid-append leaves
+    orphan posting rows above the committed horizon, invisible to
+    every read; the replay heals them into the sidecar's aborted-gen
+    list and re-appends under a fresh gen (tombstones.heal_pending
+    protocol), so served scores equal the sequential batch fold's
+    exactly — never a double-counted batch (pinned in
+    tests/test_streaming.py, including an injected crash between the
+    data write and the commit). The first batch takes the build path,
+    whose overwrite writes make its replay idempotent. Orphans cost
+    dead bytes until ``compact()``.
 
     The foreachBatch append writes plain parquet — the index never
     enters a ``_spark_metadata`` sink era, so batch append/delete/
@@ -496,13 +501,17 @@ def stream_text_index_ingest(
 
     from distributedvectordatabase_spark.sources.text_index import TextIndex
 
-    marker_path = os.path.join(index_path, "_ingest_marker.json")
+    # pre-r7 indexes recorded the marker in a separate file with a
+    # non-atomic write; honor it as a floor when resuming one
+    legacy_marker = os.path.join(index_path, "_ingest_marker.json")
 
     def committed_batch() -> int:
-        if os.path.exists(marker_path):
-            with open(marker_path) as f:
-                return int(json.load(f)["batch_id"])
-        return -1
+        ix = TextIndex(index_path, n_buckets=n_buckets)
+        committed = ix.ingest_batch()
+        if os.path.exists(legacy_marker):
+            with open(legacy_marker) as f:
+                committed = max(committed, int(json.load(f)["batch_id"]))
+        return committed
 
     reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
     if max_files_per_trigger is not None:
@@ -511,7 +520,7 @@ def stream_text_index_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= committed_batch():
-            return  # replayed batch whose postings already committed
+            return  # replayed batch that already committed atomically
         if batch_df.isEmpty():
             return
         ix = TextIndex(index_path, n_buckets=n_buckets)
@@ -519,11 +528,11 @@ def stream_text_index_ingest(
         # the SAME rows even if the source re-lists non-deterministically
         batch = batch_df.localCheckpoint(eager=True)
         if os.path.exists(os.path.join(index_path, "_stats.json")):
-            ix.append(batch, id_col=id_col, text_col=text_col)
+            ix.append(batch, id_col=id_col, text_col=text_col,
+                      ingest_batch=batch_id)
         else:
-            ix.build(batch, id_col=id_col, text_col=text_col)
-        with open(marker_path, "w") as f:
-            json.dump({"batch_id": int(batch_id)}, f)
+            ix.build(batch, id_col=id_col, text_col=text_col,
+                     ingest_batch=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -557,12 +566,18 @@ def stream_ivf_ingest(
     radius widening (radii grow BEFORE the data lands, so the filtered
     search bound stays a valid upper bound through a crash).
 
-    Exactly-once shape (the stream_neardup_ingest marker pattern): a
-    marker file next to the store records the last committed batch, so
-    a replayed batch id ≤ marker skips the append instead of
-    double-inserting rows and double-widening radii. Plain-parquet
-    appends — the store never enters a ``_spark_metadata`` sink era,
-    so delete/compact stay legal throughout."""
+    Exactly-once: the batch id rides the SAME centroid-sidecar dump
+    that commits the append's gen (``IVFStore.append(ingest_batch=``),
+    so "batch committed" and "rows visible" are one atomic file write.
+    A crash mid-append leaves orphan rows (raw and codes) above the
+    committed horizon, invisible to every search; the replay heals
+    them into the sidecar's aborted-gen list and re-appends under a
+    fresh gen (tombstones.heal_pending protocol) — never a
+    double-inserted batch. Radii widened by the crashed attempt stay
+    merely conservative. Orphans cost dead bytes until ``compact()``.
+    Plain-parquet appends — the store never enters a
+    ``_spark_metadata`` sink era, so delete/compact stay legal
+    throughout."""
     import json
     import os
 
@@ -574,13 +589,16 @@ def stream_ivf_ingest(
             "sidecar at {}): train cells with IVFStore.build() first, "
             "then stream appends against the frozen centroids".format(store_path)
         )
-    marker_path = os.path.join(store_path, "_ingest_marker.json")
+    # pre-r7 stores recorded the marker in a separate file with a
+    # non-atomic write; honor it as a floor when resuming one
+    legacy_marker = os.path.join(store_path, "_ingest_marker.json")
 
     def committed_batch() -> int:
-        if os.path.exists(marker_path):
-            with open(marker_path) as f:
-                return int(json.load(f)["batch_id"])
-        return -1
+        committed = IVFStore(store_path).ingest_batch()
+        if os.path.exists(legacy_marker):
+            with open(legacy_marker) as f:
+                committed = max(committed, int(json.load(f)["batch_id"]))
+        return committed
 
     reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
     if max_files_per_trigger is not None:
@@ -589,16 +607,16 @@ def stream_ivf_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= committed_batch():
-            return  # replayed batch whose rows already committed
+            return  # replayed batch that already committed atomically
         if batch_df.isEmpty():
             return
         store = IVFStore(store_path)
         # pin the batch rows: append runs several actions (radius agg,
         # raw write, code writes) that must all see the SAME rows even
         # if the source re-lists non-deterministically
-        store.append(batch_df.localCheckpoint(eager=True))
-        with open(marker_path, "w") as f:
-            json.dump({"batch_id": int(batch_id)}, f)
+        store.append(
+            batch_df.localCheckpoint(eager=True), ingest_batch=batch_id
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

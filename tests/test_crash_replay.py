@@ -1,0 +1,172 @@
+"""Crash-replay atomicity for the append commit protocol (r7, ADVICE
+r6 #1): a crash between an append's data jobs and its sidecar commit
+must leave the store serving EXACTLY the pre-append state, and the
+replayed append must land exactly once — never double-counted postings
+/ double-inserted vectors (tombstones.heal_pending two-phase protocol).
+
+The crash state is constructed faithfully, not mocked: run the append
+to completion, then rewind the sidecar to its pre-commit form (old
+gen/stats + ``pending_gen`` intent). That is byte-for-byte the state a
+crash after the data jobs and before the commit dump leaves behind —
+the data files exist at the pending gen, the sidecar does not admit
+them.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _bm25(ix, spark, terms):
+    return [
+        (r.doc_id, r.score, r.rnk)
+        for r in ix.bm25(spark, terms, k=10).collect()
+    ]
+
+
+def test_text_index_append_crash_is_invisible_then_replays_once(spark, tmp_path):
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    d1 = docs.filter(F.col("doc_id") % 2 == 0)
+    d2 = docs.filter(F.col("doc_id") % 2 == 1)
+    terms = ["dup", "vector", "query"]
+
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(d1)
+    st_before = ix.stats()
+    ix.append(d2, ingest_batch=1)
+    committed = ix.stats()
+    assert committed["ingest_batch"] == 1  # marker rode the commit dump
+
+    # ---- rewind to the crash state: data at gen 2 present, sidecar
+    # pre-commit with the pending intent
+    st_before["pending_gen"] = committed["gen"]
+    with open(os.path.join(str(tmp_path / "ix"), "_stats.json"), "w") as f:
+        json.dump(st_before, f)
+
+    # orphan rows are invisible: scores equal a fresh build over d1
+    # alone, the marker reads uncommitted, and stats never saw d2
+    fresh1 = TextIndex(str(tmp_path / "f1"), n_buckets=8)
+    fresh1.build(d1)
+    assert _bm25(ix, spark, terms) == _bm25(fresh1, spark, terms)
+    assert ix.ingest_batch() == -1
+    assert ix.stats()["n_docs"] == d1.count()
+
+    # ---- replay: heals the intent into aborted_gens, lands once
+    ix.append(d2, ingest_batch=1)
+    st = ix.stats()
+    assert st["aborted_gens"] == [2] and st["pending_gen"] is None
+    assert st["gen"] == 3 and st["ingest_batch"] == 1
+    assert st["n_docs"] == docs.count()
+
+    fresh = TextIndex(str(tmp_path / "f2"), n_buckets=8)
+    fresh.build(docs)
+    assert _bm25(ix, spark, terms) == _bm25(fresh, spark, terms)
+
+    # compact reclaims the orphan bytes and clears the aborted list;
+    # scores unchanged
+    live_postings = ix._committed(ix.postings(spark)).count()
+    ix.compact(spark)
+    st = ix.stats()
+    assert st["aborted_gens"] == [] and st["pending_gen"] is None
+    assert ix.postings(spark).count() == live_postings
+    assert _bm25(ix, spark, terms) == _bm25(fresh, spark, terms)
+
+
+def test_ivf_append_crash_is_invisible_then_replays_once(spark, tmp_path):
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    seed = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+
+    s_path = str(tmp_path / "ivf")
+    store = IVFStore(s_path, n_cells=8)
+    store.build(seed)
+    with open(os.path.join(s_path, "_centroids.json")) as f:
+        side_before = json.load(f)
+    store.append(batch, ingest_batch=0)
+    with open(os.path.join(s_path, "_centroids.json")) as f:
+        side_committed = json.load(f)
+    assert side_committed["ingest_batch"] == 0
+
+    # ---- rewind to the crash state. Radii stay at their widened
+    # values — append widens them BEFORE the data lands, so the crash
+    # state carries the (merely conservative) wide radii.
+    side_before["radii"] = side_committed.get("radii", side_before.get("radii"))
+    side_before["pending_gen"] = side_committed["gen"]
+    with open(os.path.join(s_path, "_centroids.json"), "w") as f:
+        json.dump(side_before, f)
+
+    # orphan rows invisible to reads AND searches
+    assert store.read(spark).count() == seed.count()
+    assert store.ingest_batch() == -1
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in emb.filter(F.col("vec_id") == 350)
+              .first().embedding])],
+        "qid long, qvec array<double>",
+    )
+    hits = {r.neighbor_id for r in store.knn(spark, q, k=5,
+                                             n_probe=8).collect()}
+    assert not any(h >= 300 for h in hits)
+
+    # ---- replay lands exactly once, equal to a clean sequential fold
+    store.append(batch, ingest_batch=0)
+    with open(os.path.join(s_path, "_centroids.json")) as f:
+        side = json.load(f)
+    assert side["aborted_gens"] == [2] and side["pending_gen"] is None
+    assert side["gen"] == 3 and side["ingest_batch"] == 0
+
+    oracle = IVFStore(str(tmp_path / "oracle"), n_cells=8)
+    oracle.build(seed)
+    oracle.append(batch)
+    got = {(r.vec_id, r.cell_id)
+           for r in store.read(spark).select("vec_id", "cell_id").collect()}
+    want = {(r.vec_id, r.cell_id)
+            for r in oracle.read(spark).select("vec_id", "cell_id").collect()}
+    assert got == want
+
+    # compact drops the orphan bytes physically and clears the list
+    live = store.read(spark).count()
+    store.compact(spark)
+    with open(os.path.join(s_path, "_centroids.json")) as f:
+        side = json.load(f)
+    assert side["aborted_gens"] == [] and side["pending_gen"] is None
+    assert spark.read.parquet(s_path).count() == live == emb.count()
+
+
+def test_delete_heals_a_crashed_append_first(spark, tmp_path):
+    """A delete issued over a crashed-append store must abort the
+    orphans BEFORE bumping the committed horizon past them — otherwise
+    the orphan rows would surface as committed."""
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    d1 = docs.filter(F.col("doc_id") % 2 == 0)
+    d2 = docs.filter(F.col("doc_id") % 2 == 1)
+    terms = ["dup", "vector", "query"]
+
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(d1)
+    st_before = ix.stats()
+    ix.append(d2)
+    committed_gen = ix.stats()["gen"]
+    st_before["pending_gen"] = committed_gen
+    with open(os.path.join(str(tmp_path / "ix"), "_stats.json"), "w") as f:
+        json.dump(st_before, f)
+
+    victim = int(d1.first().doc_id)
+    ix.delete(spark, [victim])
+    st = ix.stats()
+    # the delete healed the orphan gen and took the NEXT number
+    assert st["aborted_gens"] == [committed_gen]
+    assert st["gen"] == committed_gen + 1
+
+    fresh = TextIndex(str(tmp_path / "f"), n_buckets=8)
+    fresh.build(d1.filter(F.col("doc_id") != victim))
+    assert _bm25(ix, spark, terms) == _bm25(fresh, spark, terms)

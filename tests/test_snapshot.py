@@ -106,3 +106,153 @@ def test_compact_truncates_snapshot_history(spark, tmp_path):
     # snapshots at or after the compacted state remain exact
     now = store.current_gen()
     assert _ids(store.read(spark, as_of_gen=now)) == _ids(store.read(spark))
+
+
+def test_text_index_snapshot_bm25_equals_fresh_build(spark, tmp_path):
+    """r7 (VERDICT r6 #4): BM25 at a pinned generation is byte-identical
+    to a fresh build over that historical corpus — postings, document
+    frequencies, AND the n_docs/avgdl stats all resolve as-of (the
+    live-stats sidecar is gen-current only, so the snapshot recounts
+    from the as-of doclens)."""
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    d1 = docs.filter(F.col("doc_id") % 3 == 0)
+    d2 = docs.filter(F.col("doc_id") % 3 == 1)
+    terms = ["dup", "vector", "query"]
+
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(d1)
+    g1 = ix.current_gen()
+    ix.append(d2)
+    g2 = ix.current_gen()
+    victims = [int(r.doc_id) for r in d1.limit(5).collect()]
+    ix.delete(spark, victims)
+    g3 = ix.current_gen()
+
+    def scores(index, **kw):
+        return [
+            (r.doc_id, r.score, r.rnk)
+            for r in index.bm25(spark, terms, k=10, **kw).collect()
+        ]
+
+    f1 = TextIndex(str(tmp_path / "f1"), n_buckets=8)
+    f1.build(d1)
+    f2 = TextIndex(str(tmp_path / "f2"), n_buckets=8)
+    f2.build(d1.union(d2))
+    f3 = TextIndex(str(tmp_path / "f3"), n_buckets=8)
+    f3.build(d1.union(d2).filter(~F.col("doc_id").isin(victims)))
+
+    assert scores(ix, as_of_gen=g1) == scores(f1)
+    assert scores(ix, as_of_gen=g2) == scores(f2)
+    assert scores(ix, as_of_gen=g3) == scores(f3)
+    # snapshot at the current gen == the live serve
+    assert scores(ix, as_of_gen=ix.current_gen()) == scores(ix)
+    # batch form honors the same pin
+    q = spark.createDataFrame([(7, terms)], "qid long, terms array<string>")
+    batch_snap = [
+        (r.doc_id, r.score, r.rnk)
+        for r in ix.bm25_batch(spark, q, k=10, as_of_gen=g1).collect()
+    ]
+    assert batch_snap == scores(f1)
+
+
+def test_sig_store_snapshot_join_equals_fresh_build(spark, tmp_path):
+    """join_batch at a pinned generation collides against exactly the
+    historical corpus — equal to a fresh build of it."""
+    from distributedvectordatabase_spark.sources.sig_store import SigStore
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    c1 = docs.filter(F.col("doc_id") % 5 == 1)
+    c2 = docs.filter(F.col("doc_id") % 5 == 2)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    sig = SigStore(str(tmp_path / "sig"), bands=4, rows=3, shingle_n=3)
+    sig.build(c1)
+    g1 = sig.current_gen()
+    sig.append(c2)
+    g2 = sig.current_gen()
+    victims = [int(r.doc_id) for r in c1.limit(10).collect()]
+    sig.delete(spark, victims)
+    g3 = sig.current_gen()
+
+    def hits(store, **kw):
+        return sorted(
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in store.join_batch(batch, threshold=0.5, **kw).collect()
+        )
+
+    f1 = SigStore(str(tmp_path / "f1"), bands=4, rows=3, shingle_n=3)
+    f1.build(c1)
+    f2 = SigStore(str(tmp_path / "f2"), bands=4, rows=3, shingle_n=3)
+    f2.build(c1.union(c2))
+    f3 = SigStore(str(tmp_path / "f3"), bands=4, rows=3, shingle_n=3)
+    f3.build(c1.union(c2).filter(~F.col("doc_id").isin(victims)))
+
+    assert hits(sig, as_of_gen=g1) == hits(f1)
+    assert hits(sig, as_of_gen=g2) == hits(f2)
+    assert hits(sig, as_of_gen=g3) == hits(f3)
+    assert hits(sig, as_of_gen=sig.current_gen()) == hits(sig)
+
+
+def test_hybrid_serve_at_pinned_gens_equals_fresh_builds(spark, tmp_path):
+    """hybrid_serve_batch(store_as_of=, index_as_of=) == serving over
+    fresh builds of the historical corpora (each store pins its own
+    gen counter)."""
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+    )
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    emb = load_table(spark, "embeddings", SF_SMALL).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    d1 = docs.filter(F.col("doc_id") < 300)
+    d2 = docs.filter(F.col("doc_id") >= 300)
+    e1 = emb.filter(F.col("doc_id") < 300)
+    e2 = emb.filter(F.col("doc_id") >= 300)
+
+    store = VectorStore(str(tmp_path / "vs"), SignLSH(dim=64, seed=5),
+                        id_col="doc_id")
+    store.write(e1)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(d1)
+    sg, ig = store.current_gen(), ix.current_gen()
+    store.append(e2)
+    ix.append(d2)
+
+    qvec = [float(x) for x in emb.filter("doc_id = 42").first().embedding]
+    queries = spark.createDataFrame(
+        [(0, qvec, ["dup", "vector", "query"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+
+    snap = sorted(
+        (r.qid, r.doc_id, r.rrf_score, r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, ix, queries, k=8,
+            store_as_of=sg, index_as_of=ig,
+        ).collect()
+    )
+    fresh_store = VectorStore(str(tmp_path / "fvs"), SignLSH(dim=64, seed=5),
+                              id_col="doc_id")
+    fresh_store.write(e1)
+    fresh_ix = TextIndex(str(tmp_path / "fix"), n_buckets=8)
+    fresh_ix.build(d1)
+    want = sorted(
+        (r.qid, r.doc_id, r.rrf_score, r.rnk)
+        for r in hybrid_serve_batch(
+            spark, fresh_store, fresh_ix, queries, k=8,
+        ).collect()
+    )
+    assert snap == want
+
+    # snapshot serving requires the raw leg
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot serving"):
+        hybrid_serve_batch(
+            spark, store, ix, queries, k=8, use_sq=True, store_as_of=sg
+        )

@@ -33,6 +33,7 @@ from distributedvectordatabase_spark.sources.ivf_store import IVFStore
 from distributedvectordatabase_spark.sources.sig_store import SigStore
 from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
 from distributedvectordatabase_spark.sources.text_index import TextIndex
+from distributedvectordatabase_spark.sources.tokenizer_store import TokenizerStore
 from distributedvectordatabase_spark.sources.vector_store import VectorStore
 from tests.conftest import SF_SMALL
 
@@ -203,7 +204,58 @@ class _SIG:
         return store._tombstone_path
 
 
-ADAPTERS = [_VS(), _IVF(), _TIX(), _SIG()]
+class _TOK:
+    """TokenizerStore (r7): canon is the live corpus registration plus
+    the learned merges — append/delete must leave BOTH exactly equal
+    to a fresh train over the corresponding corpus (BPE is a pure
+    function of the persisted word-frequency statistic, so the
+    equality is exact, not approximate). Merge rows ride canon with
+    doc_id -1-ord so ids_of (deletable doc ids) can filter them out."""
+
+    name = "tokenizer_store"
+
+    def corpus(self, spark):
+        return load_table(spark, "documents", SF_SMALL).limit(160)
+
+    def split_col(self):
+        return "doc_id"
+
+    def build(self, spark, path, df):
+        s = TokenizerStore(path, n_merges=6)
+        s.train(df)
+        return s
+
+    def append(self, spark, store, df):
+        store.append(df)
+
+    def reopen(self, path):
+        return TokenizerStore(path)  # default n_merges=50: config must win
+
+    def canon(self, spark, store):
+        reg = sorted(
+            (int(r.doc_id), int(r.n_words))
+            for r in store.registered_docs(spark).collect()
+        )
+        mg = [
+            (-1 - i, hash((a, b, c)))
+            for i, (a, b, c) in enumerate(store.merges(spark))
+        ]
+        return reg + mg
+
+    def ids_of(self, rows):
+        return sorted({d for d, _ in rows if d >= 0})
+
+    def delete(self, spark, store, ids):
+        store.delete(spark, ids)
+
+    def compact(self, spark, store):
+        store.compact(spark)
+
+    def tombstone_path(self, store):
+        return store._tombstone_path
+
+
+ADAPTERS = [_VS(), _IVF(), _TIX(), _SIG(), _TOK()]
 
 
 @pytest.fixture(params=ADAPTERS, ids=[a.name for a in ADAPTERS])

@@ -683,10 +683,10 @@ def test_stream_ivf_ingest_matches_batch_append(spark, tmp_path):
     assert streamed._gen() == gen_before
 
     # replay idempotency 2: FRESH checkpoint redelivers batch ids 0..1,
-    # but the committed-batch marker (batch_id=1) suppresses both —
+    # but the committed-batch marker (batch_id=1, riding the same
+    # sidecar dump that committed the append's gen) suppresses both —
     # the crash-between-append-and-checkpoint-commit guard
-    with open(os.path.join(s_path, "_ingest_marker.json")) as f:
-        assert json.load(f)["batch_id"] == 1
+    assert streamed.ingest_batch() == 1
     q = stream_ivf_ingest(
         spark, str(src), str(tmp_path / "ckpt2"), s_path, max_files_per_trigger=1
     )

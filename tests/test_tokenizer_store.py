@@ -1,0 +1,111 @@
+"""TokenizerStore (r7, VERDICT r6 #2): the trained BPE tokenizer as a
+reopen-authoritative persisted artifact. The pins that matter:
+
+- apply-from-disk == apply-from-memory (the artifact changes WHERE the
+  merges live, never WHAT tokenization computes);
+- append == fresh train over the union, delete == fresh train over the
+  survivors (BPE is a pure function of word frequencies — folding the
+  persisted sufficient statistic is exact, not approximate);
+- reopen with default constructor args adopts the persisted config
+  (the shared sidecar-authoritative contract; the store also joins the
+  matrix in tests/test_store_contracts.py).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from distributedvectordatabase_spark.operators.bpe import bpe_apply, bpe_train
+from distributedvectordatabase_spark.sources.tables import load_table
+from distributedvectordatabase_spark.sources.tokenizer_store import TokenizerStore
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return load_table(spark, "documents", SF_SMALL)
+
+
+def test_train_persists_and_apply_from_disk_equals_memory(spark, tmp_path):
+    docs = _docs(spark).limit(120)
+    store = TokenizerStore(str(tmp_path / "tok"), n_merges=12)
+    trained = store.train(docs)
+
+    assert trained == bpe_train(docs, n_merges=12)
+    # reload from disk: identical list, learned order preserved
+    reopened = TokenizerStore(str(tmp_path / "tok"))
+    assert reopened.n_merges == 12  # config wins over the default 50
+    assert reopened.merges(spark) == trained
+
+    from_disk = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in reopened.apply(docs).collect()
+    }
+    in_memory = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_apply(docs, trained).collect()
+    }
+    assert from_disk == in_memory and len(from_disk) == 120
+
+
+def test_append_equals_fresh_train_over_union(spark, tmp_path):
+    docs = _docs(spark).limit(200)
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = TokenizerStore(str(tmp_path / "inc"), n_merges=10)
+    inc.train(lo)
+    appended = inc.append(hi)
+
+    assert appended == bpe_train(docs, n_merges=10)
+    assert inc.merges(spark) == appended
+    assert inc.registered_docs(spark).count() == 200
+
+
+def test_delete_equals_fresh_train_over_survivors(spark, tmp_path):
+    docs = _docs(spark).limit(150)
+    store = TokenizerStore(str(tmp_path / "tok"), n_merges=10)
+    store.train(docs)
+
+    victims = [int(r.doc_id) for r in docs.limit(30).collect()]
+    after = store.delete(spark, victims)
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    assert after == bpe_train(survivors, n_merges=10)
+    reg = {int(r.doc_id) for r in store.registered_docs(spark).collect()}
+    assert not (reg & set(victims))
+
+    # compact folds the tombstones physically, merges unchanged
+    store.compact(spark)
+    assert not os.path.exists(str(tmp_path / "tok" / "_tombstones"))
+    assert store.merges(spark) == after
+    assert {
+        int(r.doc_id) for r in store.registered_docs(spark).collect()
+    } == reg
+
+
+def test_apply_works_on_unregistered_docs_and_keeps_empty_docs(spark, tmp_path):
+    docs = _docs(spark).limit(80)
+    store = TokenizerStore(str(tmp_path / "tok"), n_merges=8)
+    store.train(docs)
+
+    other = spark.createDataFrame(
+        [(9001, "the new document"), (9002, ""), (9003, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: list(r.bpe_tokens) for r in store.apply(other).collect()}
+    assert set(got) == {9001, 9002, 9003}
+    assert got[9002] == [] and got[9003] == []  # empty docs keep a row
+
+
+def test_apply_shuffle_join_path_matches_broadcast(spark, tmp_path):
+    docs = _docs(spark).limit(100)
+    store = TokenizerStore(str(tmp_path / "tok"), n_merges=8)
+    store.train(docs)
+    bc = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in store.apply(docs, broadcast_vocab=True).collect()
+    }
+    sh = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in store.apply(docs, broadcast_vocab=False).collect()
+    }
+    assert bc == sh
