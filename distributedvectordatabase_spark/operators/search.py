@@ -443,16 +443,29 @@ def hybrid_serve_batch(
     bq_rerank: int = 4,
     store_as_of: int | None = None,
     index_as_of: int | None = None,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED structures — the
     production form of :func:`hybrid_topk_batch`: the semantic leg
     queries a built ``VectorStore`` (exact scan, or LSH multi-probe
-    partition pruning when ``num_candidates`` is set), the lexical leg
-    queries a built ``TextIndex`` via :meth:`TextIndex.bm25_batch`
-    (one postings scan pruned to the batch's term buckets), and the
-    legs fuse per qid with :func:`rrf_fuse`. Neither corpus is
-    re-tokenized or re-scanned beyond its pruned partitions; the
-    one-time build cost is amortized across every serving batch.
+    partition pruning when ``num_candidates`` is set) OR a built
+    ``IVFStore`` (full probe when ``n_probe`` is unset — the exact
+    invariant — or probed cell pruning), the lexical leg queries a
+    built ``TextIndex`` via :meth:`TextIndex.bm25_batch` (one postings
+    scan pruned to the batch's term buckets), and the legs fuse per
+    qid with :func:`rrf_fuse`. Neither corpus is re-tokenized or
+    re-scanned beyond its pruned partitions; the one-time build cost
+    is amortized across every serving batch.
+
+    Store kind is detected from the store object itself (an IVFStore
+    carries centroids; the SQL ``hybrid(...)`` factor detects it from
+    the ``_centroids.json`` sidecar, same as ``knn(...)``); the
+    SQ/BQ compressed legs route to the matching ``knn_sq``/``knn_bq``
+    of whichever store serves. ``num_candidates`` is the LSH knob,
+    ``n_probe`` the IVF knob — setting the wrong one raises, so a
+    caller can't silently serve unpruned thinking they pruned. The
+    IVF leg is pinned row-identical to composing ``IVFStore.knn`` +
+    ``bm25_batch`` + ``rrf_fuse`` by hand (tests/test_search.py).
 
     ``store_as_of`` / ``index_as_of`` pin each leg to a snapshot
     generation (each store numbers its own gens — pin both
@@ -487,7 +500,34 @@ def hybrid_serve_batch(
             "snapshot serving (store_as_of) requires the raw semantic "
             "leg: SQ/BQ code sidecars carry no per-generation history"
         )
-    if use_bq:
+    is_ivf = hasattr(store, "centroids")
+    if is_ivf and num_candidates is not None:
+        raise ValueError(
+            "num_candidates is the LSH pruning knob; this store is an "
+            "IVFStore — prune with n_probe instead"
+        )
+    if not is_ivf and n_probe is not None:
+        raise ValueError(
+            "n_probe is the IVF pruning knob; this store is an "
+            "LSH VectorStore — prune with num_candidates instead"
+        )
+    if is_ivf:
+        probe = int(n_probe) if n_probe is not None else store.n_cells
+        if use_bq:
+            hits = store.knn_bq(
+                spark, qvecs, k=fetch, n_probe=probe, rerank=bq_rerank,
+                metric=metric,
+            )
+        elif use_sq:
+            hits = store.knn_sq(
+                spark, qvecs, k=fetch, n_probe=probe, rerank=sq_rerank,
+            )
+        else:
+            hits = store.knn(
+                spark, qvecs, k=fetch, n_probe=probe, metric=metric,
+                as_of_gen=store_as_of,
+            )
+    elif use_bq:
         # semantic leg over the 1-bit binary sidecar (Hamming shortlist
         # + exact rerank). The caller's ``metric`` is passed through to
         # the rerank (knn_bq accepts a per-call override), so

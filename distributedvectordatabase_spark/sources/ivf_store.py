@@ -226,11 +226,14 @@ class IVFStore:
         centers: list,
         t: float,
         max_rounds: int,
+        keep_cols: tuple = (),
     ) -> tuple:
         """Recursive oversized-cell split (see build). Returns the
         rebalanced (assignment df, centers). Bounded driver state:
         per-round cell counts (O(n_cells) rows) and the centroid
-        matrix."""
+        matrix. ``keep_cols`` ride through the reassignment unchanged
+        (compact passes ``_gen`` so snapshot history survives a
+        rebalance)."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -276,7 +279,7 @@ class IVFStore:
                 return pd.Series(d2.argmin(axis=1), dtype="int32")
 
             assigned = assigned.select(
-                self.id_col, self.vec_col, *self.meta_cols,
+                self.id_col, self.vec_col, *self.meta_cols, *keep_cols,
                 nearest(F.col(self.vec_col)).alias("cell_id"),
             ).localCheckpoint(eager=True)
         return assigned, centers
@@ -438,38 +441,89 @@ class IVFStore:
         with open(self._centroid_path, "w") as f:
             json.dump(side, f)
 
-    def compact(self, spark: SparkSession, files_per_cell: int = 1) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        files_per_cell: int = 1,
+        split_threshold: float | None = None,
+        max_split_rounds: int = 3,
+    ) -> None:
         """Rewrite each cell into ``files_per_cell`` files. Appends leave
         one file per (batch, writer task); compaction restores the
         build-time layout. Same crash-safety as VectorStore.compact:
-        the new copy is complete before the old one is removed."""
+        the new copy is complete before the old one is removed.
+
+        ``split_threshold=t`` rebalances while it rewrites (r7, VERDICT
+        r6 #5): ``build(split_threshold=)`` bounds hot cells at build
+        time, but streamed/batch appends assign to FROZEN centroids, so
+        a drifting ingest re-skews cells — and at 100 TB a hot cell is
+        a straggler on every probe that routes to it. The same
+        recursive split (:meth:`_split_oversized`) runs over the live
+        rows (``_gen`` rides through, so snapshot history survives),
+        the sidecar adopts the new centroid set with exact recomputed
+        radii, and the PQ/SQ/BQ code tables re-encode from the
+        rewritten rows under their EXISTING trained params (codebook /
+        bounds / bit config are corpus-level artifacts, untouched by a
+        re-cell; residual PQ codes re-derive against the new centroids,
+        which is what knn_pq decodes against). Full-probe search is
+        invariant under any cell layout, so n_probe=n_cells results
+        stay pinned equal to exact — asserted in tests."""
         import shutil
 
         tmp = self.path.rstrip("/") + "__compacting"
+        with open(self._centroid_path) as f:
+            side = json.load(f)
+        live = self._read_live(spark)
+        if split_threshold is not None:
+            live, centers = self._split_oversized(
+                live, side["centers"], float(split_threshold),
+                int(max_split_rounds), keep_cols=("_gen",),
+            )
+            self.n_cells = len(centers)
+            side["centers"] = centers
+            side["n_cells"] = self.n_cells
         spread = (F.abs(F.hash(self.id_col)) % files_per_cell).alias("_spread")
         (
-            self._read_live(spark)
+            live
             .repartition(self.n_cells * files_per_cell, F.col("cell_id"), spread)
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(tmp)
         )
+        if split_threshold is not None and "radii" in side:
+            # cells changed: exact radii over the final layout (the
+            # no-split path keeps the old radii — deletes only shrink
+            # cells, so they remain valid upper bounds for free)
+            side["radii"] = self._cell_radii_of(
+                spark.read.parquet(tmp),
+                np.array(side["centers"], dtype=np.float64),
+            )
         # the centroid sidecar lives inside the store dir — carry it
         # over, along with the IVFPQ sidecars if built. Tombstones are
         # NOT carried: this rewrite folds them into both tables (live
         # codes rewritten below), so the swap is the physical delete.
-        # Aborted/pending gens clear too — the _read_live rewrite just
+        # Aborted/pending gens clear too — the live rewrite just
         # dropped their orphan rows physically.
-        with open(self._centroid_path) as f:
-            side = json.load(f)
         side["aborted_gens"] = []
         side["pending_gen"] = None
         with open(os.path.join(tmp, os.path.basename(self._centroid_path)), "w") as f:
             json.dump(side, f)
+        rebal = live if split_threshold is not None else None
         if os.path.exists(self._pq_path):
+            if rebal is not None:
+                from distributedvectordatabase_spark.operators.pq import pq_encode
+
+                C = np.array(side["centers"], dtype=np.float64)
+                codes = pq_encode(
+                    rebal, self.pq_codebook(), id_col=self.id_col,
+                    vec_col=self.vec_col, keep_cols=("cell_id", "_gen"),
+                    cell_centroids=C if self.pq_is_residual() else None,
+                    rotation=self.pq_rotation(),
+                )
+            else:
+                codes = self._codes_live(spark)
             (
-                self._codes_live(spark)
-                .write.mode("overwrite")
+                codes.write.mode("overwrite")
                 .partitionBy("cell_id")
                 .parquet(os.path.join(tmp, os.path.basename(self._pq_path)))
             )
@@ -479,9 +533,17 @@ class IVFStore:
                 os.path.join(tmp, os.path.basename(self._pq_codebook_path)),
             )
         if os.path.exists(self._sq_params_path):
+            if rebal is not None:
+                from distributedvectordatabase_spark.operators.sq import sq_encode
+
+                codes = sq_encode(
+                    rebal, self.sq_params(), id_col=self.id_col,
+                    vec_col=self.vec_col, keep_cols=("cell_id", "_gen"),
+                )
+            else:
+                codes = self._sq_codes_live(spark)
             (
-                self._sq_codes_live(spark)
-                .write.mode("overwrite")
+                codes.write.mode("overwrite")
                 .partitionBy("cell_id")
                 .parquet(os.path.join(tmp, os.path.basename(self._sq_path)))
             )
@@ -490,9 +552,20 @@ class IVFStore:
                 os.path.join(tmp, os.path.basename(self._sq_params_path)),
             )
         if os.path.exists(self._bq_params_path):
+            if rebal is not None:
+                from distributedvectordatabase_spark.operators.bq import bq_encode
+
+                with open(self._bq_params_path) as f:
+                    bside = json.load(f)
+                codes = bq_encode(
+                    rebal, int(bside["dim"]), vec_col=self.vec_col,
+                    n_bits=bside.get("n_bits"),
+                    seed=int(bside.get("seed", 42)),
+                ).select(self.id_col, "bq_code", "cell_id", "_gen")
+            else:
+                codes = self._bq_codes_live(spark)
             (
-                self._bq_codes_live(spark)
-                .write.mode("overwrite")
+                codes.write.mode("overwrite")
                 .partitionBy("cell_id")
                 .parquet(os.path.join(tmp, os.path.basename(self._bq_path)))
             )
@@ -971,9 +1044,13 @@ class IVFStore:
         rescore: str = "auto",
         where: str | None = None,
         escalate: bool = True,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """Probe the ``n_probe`` nearest cells per query; partition
         pruning limits the scan to probed cells' directories.
+        ``as_of_gen`` searches the snapshot corpus at that pinned
+        generation (read(as_of_gen=...) semantics) — centroids and cell
+        layout are fixed between compactions, so pruning stays exact.
 
         ``impl="arrow"`` (default) scores the probed rows on the same
         BLAS partial-top-k scan as exact/pruned kNN with a per-query
@@ -1010,7 +1087,7 @@ class IVFStore:
         qrows = collect_query_batch(queries, qid_col, qvec_col)
         result = self._knn_probe(
             spark, queries, qrows, C, k, n_probe, metric, qid_col, qvec_col,
-            impl, rescore, where,
+            impl, rescore, where, as_of_gen,
         )
         if where is None or not escalate or n_probe >= self.n_cells:
             return result
@@ -1062,7 +1139,7 @@ class IVFStore:
                 spark,
                 queries.filter(F.col(qid_col).isin(starved_ids)),
                 list(active.values()), C, k, cur, metric, qid_col, qvec_col,
-                impl, rescore, where,
+                impl, rescore, where, as_of_gen,
             ).toPandas()
             out = pd_.concat(
                 [out[~out["qid"].isin(starved_ids)], sub], ignore_index=True
@@ -1083,6 +1160,7 @@ class IVFStore:
         impl: str,
         rescore: str,
         where: str | None,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         probe_pairs = []
         cand_map: dict[int, frozenset] = {}
@@ -1094,7 +1172,9 @@ class IVFStore:
         probed_cells = sorted({c for _, c in probe_pairs})
         k = max(int(k), 1)
 
-        corpus = self.read(spark).filter(F.col("cell_id").isin(probed_cells))
+        corpus = self.read(spark, as_of_gen=as_of_gen).filter(
+            F.col("cell_id").isin(probed_cells)
+        )
         if where is not None:
             corpus = corpus.filter(where)
         if impl == "arrow":

@@ -237,10 +237,23 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
     terms = spark.sql(f"SELECT cast({args[3]} as array<string>) AS t").first()[0]
     if not terms:
         raise ValueError(f"hybrid(...) terms expression evaluated empty: {args[3]}")
-    if not os.path.exists(os.path.join(store_path, "_lsh.json")):
+    # the store kind auto-detects from its sidecar, same as knn(...):
+    # _centroids.json → IVF (probes = n_probe), _lsh.json → LSH
+    # VectorStore (probes = num_candidates)
+    if os.path.exists(os.path.join(store_path, "_centroids.json")):
+        from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+
+        store = IVFStore(store_path)  # sidecar-config reopen
+        probe_kw = {"n_probe": probes}
+    elif os.path.exists(os.path.join(store_path, "_lsh.json")):
+        from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+        store = VectorStore(store_path)  # sidecar-config reopen
+        probe_kw = {"num_candidates": probes}
+    else:
         raise ValueError(
             f"no vector store found at {store_path!r} (hybrid(...) serves "
-            "from a built VectorStore — an _lsh.json sidecar)"
+            "from a built store — an _lsh.json or _centroids.json sidecar)"
         )
     if not os.path.exists(os.path.join(index_path, "_stats.json")):
         raise ValueError(
@@ -248,7 +261,6 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
         )
     from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
     from distributedvectordatabase_spark.sources.text_index import TextIndex
-    from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
     queries = spark.createDataFrame(
         [(0, [float(x) for x in vec], [str(t) for t in terms])],
@@ -256,11 +268,11 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
     )
     res = hybrid_serve_batch(
         spark,
-        VectorStore(store_path),  # sidecar-config reopen
+        store,
         TextIndex(index_path),
         queries,
         k=k,
-        num_candidates=probes,
+        **probe_kw,
     ).drop("qid")
     name = f"_hybrid_sugar_{next(_VIEW_IDS)}"
     res.createOrReplaceTempView(name)

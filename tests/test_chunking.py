@@ -120,3 +120,61 @@ def test_chunk_then_index_retrieval_composes(spark, tmp_path):
     got = [(r.doc_id, r.score, r.rnk) for r in ix.bm25(spark, terms, k=10).collect()]
     assert got == want
     assert len(got) == 10
+
+
+def test_pack_and_chunk_over_precomputed_bpe_tokens(spark, tmp_path):
+    """r7 (VERDICT r6 #6): pack_documents/chunk_documents accept the
+    bpe_apply output, so budgets and windows count REAL tokenizer
+    tokens. Pack budgets respected in BPE token counts; chunk windows
+    preserve token identity (no space re-joining of BPE pieces), and
+    non-overlapping windows reconstruct the original arrays exactly."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.bpe import bpe_apply, bpe_train
+    from distributedvectordatabase_spark.operators.chunking import (
+        chunk_documents,
+        pack_documents,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, "documents", SF_SMALL).limit(120)
+    merges = bpe_train(docs, n_merges=10)
+    toked = docs.select("doc_id", "lang").join(
+        bpe_apply(docs, merges), "doc_id"
+    )
+    n_by_doc = {
+        r.doc_id: len(r.bpe_tokens) for r in toked.collect()
+    }
+
+    budget = 64
+    packs = pack_documents(toked, budget=budget, tokens_col="bpe_tokens")
+    rows = packs.collect()
+    # n_tokens counts BPE tokens, not whitespace words
+    assert all(r.n_tokens == n_by_doc[r.doc_id] for r in rows)
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.lang, r.pack_id), []).append(r.n_tokens)
+    for ns in by_pack.values():
+        assert sum(ns) < budget + max(ns)
+
+    # chunking over token arrays: windows are token slices, and with
+    # overlap=0 flattening the windows reconstructs the original array
+    chunks = chunk_documents(
+        toked, max_tokens=16, overlap=0, tokens_col="bpe_tokens"
+    )
+    assert "chunk_tokens" in chunks.columns and "chunk_text" not in chunks.columns
+    recon = {
+        r.doc_id: list(r.toks)
+        for r in chunks.groupBy("doc_id").agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_tokens"))
+                ).getField("chunk_tokens")
+            ).alias("toks")
+        ).collect()
+    }
+    orig = {r.doc_id: list(r.bpe_tokens) for r in toked.collect()}
+    assert recon == orig
+    # every window bounded by max_tokens
+    assert chunks.filter(F.col("n_tokens") > 16).count() == 0

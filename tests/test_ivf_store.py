@@ -654,3 +654,82 @@ def test_ivfbq_config_authoritative_and_normalized_domain(spark, tmp_path):
     bare.build(emb.limit(100))
     with pytest.raises(ValueError, match="build_bq"):
         bare.knn_bq(spark, qs, k=3)
+
+
+def test_compact_split_threshold_rebalances_streamed_skew(spark, tmp_path):
+    """r7 (VERDICT r6 #5): appends assign to frozen centroids, so a
+    drifting ingest re-skews cells after a balanced build;
+    compact(split_threshold=) restores the bound in place — without a
+    full rebuild, keeping snapshot history (_gen rides the rewrite),
+    the exact full-probe invariant, and the SQ codes sidecar in sync."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    base = rng.standard_normal((1500, dim)) * 3.0
+    seed_df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(1500)],
+        "vec_id long, embedding array<double>",
+    )
+    s = IVFStore(str(tmp_path / "s"), n_cells=8)
+    s.build(seed_df, split_threshold=2.0)
+    s.build_sq(spark)
+    g1 = s.current_gen()
+
+    # planted drift: a tight hot mode lands in ONE existing cell
+    hot = rng.standard_normal((3000, dim)) * 0.05 + 4.0
+    hot_df = spark.createDataFrame(
+        [(10000 + i, hot[i].tolist()) for i in range(3000)],
+        "vec_id long, embedding array<double>",
+    )
+    s.append(hot_df)
+    n = s.read(spark).count()
+    m0 = s.cell_metrics(spark).first()
+    assert m0.max_count > 0.5 * n  # the append re-skewed the store
+
+    cells_before = s.n_cells
+    # drift the build never saw needs more split rounds than a
+    # build-time rebalance: the hot mode isn't centered on any
+    # existing centroid, so early rounds chase it
+    s.compact(spark, split_threshold=2.0, max_split_rounds=6)
+    m1 = s.cell_metrics(spark).first()
+    assert s.n_cells > cells_before
+    assert m1.max_count <= 2.0 * m1.avg_count + 1
+    assert s.read(spark).count() == n
+
+    # reopen adopts the enlarged layout; radii valid over it
+    reopened = IVFStore(str(tmp_path / "s"))
+    assert reopened.n_cells == s.n_cells
+    C = reopened.centroids()
+    radii = reopened.cell_radii()
+    assert C.shape[0] == s.n_cells and len(radii) == s.n_cells
+    for r in reopened.read(spark).select("embedding", "cell_id").limit(500).collect():
+        d = float(np.linalg.norm(np.array(r.embedding) - C[r.cell_id]))
+        assert d <= radii[r.cell_id] + 1e-6
+
+    # full-probe == exact kNN still pinned post-rebalance
+    all_df = seed_df.union(hot_df)
+    qs = all_df.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in s.knn(spark, qs, k=5, n_probe=s.n_cells).collect()
+    )
+    e = sorted((r.qid, r.neighbor_id, r.rnk) for r in knn(all_df, qs, k=5).collect())
+    assert a == e
+
+    # SQ codes re-encoded onto the new cells: same ids, synced layout,
+    # and full-probe SQ with rerank stays exact
+    codes = s._sq_codes_live(spark)
+    assert codes.count() == n
+    sq = sorted(
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in s.knn_sq(spark, qs, k=5, n_probe=s.n_cells).collect()
+    )
+    assert sq == e
+
+    # snapshot history survived the rebalance: the pre-append gen
+    # still reconstructs the seed corpus exactly
+    snap_ids = {r.vec_id for r in s.read(spark, as_of_gen=g1).collect()}
+    assert snap_ids == set(range(1500))

@@ -531,3 +531,83 @@ def test_hybrid_serve_batch_bq_leg(spark, tmp_path):
         hybrid_serve_batch(
             spark, store, index, queries, k=5, use_sq=True, use_bq=True
         )
+
+
+def test_hybrid_serve_batch_ivf_leg_equals_manual_composition(spark, tmp_path):
+    """r7 (VERDICT r6 #7): hybrid_serve_batch auto-detects an IVFStore
+    and serves the semantic leg probed — pinned row-identical to
+    composing IVFStore.knn + TextIndex.bm25_batch + rrf_fuse by hand,
+    at full probe (the exact invariant) and at a pruned n_probe; the
+    SQ codes leg routes to knn_sq; the wrong pruning knob raises."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+        rrf_fuse,
+    )
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    store = IVFStore(str(tmp_path / "ivf"), n_cells=8, id_col="doc_id")
+    store.build(emb)
+    store.build_sq(spark)
+    index = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    index.build(docs)
+
+    qvecs = {
+        int(r.doc_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("doc_id") < 3).collect()
+    }
+    qterms = {0: ["dup", "vector"], 1: ["query", "the"], 2: ["vector"]}
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], qterms[q]) for q in qvecs],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+
+    def manual(n_probe, use_sq=False):
+        fetch = 20  # 4 * k
+        qv = queries.select("qid", "qvec")
+        if use_sq:
+            hits = store.knn_sq(spark, qv, k=fetch, n_probe=n_probe, rerank=2)
+        else:
+            hits = store.knn(spark, qv, k=fetch, n_probe=n_probe,
+                             metric="cosine")
+        vec_leg = hits.select(
+            "qid", F.col("neighbor_id").alias("doc_id"),
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+            ).alias("rnk"),
+        )
+        text_leg = index.bm25_batch(
+            spark, queries.select("qid", "terms"), k=fetch
+        ).select("qid", "doc_id", "rnk")
+        return rrf_fuse(vec_leg, text_leg, k=5, id_col="doc_id", by=["qid"])
+
+    def rows(df):
+        return sorted(
+            (r.qid, r.doc_id, round(r.rrf_score, 9), r.rnk)
+            for r in df.collect()
+        )
+
+    # full probe (default): the exact-serving shape
+    got = rows(hybrid_serve_batch(spark, store, index, queries, k=5))
+    assert got == rows(manual(store.n_cells)) and len(got) == 15
+    # pruned probe
+    got_p = rows(hybrid_serve_batch(spark, store, index, queries, k=5,
+                                    n_probe=2))
+    assert got_p == rows(manual(2))
+    # SQ codes leg
+    got_sq = rows(hybrid_serve_batch(spark, store, index, queries, k=5,
+                                     n_probe=2, use_sq=True))
+    assert got_sq == rows(manual(2, use_sq=True))
+    # the LSH knob against an IVF store (and vice versa) raises
+    with pytest.raises(ValueError, match="n_probe instead"):
+        hybrid_serve_batch(spark, store, index, queries, k=5,
+                           num_candidates=2)

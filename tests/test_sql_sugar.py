@@ -209,3 +209,38 @@ def test_hybrid_sql_composes_and_errors(spark, stores, text_index):
         )
     with pytest.raises(ValueError, match="takes"):
         sql(spark, f"SELECT * FROM hybrid('{vs.path}', {vec_sql}, 3)")
+
+
+def test_hybrid_sql_auto_detects_ivf_store(spark, stores, text_index):
+    """r7 (VERDICT r6 #7): hybrid(...) detects an IVF store from its
+    _centroids.json (the knn(...) rule) and serves the probed semantic
+    leg — rows identical to hybrid_serve_batch over the same IVFStore,
+    full-probe and pruned."""
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+
+    _, ivf = stores
+    vec_sql, xs = _vec(spark, 3)
+    terms_sql = "array('dup', 'vector')"
+    q = spark.createDataFrame(
+        [(0, xs, ["dup", "vector"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
+
+    got = sql(
+        spark,
+        f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5)",
+    ).collect()
+    want = hybrid_serve_batch(spark, ivf, text_index, q, k=5).drop("qid").collect()
+    assert sorted(map(key, got)) == sorted(map(key, want)) and len(got) == 5
+
+    pruned = sql(
+        spark,
+        f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5, 2)",
+    ).collect()
+    want_p = hybrid_serve_batch(
+        spark, ivf, text_index, q, k=5, n_probe=2
+    ).drop("qid").collect()
+    assert sorted(map(key, pruned)) == sorted(map(key, want_p))
