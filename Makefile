@@ -5,12 +5,17 @@
 # bench: the BENCH contract at $SPARK_GRAFT_SF_DIR (default sf0.1) — run on
 #        an idle machine; concurrent Spark work inflates timings ~2.7x
 
-.PHONY: smoke check bench test exact scale
+.PHONY: smoke check bench test exact scale bpe-vocab
 
 # opt-in scale probe (not a driver contract): 500k synthetic vectors +
 # 200k synthetic docs; run on an idle machine
 scale:
 	python bench_scale.py 500000 64 200000
+
+# opt-in BPE realistic-vocabulary probe (r7): zipfian corpus with
+# >=500k distinct words; per-merge cost + apply throughput (BASELINE.md)
+bpe-vocab:
+	python bench_bpe_vocab.py 250000 10
 
 smoke:
 	python -m pytest tests/test_smoke.py -q

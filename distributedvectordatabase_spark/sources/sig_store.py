@@ -112,19 +112,52 @@ class SigStore:
             return int(self._config().get("gen", 0))
         return 0
 
-    def _write_config(self, gen: int) -> None:
+    def _write_config(self, gen: int, **extras) -> None:
+        """Persist the sidecar, PRESERVING commit-protocol fields
+        (pending_gen/aborted_gens/ingest_batch) unless overridden via
+        ``extras``."""
         os.makedirs(self.path, exist_ok=True)
+        cfg = {}
+        if os.path.exists(self._config_path):
+            cfg = self._config()
+        cfg.update(
+            {
+                "bands": self.bands,
+                "rows": self.rows,
+                "shingle_n": self.shingle_n,
+                "n_buckets": self.n_buckets,
+                "gen": int(gen),
+            }
+        )
+        cfg.update(extras)
         with open(self._config_path, "w") as f:
-            json.dump(
-                {
-                    "bands": self.bands,
-                    "rows": self.rows,
-                    "shingle_n": self.shingle_n,
-                    "n_buckets": self.n_buckets,
-                    "gen": int(gen),
-                },
-                f,
-            )
+            json.dump(cfg, f)
+
+    def _aborted_gens(self) -> tuple:
+        if os.path.exists(self._config_path):
+            return tuple(self._config().get("aborted_gens", ()))
+        return ()
+
+    def ingest_batch(self) -> int:
+        """Last streaming batch id whose build/append COMMITTED
+        (recorded by the same config dump that bumps gen —
+        stream_neardup_ingest's exactly-once marker). -1 if the store
+        never streamed."""
+        if os.path.exists(self._config_path):
+            return int(self._config().get("ingest_batch", -1))
+        return -1
+
+    def _committed(self, df: DataFrame) -> DataFrame:
+        """Scan-level commit filter (tombstones.filter_committed): rows
+        above the persisted gen (crashed/in-flight append) or in the
+        aborted list are invisible to every read."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_committed,
+        )
+
+        if not os.path.exists(self._config_path):
+            return df
+        return filter_committed(df, self._gen(), self._aborted_gens())
 
     def _adopt(self, cfg: dict) -> None:
         """The persisted band/row/shingle/bucket parameters are the only
@@ -151,7 +184,13 @@ class SigStore:
         return toks, banded
 
     # ------------------------------------------------------------------
-    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def build(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        ingest_batch: int | None = None,
+    ) -> None:
         toks, banded = self._prepared(docs, id_col, text_col)
         (
             banded.withColumn(GEN_COL, F.lit(1))
@@ -164,14 +203,44 @@ class SigStore:
             GEN_COL, F.lit(1)
         ).write.mode("overwrite").parquet(self._toks_path)
         # write gen only AFTER the data lands (tombstones.py crash
-        # rule: a crashed build burns nothing — there is no config yet)
-        self._write_config(gen=1)
+        # rule: a crashed build burns nothing — there is no config yet;
+        # the streaming batch id rides the same dump)
+        if ingest_batch is not None:
+            self._write_config(gen=1, ingest_batch=int(ingest_batch))
+        else:
+            self._write_config(gen=1)
 
-    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        ingest_batch: int | None = None,
+    ) -> None:
         """Index additional corpus documents incrementally. Caller owns
-        doc-id uniqueness (same contract as TextIndex.append)."""
-        self._adopt(self._config())
-        gen = self._gen() + 1
+        doc-id uniqueness (same contract as TextIndex.append).
+
+        Crash-atomic (tombstones.heal_pending two-phase protocol,
+        shared with TextIndex/IVFStore/VectorStore): a ``pending_gen``
+        intent persists before the data jobs; the final config dump —
+        one file write — commits the gen and (for
+        ``stream_neardup_ingest``) the ``ingest_batch`` marker
+        together. A crash mid-append leaves band/token orphans above
+        the committed horizon, invisible to every join; the next
+        writer heals them into ``aborted_gens``."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
+
+        cfg = heal_pending(self._config())
+        self._adopt(cfg)
+        gen = next_gen(cfg)
+        # phase 1: the write intent, BEFORE any data job
+        self._write_config(
+            gen=self._gen(), pending_gen=gen,
+            aborted_gens=cfg.get("aborted_gens", []),
+        )
         toks, banded = self._prepared(docs, id_col, text_col)
         (
             banded.withColumn(GEN_COL, F.lit(gen))
@@ -183,7 +252,13 @@ class SigStore:
         toks.withColumn("sz", F.size("toks")).withColumn(
             GEN_COL, F.lit(gen)
         ).write.mode("append").parquet(self._toks_path)
-        self._write_config(gen=gen)
+        # phase 2 — THE commit: gen and the ingest marker in one dump
+        if ingest_batch is not None:
+            self._write_config(
+                gen=gen, pending_gen=None, ingest_batch=int(ingest_batch)
+            )
+        else:
+            self._write_config(gen=gen, pending_gen=None)
 
     # -- delete / compact ---------------------------------------------------
 
@@ -195,12 +270,23 @@ class SigStore:
         ``compact()`` reclaims the space. Documents appended AFTER the
         delete are untouched (strict ``row._gen > tombstone gen``
         survival, shared with VectorStore.delete)."""
-        self._adopt(self._config())
-        gen = self._gen() + 1
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
+
+        cfg = heal_pending(self._config())
+        self._adopt(cfg)
+        gen = next_gen(cfg)
         # gen persists BEFORE the tombstones exist (tombstones.py crash
         # rule: a burned gen is harmless; the reverse order could hand
-        # a later append the tombstone's gen and wrongly kill its rows)
-        self._write_config(gen=gen)
+        # a later append the tombstone's gen and wrongly kill its rows).
+        # A crashed append's orphans are healed into aborted_gens FIRST,
+        # or bumping the horizon past them would surface them.
+        self._write_config(
+            gen=gen, pending_gen=cfg.get("pending_gen"),
+            aborted_gens=cfg.get("aborted_gens", []),
+        )
         append_tombstones(spark, self._tombstone_path, "doc_id", ids, gen)
 
     def compact(self, spark: SparkSession) -> None:
@@ -210,11 +296,13 @@ class SigStore:
         is removed, so a failed compaction never loses the store (same
         pattern as VectorStore.compact).
 
-        On a store fed by ``stream_neardup_ingest`` this FINALIZES the
-        ingest: the ``_ingest_marker.json`` committed-batch marker is
-        not carried over, so the finished stream cannot be resumed
-        into the compacted store (same sink-era contract as
-        VectorStore.compact)."""
+        Since r7 the ``stream_neardup_ingest`` committed-batch marker
+        rides the config sidecar (``ingest_batch``), which the rewrite
+        carries — so compacting a streamed store is resume-safe: a
+        resumed or fresh-checkpoint stream still skips every committed
+        batch. (Pre-r7 stores kept the marker in a separate
+        ``_ingest_marker.json``, which compaction dropped — the
+        streaming reader still honors that legacy file as a floor.)"""
         import shutil
 
         self._adopt(self._config())
@@ -231,19 +319,26 @@ class SigStore:
         )
         # config rides the swap (the tmp copy is complete before the
         # old directory goes away; tombstones are NOT carried — the
-        # swap is the physical delete)
-        shutil.copy(self._config_path, os.path.join(tmp, "_config.json"))
+        # swap is the physical delete). Aborted/pending clear — the
+        # live rewrite above dropped their orphan rows physically.
+        cfg = self._config()
+        cfg["aborted_gens"] = []
+        cfg["pending_gen"] = None
+        with open(os.path.join(tmp, "_config.json"), "w") as f:
+            json.dump(cfg, f)
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
     def _bands_live(self, spark: SparkSession) -> DataFrame:
         return filter_live(
-            spark, self.corpus_bands(spark), self._tombstone_path, "doc_id"
+            spark, self._committed(self.corpus_bands(spark)),
+            self._tombstone_path, "doc_id",
         )
 
     def _toks_live(self, spark: SparkSession) -> DataFrame:
         return filter_live(
-            spark, self.corpus_toks(spark), self._tombstone_path, "doc_id"
+            spark, self._committed(self.corpus_toks(spark)),
+            self._tombstone_path, "doc_id",
         )
 
     def current_gen(self) -> int:
@@ -291,6 +386,7 @@ class SigStore:
         self._adopt(self._config())
 
         def _visible(df: DataFrame) -> DataFrame:
+            df = self._committed(df)
             if as_of_gen is None:
                 return filter_live(spark, df, self._tombstone_path, "doc_id")
             return filter_as_of(

@@ -64,10 +64,12 @@ __all__ = ["TokenizerStore"]
 
 
 class TokenizerStore:
-    def __init__(self, path: str, n_merges: int = 50):
+    def __init__(self, path: str, n_merges: int | None = None):
         self.path = path
-        self.n_merges = int(n_merges)
-        if os.path.exists(self._config_path):
+        # reopen contract (IVFStore pattern): the persisted config wins
+        # over the default; an EXPLICIT n_merges wins for new trains
+        self.n_merges = 50 if n_merges is None else int(n_merges)
+        if n_merges is None and os.path.exists(self._config_path):
             self.n_merges = int(self._config().get("n_merges", self.n_merges))
 
     # -- layout ---------------------------------------------------------

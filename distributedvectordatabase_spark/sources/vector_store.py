@@ -130,21 +130,38 @@ class VectorStore:
                 return int(json.load(f).get("gen", 0))
         return 0
 
-    def _write_lsh_config(self, gen: int | None = None) -> None:
+    def _lsh_config(self) -> dict:
+        if os.path.exists(self._lsh_config_path):
+            with open(self._lsh_config_path) as f:
+                return json.load(f)
+        return {}
+
+    def _aborted_gens(self) -> tuple:
+        """Gens burned by crashed appends (tombstones.heal_pending) —
+        their orphan rows are filtered from every read and reclaimed
+        physically by compact()."""
+        return tuple(self._lsh_config().get("aborted_gens", ()))
+
+    def _write_lsh_config(self, gen: int | None = None, **extras) -> None:
+        """Persist the sidecar, PRESERVING commit-protocol fields
+        (pending_gen/aborted_gens) unless overridden via ``extras`` —
+        the LSH fields themselves are always refreshed from self."""
         os.makedirs(self.path, exist_ok=True)
+        cfg = self._lsh_config()
+        cfg.update(
+            {
+                "dim": self.lsh.dim,
+                "num_fns": self.lsh.num_fns,
+                "num_tables": self.lsh.num_tables,
+                "seed": self.lsh.seed,
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "gen": self._gen() if gen is None else int(gen),
+            }
+        )
+        cfg.update(extras)
         with open(self._lsh_config_path, "w") as f:
-            json.dump(
-                {
-                    "dim": self.lsh.dim,
-                    "num_fns": self.lsh.num_fns,
-                    "num_tables": self.lsh.num_tables,
-                    "seed": self.lsh.seed,
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                    "gen": self._gen() if gen is None else int(gen),
-                },
-                f,
-            )
+            json.dump(cfg, f)
 
     # -- ingest -------------------------------------------------------------
 
@@ -201,7 +218,21 @@ class VectorStore:
                     "store predates delete support (no _gen column); run "
                     "compact(spark) once to upgrade before appending"
                 )
-        gen = self._gen() + 1
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
+
+        cfg = heal_pending(self._lsh_config())
+        gen = next_gen(cfg)
+        if mode == "append":
+            # phase 1 (tombstones.heal_pending protocol, shared with
+            # TextIndex/IVFStore): persist the write intent BEFORE any
+            # data job — a crash from here on leaves rows no read sees
+            self._write_lsh_config(
+                pending_gen=gen,
+                aborted_gens=cfg.get("aborted_gens", []),
+            )
         # keep the SQ8 codes sidecar in sync on append: pin the
         # prepared batch so the raw write and the codes write see the
         # SAME rows (a non-deterministic input recomputed per write
@@ -214,15 +245,15 @@ class VectorStore:
             if sync_sq:
                 out = out.cache()
             out.write.mode(mode).partitionBy("shard_id").parquet(self.path)
-            # gen persisted only AFTER the data lands: a crash mid-write
-            # leaves the counter unbumped, and a later delete at this
-            # same gen number correctly covers the orphan rows (the
-            # survival rule is strict row._gen > tombstone gen). It must
+            # THE commit: gen bumps and the intent clears in one dump,
+            # only AFTER the data lands — a crash mid-write leaves the
+            # orphan rows above the committed horizon (invisible via
+            # filter_committed) for the next writer to heal. It must
             # also land BEFORE the SQ encode below: if that second write
             # fails, _gen (g+1) != the SQ synced gen (g) and knn_sq's
             # staleness guard trips — persisting after would leave both
             # at g and the guard would pass on codes missing these rows.
-            self._write_lsh_config(gen=gen)
+            self._write_lsh_config(gen=gen, pending_gen=None)
             if sync_sq:
                 from distributedvectordatabase_spark.operators.sq import sq_encode
 
@@ -313,10 +344,15 @@ class VectorStore:
             .parquet(tmp)
         )
         if os.path.exists(self._lsh_config_path):
-            shutil.copy(
-                self._lsh_config_path,
-                os.path.join(tmp, os.path.basename(self._lsh_config_path)),
-            )
+            # aborted/pending clear — the live rewrite above dropped
+            # their orphan rows physically
+            cfg = self._lsh_config()
+            cfg["aborted_gens"] = []
+            cfg["pending_gen"] = None
+            with open(
+                os.path.join(tmp, os.path.basename(self._lsh_config_path)), "w"
+            ) as f:
+                json.dump(cfg, f)
         # carry the SQ8 sidecar, folding tombstones into the codes
         # table the same way the raw rewrite above does (the swap IS
         # the physical delete for both tables)
@@ -339,7 +375,7 @@ class VectorStore:
 
             (
                 filter_live(
-                    spark, spark.read.parquet(self._bq_path),
+                    spark, self._committed(spark.read.parquet(self._bq_path)),
                     self._tombstone_path, self.id_col,
                 )
                 .write.mode("overwrite")
@@ -361,12 +397,24 @@ class VectorStore:
         bytes written, nothing rewritten — ``compact()`` reclaims the
         space. Rows appended AFTER the delete are untouched, so
         delete-then-append of the same id is a well-defined upsert."""
-        gen = self._gen() + 1
+        from distributedvectordatabase_spark.sources.tombstones import (
+            heal_pending,
+            next_gen,
+        )
+
+        cfg = heal_pending(self._lsh_config())
+        gen = next_gen(cfg)
         # persist the gen BEFORE the tombstones exist: if we crashed
         # between the two, a burned gen number is harmless, while the
         # reverse order could hand a later append the tombstone's own
-        # gen and wrongly kill its rows
-        self._write_lsh_config(gen=gen)
+        # gen and wrongly kill its rows. A crashed append's orphans are
+        # healed into aborted_gens FIRST, or bumping the horizon past
+        # them would surface them as committed.
+        self._write_lsh_config(
+            gen=gen,
+            pending_gen=cfg.get("pending_gen"),
+            aborted_gens=cfg.get("aborted_gens", []),
+        )
         from distributedvectordatabase_spark.sources.tombstones import (
             append_tombstones,
         )
@@ -458,8 +506,8 @@ class VectorStore:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         return filter_live(
-            spark, spark.read.parquet(self._sq_path), self._tombstone_path,
-            self.id_col,
+            spark, self._committed(spark.read.parquet(self._sq_path)),
+            self._tombstone_path, self.id_col,
         )
 
     def knn_sq(self, spark: SparkSession, queries: DataFrame, k: int = 10,
@@ -638,8 +686,8 @@ class VectorStore:
         if metric is None:
             metric = "cosine" if side.get("normalize") else "l2sq"
         codes = filter_live(
-            spark, spark.read.parquet(self._bq_path), self._tombstone_path,
-            self.id_col,
+            spark, self._committed(spark.read.parquet(self._bq_path)),
+            self._tombstone_path, self.id_col,
         )
         shard_map = None
         if pruned:
@@ -706,8 +754,19 @@ class VectorStore:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
         return filter_live(
-            spark, spark.read.parquet(self.path), self._tombstone_path, self.id_col
+            spark, self._committed(spark.read.parquet(self.path)),
+            self._tombstone_path, self.id_col,
         )
+
+    def _committed(self, df: DataFrame) -> DataFrame:
+        """Scan-level commit filter (tombstones.filter_committed): rows
+        above the persisted gen (crashed/in-flight append) or in the
+        aborted list are invisible to every read."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_committed,
+        )
+
+        return filter_committed(df, self._gen(), self._aborted_gens())
 
     def current_gen(self) -> int:
         """The store's persisted write/delete generation — pin it when
@@ -721,9 +780,11 @@ class VectorStore:
             return self._read_live(spark).drop("_gen")
         from distributedvectordatabase_spark.sources.tombstones import filter_as_of
 
+        # aborted gens were never committed at ANY point in history, so
+        # the snapshot excludes them regardless of as_of_gen
         return filter_as_of(
-            spark, spark.read.parquet(self.path), self._tombstone_path,
-            self.id_col, as_of_gen,
+            spark, self._committed(spark.read.parquet(self.path)),
+            self._tombstone_path, self.id_col, as_of_gen,
         ).drop("_gen")
 
     def knn(self, spark: SparkSession, queries: DataFrame, k: int = 10, pruned: bool = True,

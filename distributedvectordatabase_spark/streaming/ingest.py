@@ -379,17 +379,18 @@ def stream_neardup_ingest(
     the same rule class as the exact-dedup keep-first; batch-sequential
     fold equivalence is pinned in tests/test_streaming.py).
 
-    Exactly-once shape: each batch overwrites its own ``batch=<id>``
-    sink directory (replays rewrite identical bytes), and a marker file
-    next to the signature store records the last batch whose signatures
-    committed — a replayed batch id ≤ marker skips the append. The sink
-    write, signature append, and marker write are not atomic: a crash
-    between them replays the whole batch; the sink overwrite is
-    idempotent, and a crash after the signature append but before the
-    marker re-appends duplicate signature rows — detectable
-    (corpus_toks count > sink count) and repairable by rebuilding the
-    store from the sink (signatures are derived data, same contract as
-    IVFStore.append's codes table).
+    Exactly-once: each batch overwrites its own ``batch=<id>`` sink
+    directory (replays rewrite identical bytes), and the batch id rides
+    the SAME config dump that commits the signature append's gen
+    (``SigStore.append(ingest_batch=...)`` — the r7 heal_pending
+    protocol shared by every store), so "batch committed" and
+    "signatures visible" are one atomic file write. A crash mid-append
+    leaves orphan band/token rows above the committed horizon,
+    invisible to every join; the replay heals them into the sidecar's
+    aborted-gen list and re-appends under a fresh gen — never a
+    duplicate signature served. The sink write itself stays idempotent
+    (same-bytes overwrite); orphans cost dead bytes until
+    ``compact()``.
     """
     import json
     import os
@@ -399,13 +400,20 @@ def stream_neardup_ingest(
     )
     from distributedvectordatabase_spark.sources.sig_store import SigStore
 
-    marker_path = os.path.join(sig_path, "_ingest_marker.json")
+    # pre-r7 stores recorded the marker in a separate file with a
+    # non-atomic write; honor it as a floor when resuming one
+    legacy_marker = os.path.join(sig_path, "_ingest_marker.json")
 
     def committed_batch() -> int:
-        if os.path.exists(marker_path):
-            with open(marker_path) as f:
-                return int(json.load(f)["batch_id"])
-        return -1
+        committed = SigStore(
+            sig_path, bands=bands, rows=rows, shingle_n=shingle_n
+        ).ingest_batch() if os.path.exists(
+            os.path.join(sig_path, "_config.json")
+        ) else -1
+        if os.path.exists(legacy_marker):
+            with open(legacy_marker) as f:
+                committed = max(committed, int(json.load(f)["batch_id"]))
+        return committed
 
     reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
     if max_files_per_trigger is not None:
@@ -442,11 +450,11 @@ def stream_neardup_ingest(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
         if os.path.exists(os.path.join(sig_path, "_config.json")):
-            sig.append(survivors, id_col=id_col, text_col=text_col)
+            sig.append(survivors, id_col=id_col, text_col=text_col,
+                       ingest_batch=batch_id)
         else:
-            sig.build(survivors, id_col=id_col, text_col=text_col)
-        with open(marker_path, "w") as f:
-            json.dump({"batch_id": int(batch_id)}, f)
+            sig.build(survivors, id_col=id_col, text_col=text_col,
+                      ingest_batch=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process)

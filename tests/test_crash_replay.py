@@ -170,3 +170,97 @@ def test_delete_heals_a_crashed_append_first(spark, tmp_path):
     fresh = TextIndex(str(tmp_path / "f"), n_buckets=8)
     fresh.build(d1.filter(F.col("doc_id") != victim))
     assert _bm25(ix, spark, terms) == _bm25(fresh, spark, terms)
+
+
+def test_vector_store_append_crash_is_invisible_then_replays_once(spark, tmp_path):
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    emb = load_table(spark, "embeddings", SF_SMALL).select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+
+    s_path = str(tmp_path / "vs")
+    store = VectorStore(s_path, SignLSH(dim=64, seed=11))
+    store.write(seed)
+    with open(os.path.join(s_path, "_lsh.json")) as f:
+        cfg_before = json.load(f)
+    store.append(batch)
+    committed_gen = store.current_gen()
+
+    # rewind to the crash state: data at the pending gen present,
+    # sidecar pre-commit with the intent
+    cfg_before["pending_gen"] = committed_gen
+    with open(os.path.join(s_path, "_lsh.json"), "w") as f:
+        json.dump(cfg_before, f)
+
+    assert store.read(spark).count() == seed.count()
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in emb.filter("vec_id = 350").first().embedding])],
+        "qid long, qvec array<double>",
+    )
+    hits = {r.neighbor_id for r in store.knn(spark, q, k=5, pruned=False).collect()}
+    assert not any(h >= 300 for h in hits)
+
+    # replay: heals + lands once
+    store.append(batch)
+    cfg = store._lsh_config()
+    assert cfg["aborted_gens"] == [committed_gen]
+    assert cfg["pending_gen"] is None and cfg["gen"] == committed_gen + 1
+    assert store.read(spark).count() == emb.count()
+    hits = {r.neighbor_id for r in store.knn(spark, q, k=5, pruned=False).collect()}
+    assert 350 in hits
+
+    live = store.read(spark).count()
+    store.compact(spark)
+    cfg = store._lsh_config()
+    assert cfg["aborted_gens"] == [] and cfg["pending_gen"] is None
+    assert spark.read.parquet(s_path).count() == live
+
+
+def test_sig_store_append_crash_is_invisible_then_replays_once(spark, tmp_path):
+    from distributedvectordatabase_spark.sources.sig_store import SigStore
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    c1 = docs.filter(F.col("doc_id") % 5 == 1)
+    c2 = docs.filter(F.col("doc_id") % 5 == 2)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    s_path = str(tmp_path / "sig")
+    sig = SigStore(s_path, bands=4, rows=3, shingle_n=3)
+    sig.build(c1)
+    with open(os.path.join(s_path, "_config.json")) as f:
+        cfg_before = json.load(f)
+    sig.append(c2, ingest_batch=1)
+    with open(os.path.join(s_path, "_config.json")) as f:
+        committed = json.load(f)
+    assert committed["ingest_batch"] == 1
+
+    cfg_before["pending_gen"] = committed["gen"]
+    with open(os.path.join(s_path, "_config.json"), "w") as f:
+        json.dump(cfg_before, f)
+
+    def hits(store):
+        return sorted(
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in store.join_batch(batch, threshold=0.5).collect()
+        )
+
+    f1 = SigStore(str(tmp_path / "f1"), bands=4, rows=3, shingle_n=3)
+    f1.build(c1)
+    assert hits(sig) == hits(f1)  # orphans generate no candidates
+    assert sig.ingest_batch() == -1
+
+    sig.append(c2, ingest_batch=1)
+    cfg = sig._config()
+    assert cfg["aborted_gens"] == [committed["gen"]]
+    assert cfg["gen"] == committed["gen"] + 1 and cfg["ingest_batch"] == 1
+    f2 = SigStore(str(tmp_path / "f2"), bands=4, rows=3, shingle_n=3)
+    f2.build(c1.union(c2))
+    assert hits(sig) == hits(f2)
+
+    sig.compact(spark)
+    cfg = sig._config()
+    assert cfg["aborted_gens"] == [] and cfg["pending_gen"] is None
+    assert cfg["ingest_batch"] == 1  # marker survives compaction (r7)
+    assert hits(sig) == hits(f2)

@@ -24,6 +24,7 @@ def test_quickstart_snippet_runs(spark, tmp_path):
     snippet = snippet.replace('"/root/testdata/sf0.01"', f'"{SF_SMALL}"')
     snippet = snippet.replace("/tmp/my_index", str(tmp_path / "ix"))
     snippet = snippet.replace("/tmp/my_export", str(tmp_path / "ex"))
+    snippet = snippet.replace("/tmp/my_tokenizer", str(tmp_path / "tok"))
     ns: dict = {}
     exec(compile(snippet, str(README), "exec"), ns)  # noqa: S102
     # the snippet's own objects prove each stage really ran
@@ -31,3 +32,5 @@ def test_quickstart_snippet_runs(spark, tmp_path):
     # 499: the quickstart's take-down section (3d) deletes doc 7
     assert ns["store"].read(ns["spark"]).count() == 499
     assert ns["ix"].stats()["n_docs"] == 499
+    # 4b: the reopened tokenizer served apply from its persisted merges
+    assert len(ns["tok"].merges(ns["spark"])) == 8

@@ -611,3 +611,36 @@ def test_hybrid_serve_batch_ivf_leg_equals_manual_composition(spark, tmp_path):
     with pytest.raises(ValueError, match="n_probe instead"):
         hybrid_serve_batch(spark, store, index, queries, k=5,
                            num_candidates=2)
+
+
+def test_hybrid_serve_ivf_plan_pruned_on_both_legs(spark, tmp_path):
+    """The served plan prunes BOTH legs: the IVF semantic leg's raw
+    scan lists only the probed cells' directories, and the BM25 leg's
+    postings scan lists only the query terms' hash buckets."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+    )
+    from distributedvectordatabase_spark.plans import scan_partition_filters
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    store = IVFStore(str(tmp_path / "ivf"), n_cells=8, id_col="doc_id")
+    store.build(emb)
+    index = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    index.build(docs)
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in emb.first().embedding], ["dup", "vector"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    served = hybrid_serve_batch(spark, store, index, queries, k=5, n_probe=2)
+    filters = scan_partition_filters(served)
+    assert any("cell_id" in f for f in filters), filters
+    assert any("term_bucket" in f for f in filters), filters
