@@ -227,7 +227,10 @@ class TokenizerStore:
     def compact(self, spark: SparkSession) -> None:
         """Fold tombstones physically (rewrite live counts, keep their
         gens, swap complete-then-remove — the shared compact shape).
-        Merges are untouched: the live vocabulary is unchanged."""
+        The merge VERSION history is kept: each version is O(n_merges)
+        rows, so — unlike the row tables, whose history cost is the
+        data itself — truncating it reclaims nothing; pinned tokenizer
+        versions stay reproducible through compaction."""
         import shutil
 
         tmp = self.path.rstrip("/") + "__compacting"
@@ -248,8 +251,17 @@ class TokenizerStore:
 
     def retrain(self, spark: SparkSession) -> list[tuple[str, str, int]]:
         """Run the vocab-bounded merge loop over the live statistics
-        and overwrite merges/. Also the crash repair for a failed
-        merges rewrite (derived data, like the IVF codes tables)."""
+        and write the result as a NEW merge version stamped with the
+        config's current gen (``merges/gen=<g>/`` — gen discovers as a
+        partition column on read). Versions make the tokenizer
+        time-travelable like every other store: pin ``current_gen()``
+        when a run starts and ``merges(as_of_gen=...)`` /
+        ``apply(as_of_gen=...)`` reproduce exactly the tokenizer that
+        run used, through later appends/deletes/retrains. A repeated
+        retrain at the same gen overwrites its own version directory —
+        the crash repair for a failed merges write stays idempotent
+        (derived data, like the IVF codes tables)."""
+        gen = int(self._config().get("gen", 0))
         merges = bpe_train_from_vocab(self.vocab(spark), self.n_merges)
         rows = [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
         if rows:
@@ -260,16 +272,45 @@ class TokenizerStore:
             df = spark.createDataFrame(
                 [], "ord int, a string, b string, cnt long"
             )
-        df.coalesce(1).write.mode("overwrite").parquet(self._merges_path)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._merges_path, f"gen={gen}")
+        )
         return merges
 
     # -- use --------------------------------------------------------------
 
-    def merges(self, spark: SparkSession) -> list[tuple[str, str, int]]:
-        """The learned merge list, in order, from disk."""
+    def current_gen(self) -> int:
+        """The store's persisted generation — pin it when a training
+        run starts (the shared store contract)."""
+        return int(self._config().get("gen", 0))
+
+    def merge_versions(self, spark: SparkSession) -> list[int]:
+        """Gens that have a trained merge version, ascending."""
+        return sorted(
+            r.gen
+            for r in spark.read.parquet(self._merges_path)
+            .select("gen").distinct().collect()
+        )
+
+    def merges(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> list[tuple[str, str, int]]:
+        """The learned merge list, in order, from disk — the LATEST
+        version by default, or the version a run pinned: the newest
+        version at gen <= ``as_of_gen`` (versions are stamped with the
+        mutation gen that triggered their retrain)."""
+        vs = self.merge_versions(spark)
+        if as_of_gen is not None:
+            vs = [g for g in vs if g <= int(as_of_gen)]
+            if not vs:
+                raise ValueError(
+                    f"no merge version at or before generation {as_of_gen}"
+                )
+        pick = vs[-1]
         return [
             (r.a, r.b, int(r.cnt))
             for r in spark.read.parquet(self._merges_path)
+            .filter(F.col("gen") == pick)
             .orderBy("ord")
             .collect()
         ]
@@ -280,14 +321,17 @@ class TokenizerStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         out_col: str = "bpe_tokens",
+        as_of_gen: int | None = None,
         **kw,
     ) -> DataFrame:
         """Tokenize ``docs`` under the persisted merges — row-identical
         to ``bpe_apply(docs, store.merges(...))`` (pinned in tests);
-        the docs need NOT be registered training docs."""
+        the docs need NOT be registered training docs. ``as_of_gen``
+        applies the tokenizer version a run pinned (see
+        :meth:`merges`)."""
         return bpe_apply(
             docs,
-            self.merges(docs.sparkSession),
+            self.merges(docs.sparkSession, as_of_gen=as_of_gen),
             text_col=text_col,
             id_col=id_col,
             out_col=out_col,

@@ -264,3 +264,48 @@ def test_sig_store_append_crash_is_invisible_then_replays_once(spark, tmp_path):
     assert cfg["aborted_gens"] == [] and cfg["pending_gen"] is None
     assert cfg["ingest_batch"] == 1  # marker survives compaction (r7)
     assert hits(sig) == hits(f2)
+
+
+def test_tokenizer_store_append_crash_is_invisible_then_replays_once(spark, tmp_path):
+    """The fifth store: a crashed word-counts append must not leak into
+    the vocabulary (a retrain would otherwise learn from orphan
+    counts), and the replay must fold the statistics exactly once."""
+    from distributedvectordatabase_spark.operators.bpe import bpe_train
+    from distributedvectordatabase_spark.sources.tokenizer_store import (
+        TokenizerStore,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL).limit(160)
+    d1 = docs.filter(F.col("doc_id") % 2 == 0)
+    d2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    s_path = str(tmp_path / "tok")
+    tok = TokenizerStore(s_path, n_merges=8)
+    tok.train(d1)
+    with open(os.path.join(s_path, "_config.json")) as f:
+        cfg_before = json.load(f)
+    tok.append(d2)
+    with open(os.path.join(s_path, "_config.json")) as f:
+        committed = json.load(f)
+
+    cfg_before["pending_gen"] = committed["gen"]
+    with open(os.path.join(s_path, "_config.json"), "w") as f:
+        json.dump(cfg_before, f)
+
+    # orphan counts invisible: a retrain over the crashed store learns
+    # exactly the d1-only tokenizer
+    assert tok.retrain(spark) == bpe_train(d1, n_merges=8)
+    assert tok.registered_docs(spark).count() == d1.count()
+
+    # replay folds once: equal to a fresh train over the union
+    merges = tok.append(d2)
+    cfg = tok._config()
+    assert cfg["aborted_gens"] == [committed["gen"]]
+    assert cfg["gen"] == committed["gen"] + 1 and cfg["pending_gen"] is None
+    assert merges == bpe_train(docs, n_merges=8)
+    assert tok.registered_docs(spark).count() == docs.count()
+
+    tok.compact(spark)
+    cfg = tok._config()
+    assert cfg["aborted_gens"] == [] and cfg["pending_gen"] is None
+    assert tok.merges(spark) == merges

@@ -109,3 +109,47 @@ def test_apply_shuffle_join_path_matches_broadcast(spark, tmp_path):
         for r in store.apply(docs, broadcast_vocab=False).collect()
     }
     assert bc == sh
+
+
+def test_merge_versions_are_time_travelable(spark, tmp_path):
+    """r7: each train/append/delete stamps a merge VERSION with its
+    mutation gen — pin current_gen() when a run starts and
+    merges/apply(as_of_gen=) reproduce exactly the tokenizer that run
+    used, through later retrains (and through compact, which keeps the
+    O(n_merges)-row version history)."""
+    import pytest
+
+    docs = _docs(spark).limit(200)
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    store = TokenizerStore(str(tmp_path / "tok"), n_merges=10)
+    v1 = store.train(lo)
+    g1 = store.current_gen()
+    v2 = store.append(hi)
+    g2 = store.current_gen()
+    assert v1 != v2  # the corpus changed, so the tokenizer did
+
+    assert store.merge_versions(spark) == [g1, g2]
+    assert store.merges(spark, as_of_gen=g1) == v1
+    assert store.merges(spark, as_of_gen=g2) == v2
+    assert store.merges(spark) == v2  # latest by default
+
+    # apply at the pinned gen == apply of the pinned list
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in store.apply(lo, as_of_gen=g1).collect()
+    }
+    want = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_apply(lo, v1).collect()
+    }
+    assert got == want
+
+    # versions survive compaction
+    store.compact(spark)
+    assert store.merges(spark, as_of_gen=g1) == v1
+    assert store.merges(spark) == v2
+
+    with pytest.raises(ValueError, match="no merge version"):
+        store.merges(spark, as_of_gen=0)
