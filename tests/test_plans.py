@@ -237,3 +237,43 @@ def test_bm25_batch_plan_broadcasts_and_no_smj(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert has_broadcast(df)
+
+
+def test_commit_filters_push_down_and_keep_pruning(spark, tmp_path):
+    """r7: the two-phase commit protocol adds literal scan predicates
+    (gen ceiling + aborted-gen exclusion) under every store read — they
+    must reach the parquet reader as pushed filters and must NOT
+    disturb the shard/cell partition pruning that makes the stores
+    scale."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.plans import (
+        scan_partition_filters,
+        scan_pushed_filters,
+    )
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    store = IVFStore(str(tmp_path / "ivf"), n_cells=8)
+    store.build(emb.filter(F.col("vec_id") < 300))
+    store.append(emb.filter(F.col("vec_id") >= 300))
+    # plant an aborted gen so BOTH commit predicates appear in the plan
+    with open(os.path.join(str(tmp_path / "ivf"), "_centroids.json")) as f:
+        side = json.load(f)
+    side["aborted_gens"] = [99]
+    with open(os.path.join(str(tmp_path / "ivf"), "_centroids.json"), "w") as f:
+        json.dump(side, f)
+
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in emb.first().embedding])],
+        "qid long, qvec array<double>",
+    )
+    res = store.knn(spark, q, k=5, n_probe=2)
+    pf = " | ".join(scan_pushed_filters(res))
+    assert "_gen" in pf, pf  # ceiling + aborted list reached the scan
+    parts = " | ".join(scan_partition_filters(res))
+    assert "cell_id" in parts, parts  # pruning intact under the filter
