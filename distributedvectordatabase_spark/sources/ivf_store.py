@@ -974,6 +974,29 @@ class IVFStore:
             json.dump(side, f)
         append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
 
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Predicate delete (VectorStore.delete_where parity — r7):
+        tombstone every LIVE row matching ``predicate`` (a Column or a
+        SQL string), typically over the co-located metadata columns
+        (``build(meta_cols=...)``) — retention sweeps and policy
+        take-downs by attribute, not id list. Returns the number of
+        ids tombstoned. One scan to find the ids; the delete itself
+        stays O(deleted)."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        # pin the matching ids BEFORE tombstoning: the tombstone write
+        # must not re-execute a plan that reads the tombstone dir it
+        # is appending to (self-referential read-under-write)
+        ids = (
+            self.read(spark)
+            .filter(cond)
+            .select(self.id_col)
+            .localCheckpoint(eager=True)
+        )
+        n = ids.count()
+        if n:
+            self.delete(spark, ids)
+        return n
+
     def upsert(self, df: DataFrame) -> None:
         """Replace-by-id: tombstone the incoming ids, then append (the
         new rows' gen out-ranks the tombstone). Codes stay in sync via

@@ -733,3 +733,36 @@ def test_compact_split_threshold_rebalances_streamed_skew(spark, tmp_path):
     # still reconstructs the seed corpus exactly
     snap_ids = {r.vec_id for r in s.read(spark, as_of_gen=g1).collect()}
     assert snap_ids == set(range(1500))
+
+
+def test_delete_where_by_metadata(spark, tmp_path):
+    """r7 (VectorStore parity): predicate take-downs over the
+    co-located metadata — the policy-sweep shape. Tombstones only the
+    matching LIVE rows; filtered and unfiltered search stop serving
+    them; codes stay in sync; re-running the sweep deletes nothing."""
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    store = IVFStore(str(tmp_path / "ivf"), n_cells=8, meta_cols=("label",))
+    store.build(emb)
+    store.build_sq(spark)
+
+    total = emb.count()
+    doomed = emb.filter("label = 2").count()
+    assert doomed > 0
+    n = store.delete_where(spark, "label = 2")
+    assert n == doomed
+    assert store.read(spark).count() == total - doomed
+    assert store.read(spark).filter("label = 2").count() == 0
+
+    q = emb.filter("label = 2").limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    doomed_ids = {r.vec_id for r in emb.filter("label = 2").collect()}
+    hits = {r.neighbor_id
+            for r in store.knn(spark, q, k=5, n_probe=store.n_cells).collect()}
+    assert not (hits & doomed_ids)
+    sq_hits = {r.neighbor_id
+               for r in store.knn_sq(spark, q, k=5, n_probe=store.n_cells).collect()}
+    assert not (sq_hits & doomed_ids)
+
+    # idempotent: the second sweep matches nothing live
+    assert store.delete_where(spark, "label = 2") == 0
