@@ -384,10 +384,11 @@ class IVFStore:
         # keep the IVFPQ codes table in sync: new rows are encoded with
         # the EXISTING codebook (standard IVFPQ ingest — codes are only
         # as good as the codebook, so periodic build_pq refresh is a
-        # caller policy, same as centroid rebuild). The two writes are
-        # not atomic: if this second one fails, re-run build_pq to
-        # regenerate the codes table from the raw rows (codes are
-        # derived data, so the repair is always safe).
+        # caller policy, same as centroid rebuild). A failure in any of
+        # these writes aborts the append BEFORE the phase-2 commit, so
+        # both the raw rows and any partial codes stay invisible
+        # orphans (healed on the next write, reclaimed by compact) —
+        # the two tables can never serve out of sync.
         try:
             if has_pq:
                 from distributedvectordatabase_spark.operators.pq import pq_encode
@@ -740,6 +741,7 @@ class IVFStore:
         those cells' 1-byte/dim codes with a per-query cell mask, then
         exact-rerank the shortlist against the raw vectors of the same
         probed cells. ``rerank=0`` returns the SQ-estimate distances."""
+        n_probe = max(int(n_probe), 1)  # 0 probes nothing and would silently return empty
         from distributedvectordatabase_spark.operators.sq import sq_search
 
         C = self.centroids()
@@ -778,6 +780,7 @@ class IVFStore:
         both probes prune partitions, and the float column is read only
         for ≤ nq·rerank·k shortlist rows. ``rerank=0`` returns raw ADC
         distances."""
+        n_probe = max(int(n_probe), 1)  # 0 probes nothing and would silently return empty
         from distributedvectordatabase_spark.operators.pq import pq_search
 
         C = self.centroids()
@@ -887,6 +890,7 @@ class IVFStore:
         honest pairing — the Hamming shortlist is angular by
         construction), others by squared L2. Returns
         (qid, neighbor_id, dist, rnk), the knn() shape."""
+        n_probe = max(int(n_probe), 1)  # 0 probes nothing and would silently return empty
         from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
 
         if not os.path.exists(self._bq_params_path):
