@@ -766,3 +766,17 @@ def test_delete_where_by_metadata(spark, tmp_path):
 
     # idempotent: the second sweep matches nothing live
     assert store.delete_where(spark, "label = 2") == 0
+
+
+def test_compressed_searches_clamp_zero_probe(spark, tmp_path):
+    """r7: n_probe=0 must probe one cell on every compressed path, not
+    silently return empty (knn's escalate loop got the same clamp)."""
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    s = IVFStore(str(tmp_path / "ivf"), n_cells=8)
+    s.build(emb)
+    s.build_sq(spark)
+    s.build_pq(spark, m=8, nbits=4)
+    s.build_bq(spark)
+    q = queries_fixture(spark, SF_SMALL, n=2)
+    for fn in (s.knn, s.knn_sq, s.knn_pq, s.knn_bq):
+        assert fn(spark, q, k=3, n_probe=0).count() == 6, fn.__name__
