@@ -153,6 +153,40 @@ class TokenizerStore:
 
     # -- lifecycle --------------------------------------------------------
 
+    def _register_initial(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        ingest_batch: int | None = None,
+    ) -> None:
+        """First registration: counts at gen 1 + fresh config (the
+        overwrite writes make a streaming replay of this step
+        idempotent; the batch id rides the config dump)."""
+        (
+            self._word_counts_of(docs, id_col, text_col)
+            .withColumn(GEN_COL, F.lit(1))
+            .write.mode("overwrite")
+            .parquet(self._counts_path)
+        )
+        cfg = {
+            "n_merges": self.n_merges,
+            "tokenize": "whitespace",
+            "gen": 1,
+        }
+        if ingest_batch is not None:
+            cfg["ingest_batch"] = int(ingest_batch)
+        self._write_config(cfg)
+
+    def ingest_batch(self) -> int:
+        """Last streaming batch id whose registration COMMITTED
+        (recorded by the same config dump that bumps gen —
+        stream_tokenizer_ingest's exactly-once marker). -1 if the
+        store never streamed."""
+        if os.path.exists(self._config_path):
+            return int(self._config().get("ingest_batch", -1))
+        return -1
+
     def train(
         self,
         docs: DataFrame,
@@ -164,19 +198,7 @@ class TokenizerStore:
         same list is persisted and reloadable forever via
         :meth:`merges`."""
         spark = docs.sparkSession
-        (
-            self._word_counts_of(docs, id_col, text_col)
-            .withColumn(GEN_COL, F.lit(1))
-            .write.mode("overwrite")
-            .parquet(self._counts_path)
-        )
-        self._write_config(
-            {
-                "n_merges": self.n_merges,
-                "tokenize": "whitespace",
-                "gen": 1,
-            }
-        )
+        self._register_initial(docs, id_col, text_col)
         return self.retrain(spark)
 
     def append(
@@ -184,12 +206,20 @@ class TokenizerStore:
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        retrain: bool = True,
+        ingest_batch: int | None = None,
     ) -> list[tuple[str, str, int]]:
         """Add documents to the training corpus and retrain: exactly
         equal to a fresh :meth:`train` over the union (BPE is a pure
         function of word frequencies, and frequencies add). Only the
         NEW docs are tokenized; the retrain is vocab-bounded. Caller
         owns doc-id uniqueness (VectorStore.append contract).
+
+        ``retrain=False`` registers the statistics without the merge
+        loop (the streaming-ingest shape: retrain once after the
+        stream drains, not per micro-batch — statistics folding is
+        exact regardless of when the loop runs). ``ingest_batch``
+        rides the config commit (the shared exactly-once marker).
 
         Crash-atomic counts (tombstones.heal_pending two-phase
         protocol): the merges rewrite is derived data, repaired by
@@ -207,8 +237,10 @@ class TokenizerStore:
         )
         cfg["gen"] = gen
         cfg["pending_gen"] = None
+        if ingest_batch is not None:
+            cfg["ingest_batch"] = int(ingest_batch)
         self._write_config(cfg)
-        return self.retrain(spark)
+        return self.retrain(spark) if retrain else []
 
     def delete(self, spark: SparkSession, ids) -> list[tuple[str, str, int]]:
         """Remove documents' influence from the tokenizer: tombstone

@@ -9,6 +9,7 @@ from distributedvectordatabase_spark.streaming.ingest import (  # noqa: F401
     stream_knn_serve,
     stream_neardup_ingest,
     stream_text_index_ingest,
+    stream_tokenizer_ingest,
     windowed_event_counts,
     sessionize_events,
 )

@@ -633,3 +633,80 @@ def stream_ivf_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tokenizer_ingest(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    tok_path: str,
+    *,
+    n_merges: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    retrain_per_batch: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus registration into a
+    :class:`~...sources.tokenizer_store.TokenizerStore` — the last
+    store joins the streaming matrix (vectors, signatures, postings,
+    IVF rows, and now tokenizer statistics all stream). Each
+    micro-batch tokenizes ONCE and appends its per-doc word counts;
+    because BPE is a pure function of the accumulated word
+    frequencies, statistics folding is exact regardless of when the
+    merge loop runs — so by default the stream registers counts only
+    (``retrain_per_batch=False``) and the caller runs
+    ``TokenizerStore.retrain(spark)`` once after the stream drains,
+    yielding EXACTLY the tokenizer a fresh train over the full corpus
+    would learn (pinned in tests/test_streaming.py).
+    ``retrain_per_batch=True`` keeps a continuously-current tokenizer
+    at O(n_merges x vocab) cost per batch. Caller owns doc-id
+    uniqueness across batches.
+
+    Exactly-once: the batch id rides the SAME config dump that commits
+    the counts append's gen (``TokenizerStore.append(ingest_batch=``,
+    the shared heal_pending protocol), so a crash mid-append leaves
+    orphan counts invisible to every retrain and the replay folds the
+    statistics exactly once. The first batch takes the initial
+    registration path, whose overwrite writes make its replay
+    idempotent."""
+    from distributedvectordatabase_spark.sources.tokenizer_store import (
+        TokenizerStore,
+    )
+
+    def committed_batch() -> int:
+        return TokenizerStore(tok_path, n_merges=n_merges).ingest_batch()
+
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= committed_batch():
+            return  # replayed batch that already committed atomically
+        if batch_df.isEmpty():
+            return
+        tok = TokenizerStore(tok_path, n_merges=n_merges)
+        # pin the batch rows: the counts write must see the SAME rows
+        # even if the source re-lists non-deterministically
+        batch = batch_df.localCheckpoint(eager=True)
+        import os
+
+        if os.path.exists(os.path.join(tok_path, "_config.json")):
+            tok.append(batch, id_col=id_col, text_col=text_col,
+                       retrain=retrain_per_batch, ingest_batch=batch_id)
+        else:
+            tok._register_initial(batch, id_col, text_col,
+                                  ingest_batch=batch_id)
+            if retrain_per_batch:
+                tok.retrain(spark)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -693,3 +693,63 @@ def test_stream_ivf_ingest_matches_batch_append(spark, tmp_path):
     q.awaitTermination(180)
     assert streamed.read(spark).count() == 500
     assert streamed._gen() == gen_before
+
+
+def test_stream_tokenizer_ingest_matches_fresh_train(spark, tmp_path):
+    """r7: the last store joins the streaming matrix. Counts stream
+    exactly-once (batch id rides the config commit); one retrain after
+    the drain learns EXACTLY the tokenizer a fresh train over the full
+    corpus would (BPE is a pure function of the folded statistics).
+    Fresh-checkpoint replay adds nothing."""
+    from distributedvectordatabase_spark.operators.bpe import bpe_train
+    from distributedvectordatabase_spark.sources.tokenizer_store import (
+        TokenizerStore,
+    )
+    from distributedvectordatabase_spark.streaming.ingest import (
+        stream_tokenizer_ingest,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL).limit(300)
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), src / f"{name}.parquet")
+
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        land(b, f"f{i}")
+
+    tok_path = str(tmp_path / "tok")
+    q = stream_tokenizer_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), tok_path,
+        n_merges=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    tok = TokenizerStore(tok_path)
+    assert tok.ingest_batch() == 2  # marker rode the last commit
+    assert tok.registered_docs(spark).count() == docs.count()
+    # one retrain after the drain == fresh train over the union
+    merges = tok.retrain(spark)
+    assert merges == bpe_train(docs, n_merges=8)
+
+    # fresh-checkpoint replay: batch ids 0..2 redeliver, the committed
+    # marker suppresses all of them
+    gen_before = tok.current_gen()
+    q = stream_tokenizer_ingest(
+        spark, str(src), str(tmp_path / "ckpt2"), tok_path,
+        n_merges=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert tok.current_gen() == gen_before
+    assert tok.registered_docs(spark).count() == docs.count()
+    assert tok.merges(spark) == merges
