@@ -39,8 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Equivalent DuckDB SQL per query; omitted (rows-only check) for
-    pca_project_16 / ann_ivf_recall (centroid & eigen init not
-    SQL-expressible) — their accuracy contracts live in tests/
-    (recall sweep invariants, NumPy PCA oracle, PCA invariants)."""
+    """Equivalent DuckDB SQL per query; omitted (rows-only check) only
+    for ann_ivf_recall (KMeans init genuinely not SQL-expressible — its
+    accuracy contract is the pytest recall-sweep invariants).
+    pca_project_16 gained a full hash oracle in r8: an independent
+    NumPy eigh fit inlined as DOUBLE[] literals, projected by DuckDB
+    itself (catalog._pca_oracle)."""
     return {name: q.oracle for name, q in _CATALOG.items() if q.oracle is not None}

@@ -125,7 +125,10 @@ def main() -> None:
     # estimate; the MEDIAN is emitted alongside so round-over-round
     # deltas separate plan changes from scheduler weather without
     # prose caveats.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # r8 (VERDICT r7 #8): 5 repeats for the official run, and p25
+    # emitted next to min/median, so round-over-round deltas separate
+    # plan changes from scheduler weather without prose caveats.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
     from distributedvectordatabase_spark.catalog import (
         _run_ann_ivf,
@@ -152,7 +155,7 @@ def main() -> None:
         "dedup_minhash_capped": _run_dedup_minhash_capped,
     }
 
-    def time_query(name: str) -> tuple[float, float]:
+    def time_query(name: str) -> tuple[float, float, float]:
         run = catalog[name].run if name in catalog else extra_runners[name]
         times = []
         for _ in range(repeats):
@@ -160,14 +163,20 @@ def main() -> None:
             run(spark, sf_dir).count()
             times.append(time.perf_counter() - t0)
         times.sort()
-        return round(times[0], 4), round(times[len(times) // 2], 4)
+        p25_idx = max(0, round(0.25 * (len(times) - 1)))
+        return (
+            round(times[0], 4),
+            round(times[p25_idx], 4),
+            round(times[len(times) // 2], 4),
+        )
 
     timed = {name: time_query(name) for name in HEADLINE}
     timed_extra = {name: time_query(name) for name in EXTRA}
     timings = {name: t[0] for name, t in timed.items()}
-    medians = {name: t[1] for name, t in timed.items()}
+    p25s = {name: t[1] for name, t in timed.items()}
+    medians = {name: t[2] for name, t in timed.items()}
     extra = {name: t[0] for name, t in timed_extra.items()}
-    extra_medians = {name: t[1] for name, t in timed_extra.items()}
+    extra_medians = {name: t[2] for name, t in timed_extra.items()}
 
     total = round(sum(timings.values()), 4)
     # value/value_median are emitted LAST: the driver's line capture
@@ -179,11 +188,14 @@ def main() -> None:
                 "metric": "headline_total",
                 "unit": "sec",
                 "sf": sf,
+                "repeats": repeats,
                 "queries": timings,
+                "p25": p25s,
                 "median": medians,
                 "extra": extra,
                 "extra_median": extra_medians,
                 "value": total,
+                "value_p25": round(sum(p25s.values()), 4),
                 "value_median": round(sum(medians.values()), 4),
             }
         )

@@ -101,45 +101,29 @@ def bpe_train(
     n_merges: int = 50,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    incremental: bool | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges over a document corpus; returns
     [(a, b, pair_count)] in merge order. One corpus pass folds to the
     (word, freq) vocabulary, then :func:`bpe_train_from_vocab` runs the
     vocab-bounded merge loop."""
     return bpe_train_from_vocab(
-        word_vocab(docs, text_col), n_merges, checkpoint_every=checkpoint_every
+        word_vocab(docs, text_col),
+        n_merges,
+        checkpoint_every=checkpoint_every,
+        incremental=incremental,
     )
 
 
-def bpe_train_from_vocab(
-    vocab_df: DataFrame,
-    n_merges: int = 50,
-    checkpoint_every: int = 8,
-    word_col: str = "word",
-    freq_col: str = "freq",
-) -> list[tuple[str, str, int]]:
-    """Learn ``n_merges`` BPE merges from a (word, freq) vocabulary —
-    the corpus' sufficient statistic for BPE, which is exactly what
-    ``TokenizerStore`` persists (training never needs the corpus twice).
-    Deterministic: argmax pair ties break on (a, b)
-    lexicographically, so two engines (or two cluster sizes) learn the
-    identical tokenizer. Stops early when no pair occurs twice.
-
-    The driver holds only the merge list (n_merges rows) and a 1-row
-    argmax per iteration; everything else stays distributed. Symbol
-    arrays are rewritten in place per iteration (a vocab-sized
-    projection, no shuffle) and ``localCheckpoint`` every
-    ``checkpoint_every`` iterations keeps the plan from growing
-    unboundedly."""
-    vocab = vocab_df.select(
-        F.split(F.col(word_col), "").alias("syms"), F.col(freq_col).alias("freq")
-    )
-    # tokens of length 1 can never merge; keep them out of the loop
-    vocab = vocab.filter(F.size("syms") >= 2).localCheckpoint(eager=True)
-
-    merges: list[tuple[str, str, int]] = []
-    for it in range(int(n_merges)):
-        pairs = vocab.select(
+def _pair_counts(vdf: DataFrame, sign: int = 1) -> DataFrame:
+    """(a, b, cnt) adjacent-pair counts over (syms, freq) rows — the
+    overlapping zip(syms, syms[1:]) count, exactly the statistic the
+    full-scan loop aggregates (Sennrich's get_stats). ``sign=-1``
+    negates the counts, the retract side of an incremental delta.
+    Callers guarantee size(syms) >= 2 (sequence(1, size-1) with
+    size < 2 would run DOWNWARD into index 0 — an ANSI error)."""
+    agg = (
+        vdf.select(
             "freq",
             F.explode(
                 F.transform(
@@ -151,9 +135,137 @@ def bpe_train_from_vocab(
                 )
             ).alias("p"),
         )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    if sign < 0:
+        agg = agg.select("a", "b", (-F.col("cnt")).alias("cnt"))
+    return agg
+
+
+def _has_pair_expr(a: str, b: str):
+    """True where the ``syms`` array contains (a, b) adjacent — the
+    words whose pair statistics a merge of (a, b) can change. A pure
+    map-side predicate: selecting the affected subset never shuffles."""
+    return F.exists(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: (F.element_at("syms", i) == F.lit(a))
+        & (F.element_at("syms", i + 1) == F.lit(b)),
+    )
+
+
+def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
+    """The incremental merge loop: maintain the global pair-count table
+    across iterations instead of re-exploding the full vocabulary per
+    merge.
+
+    Applying merge (a, b) only changes the pair statistics of words
+    CONTAINING adjacent (a, b) — typically a tiny fraction of the
+    vocabulary once past the first merges — so each iteration:
+
+    1. argmax straight off the maintained ``stats`` table (a top-1 scan,
+       no recount);
+    2. filters the affected words (map-side predicate), merges them, and
+       aggregates a DELTA = new pair counts minus old pair counts over
+       that subset only;
+    3. folds the delta into ``stats`` with BROADCAST joins (delta is
+       small): a map-side left join updates existing pairs, a map-side
+       semi/anti pair discovers brand-new ones — the big table is never
+       shuffled;
+    4. rewrites the vocabulary as unchanged ∪ merged (map-side union,
+       checkpointed so the next iteration's three passes read
+       materialized arrays, not a growing fold chain).
+
+    Counts are maintained EXACTLY (frequencies add), so the learned
+    merges — argmax, lexicographic tie-break, the <2 stop — are
+    identical to the full-scan loop (pinned in tests/test_bpe.py). Per-
+    merge cost drops from O(vocab × word_len) explode + shuffle + agg to
+    O(affected × word_len) + map passes: sub-linear in vocabulary for
+    every merge past the first few (BASELINE.md r8 probe)."""
+    merges: list[tuple[str, str, int]] = []
+    stats = _pair_counts(vocab).localCheckpoint(eager=True)
+    for _ in range(int(n_merges)):
+        top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top or int(top[0]["cnt"]) < 2:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        has = _has_pair_expr(a, b)
+        affected = vocab.filter(has).localCheckpoint(eager=True)
+        merged = (
+            affected.select(_merge_expr(a, b).alias("syms"), "freq")
+            .filter(F.size("syms") >= 2)
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            _pair_counts(affected, sign=-1)
+            .unionByName(_pair_counts(merged))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("d"))
+            .filter(F.col("d") != 0)
+            .localCheckpoint(eager=True)
+        )
+        updated = stats.join(F.broadcast(delta), ["a", "b"], "left").select(
+            "a", "b", (F.col("cnt") + F.coalesce(F.col("d"), F.lit(0))).alias("cnt")
+        )
+        hit = stats.join(F.broadcast(delta), ["a", "b"], "left_semi")
+        fresh = delta.join(
+            F.broadcast(hit.select("a", "b")), ["a", "b"], "left_anti"
+        ).select("a", "b", F.col("d").alias("cnt"))
+        stats = (
+            updated.unionByName(fresh)
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+        vocab = vocab.filter(~has).unionByName(merged).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_from_vocab(
+    vocab_df: DataFrame,
+    n_merges: int = 50,
+    checkpoint_every: int = 8,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    incremental: bool | None = None,
+    incremental_min_vocab: int = 20_000,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) vocabulary —
+    the corpus' sufficient statistic for BPE, which is exactly what
+    ``TokenizerStore`` persists (training never needs the corpus twice).
+    Deterministic: argmax pair ties break on (a, b)
+    lexicographically, so two engines (or two cluster sizes) learn the
+    identical tokenizer. Stops early when no pair occurs twice.
+
+    The driver holds only the merge list (n_merges rows) and a 1-row
+    argmax per iteration; everything else stays distributed. Two loop
+    bodies, identical learned merges (pinned in tests/test_bpe.py):
+
+    - **full-scan** — re-explode the vocabulary to pair counts each
+      iteration; fewest Spark jobs per merge, right for small
+      vocabularies where per-job overhead dominates.
+    - **incremental** (:func:`_train_incremental`) — maintain the pair-
+      count table across iterations and recount only the words a merge
+      actually changed; per-merge cost is O(affected), not O(vocab) —
+      the production shape (a 32k-merge tokenizer over a web-scale
+      vocabulary re-scans the vocabulary 32k times otherwise).
+
+    ``incremental=None`` picks by vocabulary size (>=
+    ``incremental_min_vocab`` post-filter rows → incremental)."""
+    vocab = vocab_df.select(
+        F.split(F.col(word_col), "").alias("syms"), F.col(freq_col).alias("freq")
+    )
+    # tokens of length 1 can never merge; keep them out of the loop
+    vocab = vocab.filter(F.size("syms") >= 2).localCheckpoint(eager=True)
+    if incremental is None:
+        incremental = vocab.count() >= int(incremental_min_vocab)
+    if incremental:
+        return _train_incremental(vocab, n_merges)
+
+    merges: list[tuple[str, str, int]] = []
+    for it in range(int(n_merges)):
         top = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
+            _pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
             .collect()
@@ -251,9 +363,11 @@ def bpe_apply(
     # empty / whitespace-only / NULL texts posexplode to zero rows and
     # would vanish from the output, breaking downstream inner joins on
     # the doc id — left-join back onto the full id set so every input
-    # document yields a row, with an empty token array.
+    # document yields a row, with an empty token array. distinct():
+    # the groupBy collapses duplicate doc ids to one row, so the
+    # re-attach side must too, or duplicated ids would fan out.
     return (
-        docs.select(id_col)
+        docs.select(id_col).distinct()
         .join(tokenized, id_col, "left")
         .withColumn(
             out_col,

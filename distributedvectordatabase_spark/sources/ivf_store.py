@@ -28,6 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from distributedvectordatabase_spark.sources.tombstones import (
+    atomic_dump_json,
+    locked_writer,
+)
 
 from distributedvectordatabase_spark.operators.knn import (
     _arrow_partial_topk,
@@ -129,6 +133,7 @@ class IVFStore:
 
     # -- build ---------------------------------------------------------------
 
+    @locked_writer
     def build(
         self,
         df: DataFrame,
@@ -180,12 +185,11 @@ class IVFStore:
         radii = self._cell_radii_of(
             df.sparkSession.read.parquet(self.path), np.array(centers, dtype=np.float64)
         )
-        with open(self._centroid_path, "w") as f:
-            json.dump(
-                {"n_cells": self.n_cells, "seed": self.seed, "centers": centers,
-                 "gen": 1, "meta_cols": list(self.meta_cols), "radii": radii},
-                f,
-            )
+        atomic_dump_json(
+            self._centroid_path,
+            {"n_cells": self.n_cells, "seed": self.seed, "centers": centers,
+             "gen": 1, "meta_cols": list(self.meta_cols), "radii": radii},
+        )
 
     def _cell_radii_of(self, df: DataFrame, C: np.ndarray) -> list:
         """Per-cell radius (max member distance to the cell centroid) —
@@ -307,6 +311,7 @@ class IVFStore:
 
     # -- ingest --------------------------------------------------------------
 
+    @locked_writer
     def append(self, df: DataFrame, ingest_batch: int | None = None) -> None:
         """Assign new rows to the existing centroids (no refit) and
         append — the nearest-centroid math runs as a pandas_udf batch
@@ -352,8 +357,7 @@ class IVFStore:
         # phase 1: persist the write intent BEFORE any data job — a
         # crash from here on leaves rows that no read will ever see
         side["pending_gen"] = gen
-        with open(self._centroid_path, "w") as f:
-            json.dump(side, f)
+        atomic_dump_json(self._centroid_path, side)
         out = df.select(self.id_col, self.vec_col, *self.meta_cols).withColumn(
             "cell_id", nearest_cell(F.col(self.vec_col))
         ).withColumn("_gen", F.lit(gen))
@@ -378,8 +382,7 @@ class IVFStore:
             with open(self._centroid_path) as f:
                 side = json.load(f)
             side["radii"] = merged
-            with open(self._centroid_path, "w") as f:
-                json.dump(side, f)
+            atomic_dump_json(self._centroid_path, side)
         out.write.mode("append").partitionBy("cell_id").parquet(self.path)
         # keep the IVFPQ codes table in sync: new rows are encoded with
         # the EXISTING codebook (standard IVFPQ ingest — codes are only
@@ -439,9 +442,9 @@ class IVFStore:
         side["pending_gen"] = None
         if ingest_batch is not None:
             side["ingest_batch"] = int(ingest_batch)
-        with open(self._centroid_path, "w") as f:
-            json.dump(side, f)
+        atomic_dump_json(self._centroid_path, side)
 
+    @locked_writer
     def compact(
         self,
         spark: SparkSession,
@@ -507,8 +510,7 @@ class IVFStore:
         # dropped their orphan rows physically.
         side["aborted_gens"] = []
         side["pending_gen"] = None
-        with open(os.path.join(tmp, os.path.basename(self._centroid_path)), "w") as f:
-            json.dump(side, f)
+        atomic_dump_json(os.path.join(tmp, os.path.basename(self._centroid_path)), side)
         rebal = live if split_threshold is not None else None
         if os.path.exists(self._pq_path):
             if rebal is not None:
@@ -598,6 +600,7 @@ class IVFStore:
             self.id_col, resid(F.col(self.vec_col), F.col("cell_id")).alias("_resid")
         )
 
+    @locked_writer
     def build_pq(
         self,
         spark: SparkSession,
@@ -661,8 +664,7 @@ class IVFStore:
         side = {**cb.to_dict(), "residual": bool(residual)}
         if R is not None:
             side["rotation"] = R.tolist()
-        with open(self._pq_codebook_path, "w") as f:
-            _json.dump(side, f)
+        atomic_dump_json(self._pq_codebook_path, side)
 
     def pq_codebook(self):
         import json as _json
@@ -687,6 +689,7 @@ class IVFStore:
 
     # -- IVF-SQ8 -------------------------------------------------------------
 
+    @locked_writer
     def build_sq(self, spark: SparkSession) -> None:
         """Build (or rebuild) the SQ8 codes sidecar: exact per-dim
         min/max bounds over the live rows, one encode scan into a
@@ -709,8 +712,7 @@ class IVFStore:
             .partitionBy("cell_id")
             .parquet(self._sq_path)
         )
-        with open(self._sq_params_path, "w") as f:
-            json.dump(params.to_dict(), f)
+        atomic_dump_json(self._sq_params_path, params.to_dict())
 
     def sq_params(self):
         from distributedvectordatabase_spark.operators.sq import SQParams
@@ -808,6 +810,7 @@ class IVFStore:
 
     _BQ_KEEP = object()  # build_bq default: adopt the persisted config
 
+    @locked_writer
     def build_bq(self, spark: SparkSession, n_bits=_BQ_KEEP,
                  seed=_BQ_KEEP, normalize=_BQ_KEEP) -> None:
         """Build (or rebuild) the binary codes sidecar inside the IVF
@@ -850,13 +853,12 @@ class IVFStore:
             .partitionBy("cell_id")
             .parquet(self._bq_path)
         )
-        with open(self._bq_params_path, "w") as f:
-            json.dump(
-                {"dim": dim,
-                 "n_bits": None if n_bits is None else int(n_bits),
-                 "seed": int(seed), "normalize": bool(normalize)},
-                f,
-            )
+        atomic_dump_json(
+            self._bq_params_path,
+            {"dim": dim,
+             "n_bits": None if n_bits is None else int(n_bits),
+             "seed": int(seed), "normalize": bool(normalize)},
+        )
 
     def _bq_codes_live(self, spark: SparkSession) -> DataFrame:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
@@ -954,6 +956,7 @@ class IVFStore:
 
     # -- delete / upsert -----------------------------------------------------
 
+    @locked_writer
     def delete(self, spark: SparkSession, ids) -> None:
         """Merge-on-read delete (same mechanics as VectorStore.delete —
         see sources/tombstones.py): tombstones filter BOTH the raw
@@ -974,10 +977,10 @@ class IVFStore:
         side = heal_pending(side)
         gen = next_gen(side)
         side["gen"] = int(gen)  # gen durable BEFORE its tombstones exist
-        with open(self._centroid_path, "w") as f:
-            json.dump(side, f)
+        atomic_dump_json(self._centroid_path, side)
         append_tombstones(spark, self._tombstone_path, self.id_col, ids, gen)
 
+    @locked_writer
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """Predicate delete (VectorStore.delete_where parity — r7):
         tombstone every LIVE row matching ``predicate`` (a Column or a
@@ -1001,6 +1004,7 @@ class IVFStore:
             self.delete(spark, ids)
         return n
 
+    @locked_writer
     def upsert(self, df: DataFrame) -> None:
         """Replace-by-id: tombstone the incoming ids, then append (the
         new rows' gen out-ranks the tombstone). Codes stay in sync via

@@ -62,7 +62,9 @@ from distributedvectordatabase_spark.operators.dedup import (
 from distributedvectordatabase_spark.sources.tombstones import (
     GEN_COL,
     append_tombstones,
+    atomic_dump_json,
     filter_live,
+    locked_writer,
 )
 
 __all__ = ["SigStore"]
@@ -130,8 +132,7 @@ class SigStore:
             }
         )
         cfg.update(extras)
-        with open(self._config_path, "w") as f:
-            json.dump(cfg, f)
+        atomic_dump_json(self._config_path, cfg)
 
     def _aborted_gens(self) -> tuple:
         if os.path.exists(self._config_path):
@@ -184,6 +185,7 @@ class SigStore:
         return toks, banded
 
     # ------------------------------------------------------------------
+    @locked_writer
     def build(
         self,
         docs: DataFrame,
@@ -210,6 +212,7 @@ class SigStore:
         else:
             self._write_config(gen=1)
 
+    @locked_writer
     def append(
         self,
         docs: DataFrame,
@@ -262,6 +265,7 @@ class SigStore:
 
     # -- delete / compact ---------------------------------------------------
 
+    @locked_writer
     def delete(self, spark: SparkSession, ids) -> None:
         """Merge-on-read take-down: hide every current corpus document
         whose id is in ``ids`` (list/iterable or one-column DataFrame)
@@ -289,6 +293,7 @@ class SigStore:
         )
         append_tombstones(spark, self._tombstone_path, "doc_id", ids, gen)
 
+    @locked_writer
     def compact(self, spark: SparkSession) -> None:
         """Fold tombstones in physically: rewrite only live band/token
         rows (keeping their ``_gen``), then swap — the new copy is
@@ -324,8 +329,7 @@ class SigStore:
         cfg = self._config()
         cfg["aborted_gens"] = []
         cfg["pending_gen"] = None
-        with open(os.path.join(tmp, "_config.json"), "w") as f:
-            json.dump(cfg, f)
+        atomic_dump_json(os.path.join(tmp, "_config.json"), cfg)
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 

@@ -54,7 +54,9 @@ from distributedvectordatabase_spark.functions import text as T
 from distributedvectordatabase_spark.sources.tombstones import (
     GEN_COL,
     append_tombstones,
+    atomic_dump_json,
     filter_live,
+    locked_writer,
 )
 
 __all__ = ["TextIndex"]
@@ -82,6 +84,7 @@ class TextIndex:
         return os.path.join(self.path, "_tombstones")
 
     # ------------------------------------------------------------------
+    @locked_writer
     def build(
         self,
         docs: DataFrame,
@@ -132,9 +135,9 @@ class TextIndex:
         }
         if ingest_batch is not None:
             st["ingest_batch"] = int(ingest_batch)
-        with open(self._stats_path, "w") as f:
-            json.dump(st, f)
+        atomic_dump_json(self._stats_path, st)
 
+    @locked_writer
     def append(
         self,
         docs: DataFrame,
@@ -210,8 +213,7 @@ class TextIndex:
         st["pending_gen"] = None
         if ingest_batch is not None:
             st["ingest_batch"] = int(ingest_batch)
-        with open(self._stats_path, "w") as f:
-            json.dump(st, f)
+        atomic_dump_json(self._stats_path, st)
 
     def stats(self) -> dict:
         with open(self._stats_path) as f:
@@ -243,8 +245,7 @@ class TextIndex:
 
     def _write_stats(self, st: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
-        with open(self._stats_path, "w") as f:
-            json.dump(st, f)
+        atomic_dump_json(self._stats_path, st)
 
     def _doclens(self, spark: SparkSession) -> DataFrame:
         """(doc_id, dl, _gen) — one row per indexed document version.
@@ -292,6 +293,7 @@ class TextIndex:
 
     # -- delete / compact ---------------------------------------------------
 
+    @locked_writer
     def delete(self, spark: SparkSession, ids) -> None:
         """Merge-on-read take-down: hide every current posting of the
         given doc ids (list/iterable or one-column DataFrame) — the
@@ -333,6 +335,7 @@ class TextIndex:
         st["stats_gen"] = gen
         self._write_stats(st)
 
+    @locked_writer
     def compact(self, spark: SparkSession) -> None:
         """Fold tombstones in physically: rewrite only live postings /
         doclens rows (keeping their ``_gen``), then swap — the new copy
@@ -363,8 +366,7 @@ class TextIndex:
         # aborted/pending orphans were dropped physically just above
         st["aborted_gens"] = []
         st["pending_gen"] = None
-        with open(os.path.join(tmp, "_stats.json"), "w") as f:
-            json.dump(st, f)
+        atomic_dump_json(os.path.join(tmp, "_stats.json"), st)
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 

@@ -54,9 +54,11 @@ from distributedvectordatabase_spark.operators.bpe import (
 from distributedvectordatabase_spark.sources.tombstones import (
     GEN_COL,
     append_tombstones,
+    atomic_dump_json,
     filter_committed,
     filter_live,
     heal_pending,
+    locked_writer,
     next_gen,
 )
 
@@ -96,8 +98,7 @@ class TokenizerStore:
 
     def _write_config(self, cfg: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
-        with open(self._config_path, "w") as f:
-            json.dump(cfg, f)
+        atomic_dump_json(self._config_path, cfg)
 
     # -- sufficient statistics -------------------------------------------
 
@@ -162,7 +163,19 @@ class TokenizerStore:
     ) -> None:
         """First registration: counts at gen 1 + fresh config (the
         overwrite writes make a streaming replay of this step
-        idempotent; the batch id rides the config dump)."""
+        idempotent; the batch id rides the config dump).
+
+        A re-train on a previously-used path is a REBUILD, so the old
+        history must go with it (IVFStore.build's reset contract):
+        stale higher-gen merge versions would otherwise shadow the
+        fresh training forever (merges() picks max gen), and old
+        tombstones would silently kill re-registered doc ids (new rows
+        at _gen=1 fail the '_gen > tombstone gen' survival rule)."""
+        import shutil
+
+        for stale in (self._merges_path, self._tombstone_path):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         (
             self._word_counts_of(docs, id_col, text_col)
             .withColumn(GEN_COL, F.lit(1))
@@ -187,6 +200,7 @@ class TokenizerStore:
             return int(self._config().get("ingest_batch", -1))
         return -1
 
+    @locked_writer
     def train(
         self,
         docs: DataFrame,
@@ -201,6 +215,7 @@ class TokenizerStore:
         self._register_initial(docs, id_col, text_col)
         return self.retrain(spark)
 
+    @locked_writer
     def append(
         self,
         docs: DataFrame,
@@ -242,6 +257,7 @@ class TokenizerStore:
         self._write_config(cfg)
         return self.retrain(spark) if retrain else []
 
+    @locked_writer
     def delete(self, spark: SparkSession, ids) -> list[tuple[str, str, int]]:
         """Remove documents' influence from the tokenizer: tombstone
         their word counts (merge-on-read, O(deleted) bytes) and
@@ -256,6 +272,7 @@ class TokenizerStore:
         append_tombstones(spark, self._tombstone_path, "doc_id", ids, gen)
         return self.retrain(spark)
 
+    @locked_writer
     def compact(self, spark: SparkSession) -> None:
         """Fold tombstones physically (rewrite live counts, keep their
         gens, swap complete-then-remove — the shared compact shape).
@@ -272,8 +289,7 @@ class TokenizerStore:
         cfg = self._config()
         cfg["aborted_gens"] = []
         cfg["pending_gen"] = None
-        with open(os.path.join(tmp, "_config.json"), "w") as f:
-            json.dump(cfg, f)
+        atomic_dump_json(os.path.join(tmp, "_config.json"), cfg)
         if os.path.exists(self._merges_path):
             shutil.copytree(
                 self._merges_path, os.path.join(tmp, "merges")
@@ -281,6 +297,7 @@ class TokenizerStore:
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
+    @locked_writer
     def retrain(self, spark: SparkSession) -> list[tuple[str, str, int]]:
         """Run the vocab-bounded merge loop over the live statistics
         and write the result as a NEW merge version stamped with the
@@ -317,7 +334,12 @@ class TokenizerStore:
         return int(self._config().get("gen", 0))
 
     def merge_versions(self, spark: SparkSession) -> list[int]:
-        """Gens that have a trained merge version, ascending."""
+        """Gens that have a trained merge version, ascending. Empty if
+        the store registered counts but never ran the merge loop (the
+        stream_tokenizer_ingest retrain_per_batch=False flow before its
+        post-drain retrain)."""
+        if not os.path.exists(self._merges_path):
+            return []
         return sorted(
             r.gen
             for r in spark.read.parquet(self._merges_path)
@@ -332,6 +354,13 @@ class TokenizerStore:
         version at gen <= ``as_of_gen`` (versions are stamped with the
         mutation gen that triggered their retrain)."""
         vs = self.merge_versions(spark)
+        if not vs:
+            raise ValueError(
+                f"tokenizer store at {self.path!r} has registered counts but "
+                "no trained merge version yet — run retrain(spark) first "
+                "(the deferred-retrain streaming flow registers statistics "
+                "without the merge loop)"
+            )
         if as_of_gen is not None:
             vs = [g for g in vs if g <= int(as_of_gen)]
             if not vs:

@@ -22,13 +22,153 @@ row, never a wrongly-killed one (the survival rule is strict
 
 from __future__ import annotations
 
+import json
 import os
+import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 GEN_COL = "_gen"
 DEL_GEN_COL = "_del_gen"
+
+
+def atomic_dump_json(path: str, obj) -> None:
+    """Persist a sidecar with an ATOMIC replace, never truncate-in-place.
+
+    The whole commit protocol rests on 'one sidecar dump is the commit
+    point' — an ``open(path, "w")`` + ``json.dump`` truncates first and
+    writes second, so a crash mid-dump leaves a torn/empty JSON. For
+    IVFStore that file also holds the centroids: the store would become
+    permanently unreadable, strictly worse than the pre-append state
+    the protocol promises. Write to a temp file in the SAME directory
+    (rename is only atomic within a filesystem), fsync, then
+    ``os.replace`` over the target — readers see either the old
+    complete sidecar or the new complete one, never a prefix."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+class WriterLeaseHeld(RuntimeError):
+    """Another live writer holds this store's lease.
+
+    The two-phase sidecar commit is crash-safe but SINGLE-WRITER: two
+    concurrent appenders would race the sidecar read-modify-write —
+    both heal, both allocate gen G+1, the losing dump silently orphans
+    the winner's committed rows above the horizon. The lease turns that
+    silent corruption into this explicit refusal."""
+
+
+class writer_lease:
+    """Exclusive writer lease for one store directory.
+
+    ``O_CREAT | O_EXCL`` on a SIBLING ``<path>__writer.lock`` file is
+    the mutual-exclusion primitive (atomic on POSIX local and on HDFS/
+    object-store ports of this layout via create-if-absent; a sibling,
+    not a member, because ``compact()`` rmtree-swaps the store dir
+    itself mid-lease). The lock file records pid + acquire time; a
+    holder that died without releasing is detected by liveness
+    (same-host pid probe) or by the ``stale_after_s`` wall-clock
+    horizon, and the lease is TAKEN OVER by atomically swapping the
+    lock file — refusal is the default, the takeover only fires on
+    provable staleness. Re-entrant within one process (``train`` calls
+    ``retrain``, ``delete_where`` calls ``delete`` — the inner scope
+    detects its own pid and leaves release to the outer). Used as a
+    context manager around every gen-allocating write (append/delete/
+    compact/build) in all five stores."""
+
+    def __init__(self, store_path: str, stale_after_s: float = 3600.0):
+        self.lock_path = store_path.rstrip("/") + "__writer.lock"
+        self.stale_after_s = float(stale_after_s)
+        self._held = False
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    def _try_takeover(self) -> bool:
+        """Replace a provably-stale lock. Returns True if we now hold it."""
+        try:
+            with open(self.lock_path) as f:
+                cur = json.load(f)
+        except (OSError, ValueError):
+            cur = {}
+        pid = int(cur.get("pid", -1))
+        ts = float(cur.get("ts", 0.0))
+        same_host = cur.get("host") == os.uname().nodename
+        stale = (same_host and pid > 0 and not self._pid_alive(pid)) or (
+            time.time() - ts > self.stale_after_s
+        )
+        if not stale:
+            return False
+        # Atomic swap: whoever's replace lands last owns the lease, and
+        # both contenders believed the old holder dead — the ts in the
+        # new file restarts the staleness clock for the loser.
+        atomic_dump_json(self.lock_path, self._payload())
+        return True
+
+    def _payload(self) -> dict:
+        return {"pid": os.getpid(), "ts": time.time(), "host": os.uname().nodename}
+
+    def __enter__(self):
+        try:
+            fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self.lock_path) as f:
+                    cur = json.load(f)
+            except (OSError, ValueError):
+                cur = {}
+            if (
+                int(cur.get("pid", -1)) == os.getpid()
+                and cur.get("host") == os.uname().nodename
+            ):
+                # re-entrant: this process already holds the lease (an
+                # outer mutator called an inner one) — no-op scope, the
+                # outer owner releases
+                return self
+            if not self._try_takeover():
+                raise WriterLeaseHeld(
+                    f"store lease {self.lock_path!r} is held by a live "
+                    "writer; concurrent writers would race the sidecar "
+                    "commit (both allocate the same generation, the losing "
+                    "dump orphans the winner's rows) — retry after it "
+                    "finishes, or remove the lock if the holder is known dead"
+                ) from None
+            self._held = True
+            return self
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._payload(), f)
+        self._held = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._held:
+            try:
+                os.unlink(self.lock_path)
+            except OSError:
+                pass
+            self._held = False
+        return False
 
 
 def append_tombstones(
@@ -158,6 +298,21 @@ def next_gen(side: dict) -> int:
         candidates.append(int(side["pending_gen"]))
     candidates.extend(int(g) for g in side.get("aborted_gens", ()))
     return max(candidates) + 1
+
+
+def locked_writer(fn):
+    """Method decorator: hold the store's writer lease for the duration
+    of a mutator (``self.path`` is the store dir — the shared layout of
+    all five stores). Re-entrant, so wrapped mutators may call each
+    other."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with writer_lease(self.path):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 def max_tombstoned_id(spark: SparkSession, tomb_dir: str, id_col: str) -> int:

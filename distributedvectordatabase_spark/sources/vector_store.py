@@ -53,6 +53,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributedvectordatabase_spark.functions.lsh import SignLSH
+from distributedvectordatabase_spark.sources.tombstones import (
+    atomic_dump_json,
+    locked_writer,
+)
 from distributedvectordatabase_spark.functions.vector import l2sq
 
 
@@ -160,8 +164,7 @@ class VectorStore:
             }
         )
         cfg.update(extras)
-        with open(self._lsh_config_path, "w") as f:
-            json.dump(cfg, f)
+        atomic_dump_json(self._lsh_config_path, cfg)
 
     # -- ingest -------------------------------------------------------------
 
@@ -282,10 +285,12 @@ class VectorStore:
                 ) from e
             raise
 
+    @locked_writer
     def write(self, df: DataFrame, mode: str = "overwrite", validate_dim: bool = True) -> None:
         """Build (or rebuild) the index: bucket + partitioned write."""
         self._write(df, mode, validate_dim)
 
+    @locked_writer
     def append(self, df: DataFrame, validate_dim: bool = True) -> None:
         """Append ingest (reference add_vectors); auto-IDs continue past
         the current max id, globally unique."""
@@ -310,6 +315,7 @@ class VectorStore:
             )
         self._write(df, "append", validate_dim)
 
+    @locked_writer
     def compact(self, spark: SparkSession) -> None:
         """Rewrite the store into ``files_per_shard`` files per shard.
 
@@ -349,10 +355,9 @@ class VectorStore:
             cfg = self._lsh_config()
             cfg["aborted_gens"] = []
             cfg["pending_gen"] = None
-            with open(
-                os.path.join(tmp, os.path.basename(self._lsh_config_path)), "w"
-            ) as f:
-                json.dump(cfg, f)
+            atomic_dump_json(
+                os.path.join(tmp, os.path.basename(self._lsh_config_path)), cfg
+            )
         # carry the SQ8 sidecar, folding tombstones into the codes
         # table the same way the raw rewrite above does (the swap IS
         # the physical delete for both tables)
@@ -391,6 +396,7 @@ class VectorStore:
 
     # -- delete / upsert ----------------------------------------------------
 
+    @locked_writer
     def delete(self, spark: SparkSession, ids) -> None:
         """Merge-on-read delete: hide every current row whose id is in
         ``ids`` (a list/iterable or a one-column DataFrame). O(deleted)
@@ -427,6 +433,7 @@ class VectorStore:
         if os.path.exists(self._bq_params_path):
             self._bq_record_gen(gen)
 
+    @locked_writer
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """Predicate delete (retention sweeps, policy take-downs):
         tombstone every LIVE row matching ``predicate`` (a Column or a
@@ -447,6 +454,7 @@ class VectorStore:
             self.delete(spark, ids)
         return n
 
+    @locked_writer
     def upsert(self, df: DataFrame, validate_dim: bool = True) -> None:
         """Replace-by-id: tombstone the incoming ids, then append the
         new rows (their write gen is strictly greater than the delete
@@ -459,6 +467,7 @@ class VectorStore:
 
     # -- SQ8 compressed sidecar ---------------------------------------------
 
+    @locked_writer
     def build_sq(self, spark: SparkSession) -> None:
         """Build (or rebuild) the SQ8 codes sidecar: exact per-dim
         min/max bounds over the live rows, then one encode scan into a
@@ -482,8 +491,7 @@ class VectorStore:
             .partitionBy("shard_id")
             .parquet(self._sq_path)
         )
-        with open(self._sq_params_path, "w") as f:
-            json.dump({**params.to_dict(), "gen": self._gen()}, f)
+        atomic_dump_json(self._sq_params_path, {**params.to_dict(), "gen": self._gen()})
 
     def sq_params(self):
         from distributedvectordatabase_spark.operators.sq import SQParams
@@ -495,8 +503,7 @@ class VectorStore:
         with open(self._sq_params_path) as f:
             side = json.load(f)
         side["gen"] = int(gen)
-        with open(self._sq_params_path, "w") as f:
-            json.dump(side, f)
+        atomic_dump_json(self._sq_params_path, side)
 
     def _sq_synced_gen(self) -> int:
         with open(self._sq_params_path) as f:
@@ -559,6 +566,7 @@ class VectorStore:
 
     _BQ_KEEP = object()  # build_bq default: adopt the persisted config
 
+    @locked_writer
     def build_bq(self, spark: SparkSession, n_bits=_BQ_KEEP,
                  seed=_BQ_KEEP, normalize=_BQ_KEEP) -> None:
         """Build (or rebuild) the binary codes sidecar: one projection
@@ -626,20 +634,18 @@ class VectorStore:
             .partitionBy("shard_id")
             .parquet(self._bq_path)
         )
-        with open(self._bq_params_path, "w") as f:
-            json.dump(
-                {"dim": self.lsh.dim, "gen": self._gen(),
-                 "n_bits": n_bits, "seed": int(seed),
-                 "normalize": bool(normalize)},
-                f,
-            )
+        atomic_dump_json(
+            self._bq_params_path,
+            {"dim": self.lsh.dim, "gen": self._gen(),
+             "n_bits": n_bits, "seed": int(seed),
+             "normalize": bool(normalize)},
+        )
 
     def _bq_record_gen(self, gen: int) -> None:
         with open(self._bq_params_path) as f:
             side = json.load(f)
         side["gen"] = int(gen)
-        with open(self._bq_params_path, "w") as f:
-            json.dump(side, f)
+        atomic_dump_json(self._bq_params_path, side)
 
     def _bq_synced_gen(self) -> int:
         with open(self._bq_params_path) as f:

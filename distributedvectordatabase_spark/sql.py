@@ -21,7 +21,17 @@ do this: a worker-side function cannot launch a distributed scan.
 
 Grammar (a table factor, case-insensitive name):
 
-    knn('<store_path>', <vector expr>, <k> [, <probes> [, '<metric>']])
+    knn('<store_path>', <vector expr>, <k> [, <probes> [, '<metric>']]
+        [, probes|n_probe => <int>] [, metric => '<m>']
+        [, where => '<sql predicate>'] [, escalate => true|false])
+
+Named options (r8, SQL-standard ``name => value`` syntax, after the
+positionals): ``where`` is a predicate over the store's metadata
+columns — on an IVF store the factor routes through ``IVFStore.knn``'s
+exact-with-escalation filtered search (the predicate pushes down next
+to the probed-cell pruning; ``escalate => false`` pins the probe set);
+on the LSH store it pre-filters the probed scan (exact within the
+probed shards; no escalation bound exists, so ``escalate`` raises).
 
 - ``store_path``: a string literal; the store kind is detected from
   its sidecar (``_lsh.json`` → LSH-bucketed VectorStore,
@@ -130,16 +140,68 @@ def _string_literal(arg: str, what: str) -> str:
     raise ValueError(f"knn(...) {what} must be a string literal, got {arg!r}")
 
 
+_NAMED_ARG = re.compile(r"(?s)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=>\s*(.+)$")
+
+
+def _split_named(args: list[str], fname: str, allowed: set[str]):
+    """Split a factor's argument list into the positional prefix and
+    the trailing ``name => value`` options (SQL-standard named-argument
+    syntax). Named args must follow all positional ones; unknown names
+    raise with the allowed set."""
+    pos: list[str] = []
+    named: dict[str, str] = {}
+    for a in args:
+        m = _NAMED_ARG.match(a)
+        if m:
+            key = m.group(1).lower()
+            if key not in allowed:
+                raise ValueError(
+                    f"{fname}(...) unknown option {key!r} — "
+                    f"supported: {sorted(allowed)}"
+                )
+            named[key] = m.group(2).strip()
+        elif named:
+            raise ValueError(
+                f"{fname}(...) positional argument {a!r} after a named one"
+            )
+        else:
+            pos.append(a)
+    return pos, named
+
+
+def _bool_opt(named: dict, key: str, default: bool) -> bool:
+    if key not in named:
+        return default
+    v = named[key].lower()
+    if v in ("true", "false"):
+        return v == "true"
+    raise ValueError(f"{key} => expects true or false, got {named[key]!r}")
+
+
 def _knn_view(spark: SparkSession, args: list[str]) -> str:
+    args, named = _split_named(
+        args, "knn", {"probes", "n_probe", "metric", "where", "escalate"}
+    )
     if not 3 <= len(args) <= 5:
         raise ValueError(
-            "knn(...) takes (store_path, vector, k[, probes[, metric]]), "
-            f"got {len(args)} arguments"
+            "knn(...) takes (store_path, vector, k[, probes[, metric]]"
+            "[, probes|n_probe|metric|where|escalate => ...]), "
+            f"got {len(args)} positional arguments"
         )
     path = _string_literal(args[0], "store path")
     k = int(args[2])
     probes = int(args[3]) if len(args) >= 4 else None
     metric = _string_literal(args[4], "metric") if len(args) == 5 else "l2sq"
+    if "probes" in named or "n_probe" in named:
+        if probes is not None:
+            raise ValueError("knn(...) probes given both positionally and named")
+        probes = int(named.get("probes", named.get("n_probe")))
+    if "metric" in named:
+        if len(args) == 5:
+            raise ValueError("knn(...) metric given both positionally and named")
+        metric = _string_literal(named["metric"], "metric")
+    where = _string_literal(named["where"], "where") if "where" in named else None
+    escalate = _bool_opt(named, "escalate", True)
 
     # evaluate the vector expression once, driver-side (it is a literal
     # or scalar subquery — the per-row form would be a different op)
@@ -167,9 +229,27 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
         from distributedvectordatabase_spark.sources.ivf_store import IVFStore
 
         store = IVFStore(path)  # sidecar-config reopen
+        n_probe = probes if probes else 4
+        if where is not None:
+            # metadata-filtered search: route through the Python path
+            # itself (IVFStore.knn) — the predicate pushes down NEXT TO
+            # the probed-cell pruning, and escalate=true keeps the
+            # exact-with-escalation semantics (triangle-inequality
+            # probe widening until no unprobed cell can hold a closer
+            # match). One query row, so the filtered scan stays a
+            # single pruned pass.
+            queries = spark.createDataFrame(
+                [(0, vec)], "qid long, qvec array<double>"
+            )
+            res = store.knn(
+                spark, queries, k=k, n_probe=n_probe, metric=metric,
+                where=where, escalate=escalate,
+            ).select("neighbor_id", "dist", "rnk")
+            name = f"_knn_sugar_{next(_VIEW_IDS)}"
+            res.createOrReplaceTempView(name)
+            return name
         C = store.centroids()
         qv = np.asarray(vec, dtype=np.float64)
-        n_probe = probes if probes else 4
         cells = [
             int(c) for c in np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
         ]
@@ -178,8 +258,19 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
         from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
         store = VectorStore(path)  # sidecar-config reopen
+        if "escalate" in named:
+            raise ValueError(
+                "knn(...) escalate => applies to IVF stores only (the LSH "
+                "store has no per-shard radius bound to escalate against)"
+            )
         shards = store.lsh.candidate_shards(vec, probes if probes else 2)
         corpus = store.read(spark).filter(F.col("shard_id").isin(shards))
+        if where is not None:
+            # pre-filter the probed scan: the predicate pushes to the
+            # parquet reader next to the shard pruning (never
+            # score-then-discard). Exact within the probed shards —
+            # fill-to-k escalation is the IVF store's contract.
+            corpus = corpus.filter(where)
     else:
         raise ValueError(
             f"no vector store found at {path!r} (expected an _lsh.json "
@@ -222,15 +313,36 @@ def _bm25_view(spark: SparkSession, args: list[str]) -> str:
 
 
 def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
+    args, named = _split_named(
+        args, "hybrid", {"probes", "n_probe", "num_candidates"}
+    )
     if not 5 <= len(args) <= 6:
         raise ValueError(
             "hybrid(...) takes (store_path, index_path, vector, terms, "
-            f"k[, probes]), got {len(args)} arguments"
+            "k[, probes][, probes|n_probe|num_candidates => ...]), "
+            f"got {len(args)} positional arguments"
         )
     store_path = _string_literal(args[0], "store path")
     index_path = _string_literal(args[1], "index path")
     k = int(args[4])
     probes = int(args[5]) if len(args) == 6 else None
+    named_probe = [k_ for k_ in ("probes", "n_probe", "num_candidates") if k_ in named]
+    if named_probe:
+        if probes is not None or len(named_probe) > 1:
+            raise ValueError("hybrid(...) probe count given more than once")
+        probes = int(named[named_probe[0]])
+        # the EXPLICIT knob name must match the store kind — mirror of
+        # hybrid_serve_batch's wrong-knob raise
+        if named_probe[0] == "n_probe" and not os.path.exists(
+            os.path.join(store_path, "_centroids.json")
+        ):
+            raise ValueError("hybrid(...) n_probe => is the IVF store's knob")
+        if named_probe[0] == "num_candidates" and not os.path.exists(
+            os.path.join(store_path, "_lsh.json")
+        ):
+            raise ValueError(
+                "hybrid(...) num_candidates => is the LSH store's knob"
+            )
     vec = spark.sql(f"SELECT cast({args[2]} as array<double>) AS v").first()[0]
     if vec is None:
         raise ValueError(f"hybrid(...) vector expression evaluated to NULL: {args[2]}")

@@ -67,6 +67,47 @@ def test_bpe_train_matches_reference_on_testdata(spark):
     assert len(got) == 12  # real text has plenty of repeated pairs
 
 
+def test_incremental_loop_learns_identical_merges(spark):
+    """The incremental merge loop (maintained pair-stats table, delta
+    updates over affected words only) must learn EXACTLY the merges of
+    the full-scan loop and the pure-Python reference — argmax values,
+    tie-breaks, and the <2 stop included. Duplicated docs make the
+    counts non-trivial; 20 merges crosses several delta shapes (new
+    pairs appearing, pairs draining to zero, merged tokens re-merging)."""
+    docs = load_table(spark, "documents", SF_SMALL)
+    docs = docs.unionByName(docs.limit(40))
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _py_bpe_train(_py_word_freqs(texts), 20)
+    full = bpe_train(docs, n_merges=20, incremental=False)
+    inc = bpe_train(docs, n_merges=20, incremental=True)
+    assert full == want
+    assert inc == want
+
+
+def test_incremental_early_stop_matches(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd ef gh")], "doc_id long, text string"
+    )
+    # one repeated pair, then nothing occurs twice — both loops stop
+    assert bpe_train(docs, n_merges=10, incremental=True) == bpe_train(
+        docs, n_merges=10, incremental=False
+    )
+
+
+def test_bpe_apply_duplicate_doc_ids_collapse(spark):
+    """Duplicate doc_id rows in the input collapse to ONE output row
+    per id (the groupBy contract) — the empty-doc re-attach must not
+    fan them back out."""
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (0, "aa bb"), (1, ""), (1, "")],
+        "doc_id long, text string",
+    )
+    out = bpe_apply(docs, []).collect()
+    assert sorted(r.doc_id for r in out) == [0, 1]
+    by_id = {r.doc_id: r.bpe_tokens for r in out}
+    assert by_id[1] == []
+
+
 def test_word_vocab_matches_python_split(spark):
     docs = load_table(spark, "documents", SF_SMALL)
     got = {r.word: r.freq for r in word_vocab(docs).collect()}

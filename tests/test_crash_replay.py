@@ -14,7 +14,9 @@ them.
 
 import json
 import os
+import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributedvectordatabase_spark.sources.tables import load_table
@@ -309,3 +311,107 @@ def test_tokenizer_store_append_crash_is_invisible_then_replays_once(spark, tmp_
     cfg = tok._config()
     assert cfg["aborted_gens"] == [] and cfg["pending_gen"] is None
     assert tok.merges(spark) == merges
+
+
+# ---------------------------------------------------------------------------
+# Writer lease (r8, VERDICT r7 #2): the two-phase commit protocol is
+# crash-safe but single-writer — two concurrent appenders would race the
+# sidecar read-modify-write (both heal, both allocate G+1, the losing
+# dump silently orphans the winner's committed rows). The lease turns
+# that silent corruption into an explicit WriterLeaseHeld refusal, on
+# every mutator of all five stores.
+# ---------------------------------------------------------------------------
+
+
+def _hold_lock(path: str, pid: int, ts: float) -> None:
+    with open(path.rstrip("/") + "__writer.lock", "w") as f:
+        json.dump({"pid": pid, "ts": ts, "host": os.uname().nodename}, f)
+
+
+def test_writer_lease_refuses_live_writer_on_all_five_stores(spark, tmp_path):
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.sources.sig_store import SigStore
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.tokenizer_store import (
+        TokenizerStore,
+    )
+    from distributedvectordatabase_spark.sources.tombstones import (
+        WriterLeaseHeld,
+    )
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", SF_SMALL).limit(60)
+    emb = load_table(spark, "embeddings", SF_SMALL).limit(200)
+    d2 = load_table(spark, "documents", SF_SMALL).filter(
+        "doc_id >= 60 and doc_id < 80"
+    )
+    e2 = load_table(spark, "embeddings", SF_SMALL).filter(
+        "vec_id >= 200 and vec_id < 240"
+    )
+
+    vs = VectorStore(str(tmp_path / "vs"), SignLSH(dim=64, seed=3))
+    vs.write(emb.select("vec_id", "embedding"))
+    ivf = IVFStore(str(tmp_path / "ivf"), n_cells=4)
+    ivf.build(emb)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=4)
+    ix.build(docs)
+    sig = SigStore(str(tmp_path / "sig"), bands=4, rows=3, shingle_n=3)
+    sig.build(docs)
+    tok = TokenizerStore(str(tmp_path / "tok"), n_merges=4)
+    tok.train(docs)
+
+    cases = [
+        (vs, lambda: vs.append(e2.select("vec_id", "embedding"))),
+        (ivf, lambda: ivf.append(e2)),
+        (ix, lambda: ix.append(d2)),
+        (sig, lambda: sig.append(d2)),
+        (tok, lambda: tok.append(d2)),
+    ]
+    for store, mutate in cases:
+        lock = store.path.rstrip("/") + "__writer.lock"
+        # every build/train released its lease on the way out
+        assert not os.path.exists(lock), store.path
+        # a LIVE foreign writer (pid 1 always exists) → refusal, store
+        # untouched
+        _hold_lock(store.path, pid=1, ts=time.time())
+        gen_before = store.current_gen()
+        with pytest.raises(WriterLeaseHeld):
+            mutate()
+        assert store.current_gen() == gen_before
+        # a provably-dead holder (stale wall clock + dead pid) → the
+        # lease is taken over and the mutation proceeds
+        _hold_lock(store.path, pid=2_999_999, ts=0.0)
+        mutate()
+        assert store.current_gen() == gen_before + 1
+        assert not os.path.exists(lock)
+
+
+def test_writer_lease_is_reentrant_within_one_process(tmp_path):
+    from distributedvectordatabase_spark.sources.tombstones import writer_lease
+
+    p = str(tmp_path / "store")
+    lock = p + "__writer.lock"
+    with writer_lease(p):
+        assert os.path.exists(lock)
+        with writer_lease(p):  # inner scope: same pid, no-op
+            assert os.path.exists(lock)
+        # the INNER exit must not release the outer holder's lease
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+
+def test_writer_lease_exclusion_for_foreign_pid(tmp_path):
+    from distributedvectordatabase_spark.sources.tombstones import (
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    p = str(tmp_path / "store")
+    _hold_lock(p, pid=1, ts=time.time())  # live foreign writer
+    with pytest.raises(WriterLeaseHeld):
+        with writer_lease(p):
+            pass
+    os.unlink(p + "__writer.lock")
+    with writer_lease(p):  # released → acquirable
+        pass

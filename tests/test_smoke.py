@@ -21,10 +21,6 @@ from tests.conftest import SF_SMALL
 # Adding an entry here requires a COVERAGE.md note saying what took the
 # slot and why.
 DOCUMENTED_OVERFLOW = {
-    "priority_stats",
-    "order_window_ranks",
-    "source_regex_stats",
-    "lineitem_price_stats",
     "tpch_q1_pricing",
     "tpch_q3_topk_revenue",
     "customer_rank_analytics",
@@ -34,6 +30,14 @@ DOCUMENTED_OVERFLOW = {
     # r7 rotation: ceded its slot to bpe_pair_stats (VERDICT r6 #1)
     # after passing the external hash gate in r6.
     "events_value_histogram",
+    # r8 rotation (VERDICT r7 #4, rolling-freshness policy): ceded
+    # their slots to the returning r6-demoted relational gates
+    # (priority_stats, order_window_ranks, source_regex_stats,
+    # lineitem_price_stats) after 3+ rounds externally hash-green.
+    "customer_set_ops",
+    "doc_packs",
+    "mix_weighted_sources",
+    "strat_sample_quota",
 }
 
 

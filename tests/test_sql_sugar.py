@@ -88,6 +88,98 @@ def test_knn_sql_ivf_store_and_composability(spark, stores):
     assert any("cell_id" in f for f in pf), pf
 
 
+@pytest.fixture(scope="module")
+def ivf_meta(spark, tmp_path_factory):
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    store = IVFStore(
+        str(tmp_path_factory.mktemp("sqlsugar_meta") / "ivf"),
+        n_cells=8,
+        meta_cols=("label",),
+    )
+    store.build(emb)
+    return store
+
+
+def test_knn_sql_filtered_matches_python_path(spark, ivf_meta):
+    """r8 (VERDICT r7 #6): the where/n_probe/escalate knobs — the SQL
+    factor must be row-identical to IVFStore.knn's exact-with-
+    escalation filtered search, with the predicate pushed down next to
+    the probed-cell pruning."""
+    vec, xs = _vec(spark, 7)
+    got = sql(
+        spark,
+        f"SELECT * FROM knn('{ivf_meta.path}', {vec}, 5, "
+        "n_probe => 2, where => 'label = 3')",
+    ).collect()
+    q = spark.createDataFrame([(0, xs)], "qid long, qvec array<double>")
+    want = (
+        ivf_meta.knn(spark, q, k=5, n_probe=2, where="label = 3")
+        .select("neighbor_id", "dist", "rnk")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # every hit satisfies the predicate, and escalation filled to k
+    labels = {
+        r.label
+        for r in load_table(spark, "embeddings", SF_SMALL)
+        .filter(F.col("vec_id").isin([x.neighbor_id for x in got]))
+        .collect()
+    }
+    assert labels == {3} and len(got) == 5
+    # escalate => false pins the probe set (subset-of-exact semantics)
+    pinned = sql(
+        spark,
+        f"SELECT * FROM knn('{ivf_meta.path}', {vec}, 5, "
+        "n_probe => 2, where => 'label = 3', escalate => false)",
+    ).collect()
+    want_pinned = (
+        ivf_meta.knn(spark, q, k=5, n_probe=2, where="label = 3", escalate=False)
+        .select("neighbor_id", "dist", "rnk")
+        .collect()
+    )
+    assert sorted(map(tuple, pinned)) == sorted(map(tuple, want_pinned))
+
+
+def test_knn_sql_filtered_plan_pruned(spark, ivf_meta):
+    vec = _vec_sql(spark, 3)
+    df = sql(
+        spark,
+        f"SELECT * FROM knn('{ivf_meta.path}', {vec}, 5, "
+        "n_probe => 2, where => 'label = 3', escalate => false)",
+    )
+    pf = scan_partition_filters(df)
+    assert any("cell_id" in f for f in pf), pf
+    # the metadata predicate reached the scan (pushed filter), not a
+    # post-score discard
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan
+
+
+def test_knn_sql_named_args_lsh_and_errors(spark, stores):
+    vs, _ = stores
+    vec, xs = _vec(spark, 5)
+    got = sql(
+        spark,
+        f"SELECT * FROM knn('{vs.path}', {vec}, 4, "
+        "probes => 2, metric => 'cosine', where => 'vec_id % 2 = 1')",
+    ).collect()
+    assert got and all(r.neighbor_id % 2 == 1 for r in got)
+    with pytest.raises(ValueError, match="escalate"):
+        sql(
+            spark,
+            f"SELECT * FROM knn('{vs.path}', {vec}, 4, escalate => true)",
+        )
+    with pytest.raises(ValueError, match="unknown option"):
+        sql(spark, f"SELECT * FROM knn('{vs.path}', {vec}, 4, bogus => 1)")
+    with pytest.raises(ValueError, match="both positionally and named"):
+        sql(spark, f"SELECT * FROM knn('{vs.path}', {vec}, 4, 2, probes => 3)")
+    with pytest.raises(ValueError, match="true or false"):
+        sql(
+            spark,
+            f"SELECT * FROM knn('{vs.path}', {vec}, 4, escalate => maybe)",
+        )
+
+
 def test_knn_sql_metric_and_errors(spark, stores):
     vs, _ = stores
     vec = _vec_sql(spark, 2)
@@ -244,3 +336,44 @@ def test_hybrid_sql_auto_detects_ivf_store(spark, stores, text_index):
         spark, ivf, text_index, q, k=5, n_probe=2
     ).drop("qid").collect()
     assert sorted(map(key, pruned)) == sorted(map(key, want_p))
+
+
+def test_hybrid_sql_named_probe_args(spark, stores, text_index):
+    """r8: named probe knobs on hybrid(...) — n_probe names the IVF
+    store's knob (matching store kind enforced), num_candidates the
+    LSH store's; rows identical to the positional form."""
+    vs, ivf = stores
+    vec_sql, _ = _vec(spark, 3)
+    terms_sql = "array('dup', 'vector')"
+    key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
+
+    pos = sql(
+        spark,
+        f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5, 2)",
+    ).collect()
+    named = sql(
+        spark,
+        f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5, n_probe => 2)",
+    ).collect()
+    assert sorted(map(key, pos)) == sorted(map(key, named))
+
+    with pytest.raises(ValueError, match="IVF store's knob"):
+        sql(
+            spark,
+            f"SELECT * FROM hybrid('{vs.path}', '{text_index.path}', "
+            f"{vec_sql}, {terms_sql}, 5, n_probe => 2)",
+        )
+    with pytest.raises(ValueError, match="LSH store's knob"):
+        sql(
+            spark,
+            f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
+            f"{vec_sql}, {terms_sql}, 5, num_candidates => 2)",
+        )
+    with pytest.raises(ValueError, match="more than once"):
+        sql(
+            spark,
+            f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
+            f"{vec_sql}, {terms_sql}, 5, 2, n_probe => 2)",
+        )
