@@ -96,12 +96,23 @@ def main() -> None:
     n_tokens = int(vocab.agg(F.sum("freq")).first()[0])
     out["corpus_tokens"] = n_tokens
 
+    # r8 (VERDICT r7 #1): both loop bodies, same vocabulary — the
+    # incremental loop (maintained pair-stats + affected-word deltas)
+    # against the full-scan re-explode. Merges asserted identical.
     t0 = time.perf_counter()
-    merges = bpe_train_from_vocab(vocab, n_merges)
+    merges = bpe_train_from_vocab(vocab, n_merges, incremental=True)
     train = time.perf_counter() - t0
     out["train_sec"] = round(train, 3)
     out["per_merge_sec"] = round(train / max(len(merges), 1), 3)
     out["merges_learned"] = len(merges)
+
+    t0 = time.perf_counter()
+    merges_full = bpe_train_from_vocab(vocab, n_merges, incremental=False)
+    train_full = time.perf_counter() - t0
+    out["train_fullscan_sec"] = round(train_full, 3)
+    out["per_merge_fullscan_sec"] = round(train_full / max(len(merges_full), 1), 3)
+    out["incremental_speedup"] = round(train_full / max(train, 1e-9), 2)
+    assert merges == merges_full, "incremental and full-scan loops diverged"
 
     # apply throughput, both joinback strategies (row-identity pinned
     # in tests; this is the cost comparison at a real vocabulary)

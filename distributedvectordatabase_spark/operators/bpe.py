@@ -183,7 +183,13 @@ def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, 
     O(affected × word_len) + map passes: sub-linear in vocabulary for
     every merge past the first few (BASELINE.md r8 probe)."""
     merges: list[tuple[str, str, int]] = []
+    # partition budgets are pinned at entry: filter preserves the parent
+    # partition count and union ADDS the two sides', so without the
+    # coalesce below the vocab would double its (mostly empty) partition
+    # count every iteration — 2^n_merges tasks per job by merge 20
+    n_vocab_parts = max(vocab.rdd.getNumPartitions(), 1)
     stats = _pair_counts(vocab).localCheckpoint(eager=True)
+    n_stats_parts = max(stats.rdd.getNumPartitions(), 1)
     for _ in range(int(n_merges)):
         top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
         if not top or int(top[0]["cnt"]) < 2:
@@ -191,7 +197,9 @@ def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, 
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((a, b, cnt))
         has = _has_pair_expr(a, b)
-        affected = vocab.filter(has).localCheckpoint(eager=True)
+        affected = vocab.filter(has).coalesce(n_vocab_parts).localCheckpoint(
+            eager=True
+        )
         merged = (
             affected.select(_merge_expr(a, b).alias("syms"), "freq")
             .filter(F.size("syms") >= 2)
@@ -215,9 +223,15 @@ def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, 
         stats = (
             updated.unionByName(fresh)
             .filter(F.col("cnt") > 0)
+            .coalesce(n_stats_parts)
             .localCheckpoint(eager=True)
         )
-        vocab = vocab.filter(~has).unionByName(merged).localCheckpoint(eager=True)
+        vocab = (
+            vocab.filter(~has)
+            .unionByName(merged)
+            .coalesce(n_vocab_parts)
+            .localCheckpoint(eager=True)
+        )
     return merges
 
 

@@ -12,11 +12,15 @@ Sign canonicalization: an eigenvector is only defined up to ±1, so raw
 projections are run-/library-dependent in sign. ``pca_reduce`` flips
 each component so its largest-|loading| coordinate is positive (ties:
 first index wins), making the output deterministic for a given Spark/
-BLAS version — pinned by tests/test_pca.py. Rotation within equal-
-eigenvalue subspaces remains implementation-defined, so the catalog
-gate stays rows-only; tests assert the *invariants* (explained
-variance ordering, projection norms ≤ input norms, reconstruction
-error decreasing in k) plus sign-canonical determinism.
+BLAS version — pinned by tests/test_pca.py, and since r8 hash-checked
+against an INDEPENDENT NumPy ``eigh`` fit by the driver's DuckDB
+oracle (catalog._pca_oracle: components inlined as literals, DuckDB
+does its own projection matmul — probed exact at the 1e-6 quantum on
+the gate corpus, whose eigengaps leave cross-library eigenvector noise
+around 1e-11). Rotation within DEGENERATE eigenvalue subspaces would
+remain implementation-defined; tests additionally assert the
+*invariants* (explained variance ordering, projection norms ≤ input
+norms, reconstruction error decreasing in k).
 """
 
 from __future__ import annotations

@@ -55,9 +55,29 @@ def read_npz(
     return df.repartition(partitions) if partitions else df
 
 
-def write_npz(df: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+# NPZ is a single in-RAM blob, so the export is inherently driver-side;
+# the guard turns an accidental 100 TB `write_npz(corpus)` into an
+# explicit raise instead of a driver OOM (operators/knn.MAX_QUERY_BATCH
+# pattern). Raise it deliberately for a bigger one-off export.
+MAX_EXPORT_ROWS = 5_000_000
+
+
+def write_npz(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = MAX_EXPORT_ROWS,
+) -> None:
     """Export a vector DataFrame to the reference's NPZ interchange
     format (driver-side collect — export tool, not a data path)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_npz is a driver-side export tool: {n} rows exceeds "
+            f"max_rows={max_rows}. NPZ has no row groups to stream into — "
+            "export shards (sources/export.py) or raise max_rows knowingly."
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     np.savez_compressed(
         path,

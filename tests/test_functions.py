@@ -79,6 +79,16 @@ def test_npz_roundtrip(spark, tmp_path):
         assert np.allclose(a[k], b[k])
 
 
+def test_npz_write_guards_oversized_export(spark, tmp_path):
+    """r8: write_npz is driver-side by nature — an over-limit corpus
+    must raise the explicit export-tool error, never OOM the driver."""
+    import pytest
+
+    emb = load_table(spark, "embeddings", SF_SMALL).limit(100)
+    with pytest.raises(ValueError, match="driver-side export tool"):
+        write_npz(emb, str(tmp_path / "big.npz"), max_rows=50)
+
+
 def test_npz_without_ids_autogenerates(spark, tmp_path):
     p = str(tmp_path / "noids.npz")
     np.savez_compressed(p, embeddings=np.random.RandomState(0).randn(10, 8).astype(np.float32))

@@ -153,3 +153,46 @@ def test_merge_versions_are_time_travelable(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no merge version"):
         store.merges(spark, as_of_gen=0)
+
+
+def test_retrain_on_used_path_resets_history(spark, tmp_path):
+    """r8 (ADVICE r7 #2): train() on a previously-used store path is a
+    REBUILD — stale higher-gen merge versions and old tombstones must
+    not shadow or silently thin the fresh training."""
+    docs = _docs(spark).limit(100)
+    d1 = docs.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "tok")
+
+    store = TokenizerStore(path, n_merges=8)
+    store.train(docs)
+    victim = int(d1.first().doc_id)
+    store.delete(spark, [victim])  # leaves tombstones + a gen-2 version
+    store.append(docs.filter(F.col("doc_id") == victim))  # gen-3 version
+    assert len(store.merge_versions(spark)) >= 3
+
+    # fresh train over HALF the corpus, same path: history must reset
+    fresh = TokenizerStore(path, n_merges=8)
+    learned = fresh.train(d1)
+    assert fresh.merge_versions(spark) == [1]  # no stale gen-2/3 shadow
+    assert fresh.merges(spark) == learned == bpe_train(d1, n_merges=8)
+    # the old tombstone must not drop the re-registered victim doc
+    assert fresh.registered_docs(spark).count() == d1.count()
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+
+
+def test_merges_before_first_retrain_raises_clearly(spark, tmp_path):
+    """r8 (ADVICE r7 #3): a store with registered counts but no trained
+    version (the deferred-retrain streaming flow) must raise a clear
+    ValueError from merges()/apply(), not an opaque path error."""
+    import pytest
+
+    docs = _docs(spark).limit(40)
+    store = TokenizerStore(str(tmp_path / "tok"), n_merges=4)
+    store._register_initial(docs, "doc_id", "text")  # counts, no loop
+    assert store.merge_versions(spark) == []
+    with pytest.raises(ValueError, match="retrain"):
+        store.merges(spark)
+    with pytest.raises(ValueError, match="retrain"):
+        store.apply(docs).collect()
+    store.retrain(spark)
+    assert store.merges(spark) == bpe_train(docs, n_merges=4)
