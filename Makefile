@@ -31,5 +31,9 @@ check:
 
 test: check
 
+# Idle-run discipline (VERDICT r7 #8): the headline is min-of-5 with
+# p25/median emitted alongside; run with NOTHING else on the box —
+# concurrent Spark work (the suite, a probe) inflates medians 1.3-2.7x
+# while minima move less, which reads as a phantom regression.
 bench:
 	python bench.py

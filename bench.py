@@ -93,6 +93,12 @@ EXTRA = [
     "knn_hamming",
     # r6: BPE merge-step statistics (catalog overflow slot)
     "bpe_pair_stats",
+    # r8 rotation promoted these two back into the gate window; they
+    # join the bench record here (the other two returning gates,
+    # order_window_ranks / lineitem_price_stats, were in HEADLINE all
+    # along) so every gated query has a measured number
+    "priority_stats",
+    "source_regex_stats",
 ]
 
 

@@ -154,6 +154,7 @@ class TokenizerStore:
 
     # -- lifecycle --------------------------------------------------------
 
+    @locked_writer
     def _register_initial(
         self,
         docs: DataFrame,

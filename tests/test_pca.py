@@ -1,8 +1,8 @@
-"""PCA invariants (reference O3, load_coco_embeddings.py:24-36). The
-declared query is rows-only (eigenvector sign is implementation-
-defined), so the accuracy contract lives here: explained variance
-behavior, orthonormal-projection norm bound, and run-to-run
-determinism."""
+"""PCA invariants (reference O3, load_coco_embeddings.py:24-36).
+Since r8 the declared query is HASH-checked by an independent NumPy
+eigh oracle (catalog._pca_oracle); these tests keep the complementary
+contracts: explained variance behavior, orthonormal-projection norm
+bound, and run-to-run determinism."""
 
 import math
 
