@@ -99,6 +99,8 @@ EXTRA = [
     # along) so every gated query has a measured number
     "priority_stats",
     "source_regex_stats",
+    # r8: filtered hybrid serving (overflow gate)
+    "hybrid_filtered_topk",
 ]
 
 

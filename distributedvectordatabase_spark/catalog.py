@@ -1072,6 +1072,114 @@ def hybrid_rrf_oracle_sql(
     """
 
 
+HYBRID_WHERE_LABEL = 3
+
+
+def _hybrid_serve_stores(spark: SparkSession, sf_dir: str):
+    """Build-once persistent VectorStore + TextIndex pair for the
+    filtered-serve gate (the _ivf_gate_store pattern: fingerprint-keyed
+    /tmp dirs, rebuilt when the driver regenerates testdata)."""
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    vs = VectorStore(_gate_tmp_path("dvdb_hybrid_gate_vs", sf_dir))
+    if not os.path.exists(vs._lsh_config_path):
+        vs.write(load_table(spark, "embeddings", sf_dir))
+    ix = TextIndex(
+        _gate_tmp_path("dvdb_hybrid_gate_ix", sf_dir, table="documents"),
+        n_buckets=8,
+    )
+    if not os.path.exists(ix._stats_path):
+        ix.build(load_table(spark, "documents", sf_dir))
+    return vs, ix
+
+
+def _run_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered hybrid serving (r8): metadata-filtered search is the
+    reference's own declared future work (COCO_INSTRUCTIONS.md:121-125)
+    and hybrid retrieval is the engine's flagship composed query — this
+    gate composes them end-to-end THROUGH the persisted stores:
+    hybrid_serve_batch(where=...) restricts the semantic leg to
+    matching rows (predicate pushed next to the shard pruning) and
+    applies the same predicate to the BM25 leg as a hard pre-top-k
+    constraint with corpus-global statistics (the standard IR filtered-
+    retrieval contract — a filter narrows candidates, it does not
+    re-weight the collection)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    vs, ix = _hybrid_serve_stores(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    queries = spark.createDataFrame(
+        [(0, qvec, list(BM25_TERMS))],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    out = hybrid_serve_batch(
+        spark, vs, ix, queries,
+        k=HYBRID_K, fetch_k=HYBRID_FETCH, rrf_c=RRF_C,
+        metric="cosine", dist_quantize=6,
+        where=f"label = {HYBRID_WHERE_LABEL}",
+    )
+    return out.select("doc_id", _qz_col("rrf_score").alias("rrf_score"), "rnk")
+
+
+def hybrid_filtered_oracle_sql(
+    k: int = HYBRID_K, fetch: int = HYBRID_FETCH, c: int = RRF_C,
+    label: int = HYBRID_WHERE_LABEL,
+) -> str:
+    """DuckDB twin of the filtered-serve gate: the semantic CTE adds
+    the label predicate before its fetch cut (exact filtered kNN); the
+    lexical leg ranks the FULL corpus with global df/idf/avgdl, then
+    applies the filter before the fetch cut and re-ranks among the
+    survivors — exactly bm25_batch(allowed_ids=...)'s semi-join-before-
+    window semantics. Fusion identical to hybrid_rrf_oracle_sql."""
+    cd = _cos_dist("q.qvec", "e.embedding", DUCKDB)
+    cf = repr(float(c))
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    vd AS (
+      SELECT e.vec_id AS doc_id, {_qz(cd)} AS qdist
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label = {label}
+      ORDER BY {cd}, e.vec_id
+      LIMIT {fetch}
+    ),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY qdist, doc_id) AS rnk FROM vd
+    ),
+    allb AS (
+      SELECT b.doc_id, b.rnk AS orig
+      FROM ({bm25_oracle_sql(k=1000000)}) b
+      JOIN embeddings em ON em.vec_id = b.doc_id
+      WHERE em.label = {label}
+    ),
+    txt AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY orig) AS rnk FROM allb
+      ) t WHERE rnk <= {fetch}
+    ),
+    fused AS (
+      SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+             coalesce(1.0 / ({cf} + v.rnk), 0.0)
+             + coalesce(1.0 / ({cf} + t.rnk), 0.0) AS rrf
+      FROM vec v FULL OUTER JOIN txt t ON v.doc_id = t.doc_id
+    )
+    SELECT doc_id, {_qz('rrf')} AS rrf_score, rnk
+    FROM (
+      SELECT doc_id, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    ) x
+    WHERE rnk <= {k}
+    """
+
+
 def _q_decontam(d: str) -> str:
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap):
     a deterministic md5 key split carves ~1/16 of documents out as the
@@ -3086,5 +3194,12 @@ def build_catalog() -> dict[str, Query]:
         Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
         Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
         Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
+        # r8: filtered hybrid serving — metadata predicate composed
+        # across BOTH persisted legs (exact filtered semantic leg +
+        # hard-constraint BM25 leg with corpus-global stats). Overflow
+        # position (the window is fully allocated by the r8 rotation);
+        # bit-for-bit checked by tests/test_catalog.py + exact_compare.
+        Query("hybrid_filtered_topk", _run_hybrid_filtered,
+              hybrid_filtered_oracle_sql()),
     ]
     return {q.name: q for q in qs}

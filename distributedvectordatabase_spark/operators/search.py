@@ -444,6 +444,7 @@ def hybrid_serve_batch(
     store_as_of: int | None = None,
     index_as_of: int | None = None,
     n_probe: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED structures — the
     production form of :func:`hybrid_topk_batch`: the semantic leg
@@ -476,6 +477,24 @@ def hybrid_serve_batch(
     sidecars are rebuilt artifacts without per-gen history, so
     ``store_as_of`` with ``use_sq``/``use_bq`` raises.
 
+    ``where`` (r8) is a SQL predicate over the STORE's metadata
+    columns — filtered hybrid search, the composition of the engine's
+    exact-with-escalation filtered kNN with filtered BM25 retrieval.
+    Semantics per leg: the semantic leg returns the exact (or pruned,
+    if a pruning knob is set) top-fetch_k among matching rows — on an
+    IVFStore via ``knn(where=...)`` (predicate pushed next to the cell
+    pruning, triangle-bound escalation keeps it exact), on a
+    VectorStore by pre-filtering the scan (pushed next to the shard
+    pruning); the lexical leg scores with CORPUS-GLOBAL df/idf/avgdl
+    and applies the filter as a hard constraint before its top-k cut
+    (``bm25_batch(allowed_ids=...)`` — the standard IR contract: a
+    filter narrows candidates, it does not re-weight the collection),
+    with the allowed-id set read once off the store's own scan
+    (predicate + id-column pushed). Requires the raw legs
+    (``use_sq``/``use_bq`` carry no metadata — raises) and the
+    current generation (compose ``as_of`` reads yourself for
+    historical filtered serving).
+
     ``queries`` carries (qid, qvec array, terms array<string>);
     returns (qid, id_col, rrf_score, rnk). With ``num_candidates=None``
     (exact) the rows are identical per query to
@@ -499,6 +518,16 @@ def hybrid_serve_batch(
         raise ValueError(
             "snapshot serving (store_as_of) requires the raw semantic "
             "leg: SQ/BQ code sidecars carry no per-generation history"
+        )
+    if where is not None and (use_sq or use_bq):
+        raise ValueError(
+            "filtered serving (where) requires the raw semantic leg: "
+            "the SQ/BQ code tables carry no metadata columns"
+        )
+    if where is not None and (store_as_of is not None or index_as_of is not None):
+        raise ValueError(
+            "filtered snapshot serving is not composed here — pin the "
+            "generations and filter explicitly if you need both"
         )
     is_ivf = hasattr(store, "centroids")
     if is_ivf and num_candidates is not None:
@@ -525,7 +554,7 @@ def hybrid_serve_batch(
         else:
             hits = store.knn(
                 spark, qvecs, k=fetch, n_probe=probe, metric=metric,
-                as_of_gen=store_as_of,
+                as_of_gen=store_as_of, where=where,
             )
     elif use_bq:
         # semantic leg over the 1-bit binary sidecar (Hamming shortlist
@@ -555,16 +584,35 @@ def hybrid_serve_batch(
             rerank=sq_rerank,
         )
     elif num_candidates is None:
-        hits = store.knn(
-            spark, qvecs, k=fetch, pruned=False, metric=metric,
-            as_of_gen=store_as_of,
-        )
+        if where is not None:
+            from distributedvectordatabase_spark.operators.knn import knn as _knn
+
+            hits = _knn(
+                store.read(spark).filter(where), qvecs, k=fetch,
+                metric=metric, id_col=store.id_col, vec_col=store.vec_col,
+            )
+        else:
+            hits = store.knn(
+                spark, qvecs, k=fetch, pruned=False, metric=metric,
+                as_of_gen=store_as_of,
+            )
     else:
-        hits = store.knn(
-            spark, qvecs, k=fetch, pruned=True,
-            num_candidates=int(num_candidates), metric=metric,
-            as_of_gen=store_as_of,
-        )
+        if where is not None:
+            from distributedvectordatabase_spark.operators.knn import (
+                knn_pruned as _knn_pruned,
+            )
+
+            hits = _knn_pruned(
+                store.read(spark).filter(where), qvecs, store.lsh, k=fetch,
+                num_candidates=int(num_candidates), metric=metric,
+                id_col=store.id_col, vec_col=store.vec_col,
+            )
+        else:
+            hits = store.knn(
+                spark, qvecs, k=fetch, pruned=True,
+                num_candidates=int(num_candidates), metric=metric,
+                as_of_gen=store_as_of,
+            )
     dist_order = F.col("dist")
     if dist_quantize is not None:
         m = float(10 ** int(dist_quantize))
@@ -576,7 +624,15 @@ def hybrid_serve_batch(
         .over(Window.partitionBy("qid").orderBy(dist_order, F.col("neighbor_id")))
         .alias("rnk"),
     )
+    allowed = None
+    if where is not None:
+        # one pass over the store's own table: predicate + id column
+        # push to the scan, the semi-join build side is ids only
+        allowed = store.read(spark).filter(where).select(
+            F.col(store.id_col).alias("doc_id")
+        )
     text_leg = index.bm25_batch(
         spark, q.select("qid", "terms"), k=fetch, as_of_gen=index_as_of,
+        allowed_ids=allowed,
     ).select("qid", F.col("doc_id").alias(id_col), "rnk")
     return rrf_fuse(vec_leg, text_leg, k=k, c=rrf_c, id_col=id_col, by=["qid"])

@@ -589,6 +589,7 @@ class TextIndex:
         qid_col: str = "qid",
         terms_col: str = "terms",
         as_of_gen: int | None = None,
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """BM25 top-k for a TABLE of term queries against the persisted
         index — the serving form of operators/search.bm25_topk_batch.
@@ -600,9 +601,23 @@ class TextIndex:
         over qid. The query table is the small side by definition —
         its distinct terms are collected driver-side to build the
         literal bucket/term pruning lists (bounded like the kNN query
-        batch)."""
+        batch).
+
+        ``allowed_ids`` (one ``doc_id`` column) restricts the result to
+        those documents — the standard IR filtered-retrieval contract:
+        the filter is a hard constraint applied BEFORE the per-query
+        top-k cut (so the result is the exact top-k among allowed
+        docs), while df/idf/avgdl stay corpus-global (a filter narrows
+        the candidates, it does not re-weight the collection). The
+        semi-join runs on the bucket-pruned scored rows, never the full
+        postings."""
         k = max(int(k), 1)
         scored = self._scored(spark, queries, qid_col, terms_col, k1, b, as_of_gen)
+        if allowed_ids is not None:
+            allow = allowed_ids.select(
+                F.col(allowed_ids.columns[0]).alias("doc_id")
+            )
+            scored = scored.join(allow, "doc_id", "left_semi")
         w = Window.partitionBy("qid").orderBy(
             F.col("score_dec").desc(), F.col("doc_id")
         )

@@ -130,6 +130,11 @@ class writer_lease:
         return {"pid": os.getpid(), "ts": time.time(), "host": os.uname().nodename}
 
     def __enter__(self):
+        # a store's first write may precede its parent directory (the
+        # store dir itself is created by the data write)
+        parent = os.path.dirname(self.lock_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         try:
             fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:

@@ -64,7 +64,14 @@ engine's flagship composed query, rewritten into the
 LSH-pruned semantic leg + term-bucket-pruned BM25 leg, RRF-fused):
 
     hybrid('<store_path>', '<index_path>', <vector expr>, <terms expr>,
-           <k> [, <probes>])
+           <k> [, <probes>] [, n_probe|num_candidates => <int>]
+           [, where => '<sql predicate>'])
+
+``where`` on hybrid(...) (r8) serves FILTERED hybrid search: the
+predicate (over the store's metadata columns) restricts both legs —
+exact-with-escalation on an IVF semantic leg, pre-filtered scan on an
+LSH one, and a hard pre-top-k constraint on the BM25 leg with
+corpus-global statistics (hybrid_serve_batch(where=...) semantics).
 
 - ``store_path``: a built VectorStore dir (the serving store);
 - ``index_path``: a built TextIndex dir;
@@ -314,7 +321,7 @@ def _bm25_view(spark: SparkSession, args: list[str]) -> str:
 
 def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
     args, named = _split_named(
-        args, "hybrid", {"probes", "n_probe", "num_candidates"}
+        args, "hybrid", {"probes", "n_probe", "num_candidates", "where"}
     )
     if not 5 <= len(args) <= 6:
         raise ValueError(
@@ -384,6 +391,9 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
         TextIndex(index_path),
         queries,
         k=k,
+        where=(
+            _string_literal(named["where"], "where") if "where" in named else None
+        ),
         **probe_kw,
     ).drop("qid")
     name = f"_hybrid_sugar_{next(_VIEW_IDS)}"

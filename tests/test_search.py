@@ -644,3 +644,97 @@ def test_hybrid_serve_ivf_plan_pruned_on_both_legs(spark, tmp_path):
     filters = scan_partition_filters(served)
     assert any("cell_id" in f for f in filters), filters
     assert any("term_bucket" in f for f in filters), filters
+
+
+def test_hybrid_serve_batch_filtered(spark, tmp_path):
+    """r8: filtered hybrid search — hybrid_serve_batch(where=...) must
+    equal the hand-composed legs: exact kNN over the predicate-filtered
+    corpus, and BM25 with corpus-global stats where the filter is a
+    hard constraint applied BEFORE the top-k cut (rank among allowed ==
+    rank order of the unfiltered run restricted to allowed ids). Both
+    store kinds must agree with the same expectation."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+        rrf_fuse,
+    )
+    from distributedvectordatabase_spark.sources.ivf_store import IVFStore
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    vs = VectorStore(str(tmp_path / "vs"), SignLSH(dim=64))
+    vs.write(emb)  # label column rides into the store
+    ivf = IVFStore(str(tmp_path / "ivf"), n_cells=8, meta_cols=("label",))
+    ivf.build(emb)
+    index = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    index.build(docs)
+
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    qterms = {0: ["dup", "vector"], 1: ["query", "the"], 2: ["vector"]}
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], qterms[q]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+    where, k, fetch = "label = 3", 5, 20
+    allowed = {
+        int(r.vec_id) for r in emb.filter(F.col("label") == 3).collect()
+    }
+
+    # ---- hand-composed expectation
+    vec_hand = knn(
+        emb.filter(where), queries.select("qid", "qvec"), k=fetch,
+        metric="cosine",
+    ).select("qid", F.col("neighbor_id").alias("doc_id"), "rnk")
+    big = index.bm25_batch(
+        spark, queries.select("qid", "terms"), k=100_000
+    ).toPandas()
+    big = big[big.doc_id.isin(allowed)].sort_values(["qid", "rnk"])
+    big["rnk"] = big.groupby("qid").cumcount() + 1
+    big = big[big.rnk <= fetch]
+    text_hand = spark.createDataFrame(
+        big[["qid", "doc_id", "rnk"]], "qid long, doc_id long, rnk int"
+    )
+    want = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in rrf_fuse(
+            vec_hand, text_hand, k=k, c=60, id_col="doc_id", by=["qid"]
+        ).collect()
+    }
+    assert want and all(d in allowed for (_, d) in want)
+
+    for store in (vs, ivf):
+        got = {
+            (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+            for r in hybrid_serve_batch(
+                spark, store, index, queries, k=k, where=where
+            ).collect()
+        }
+        assert got == want, type(store).__name__
+
+    # pruned legs still honor the predicate (subset semantics)
+    pruned = hybrid_serve_batch(
+        spark, vs, index, queries, k=k, where=where, num_candidates=2
+    ).collect()
+    assert pruned and all(r.doc_id in allowed for r in pruned)
+    probed = hybrid_serve_batch(
+        spark, ivf, index, queries, k=k, where=where, n_probe=4
+    ).collect()
+    assert probed and all(r.doc_id in allowed for r in probed)
+
+    # compressed legs carry no metadata → explicit raise
+    import pytest
+
+    vs.build_sq(spark)
+    with pytest.raises(ValueError, match="metadata"):
+        hybrid_serve_batch(
+            spark, vs, index, queries, k=k, where=where, use_sq=True
+        )

@@ -38,6 +38,10 @@ DOCUMENTED_OVERFLOW = {
     "doc_packs",
     "mix_weighted_sources",
     "strat_sample_quota",
+    # r8: filtered hybrid serving — new composed gate born past the cap
+    # (the window is fully allocated by the r8 rotation); bit-for-bit
+    # checked locally, benched under BENCH extra.
+    "hybrid_filtered_topk",
 }
 
 

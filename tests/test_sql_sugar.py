@@ -377,3 +377,33 @@ def test_hybrid_sql_named_probe_args(spark, stores, text_index):
             f"SELECT * FROM hybrid('{ivf.path}', '{text_index.path}', "
             f"{vec_sql}, {terms_sql}, 5, 2, n_probe => 2)",
         )
+
+
+def test_hybrid_sql_where_matches_python_path(spark, ivf_meta, text_index):
+    """r8: hybrid(..., where => ...) — filtered hybrid serving through
+    the SQL factor, row-identical to hybrid_serve_batch(where=...)."""
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+
+    vec_sql, xs = _vec(spark, 3)
+    terms_sql = "array('dup', 'vector')"
+    q = spark.createDataFrame(
+        [(0, xs, ["dup", "vector"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
+    got = sql(
+        spark,
+        f"SELECT * FROM hybrid('{ivf_meta.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5, where => 'label = 3')",
+    ).collect()
+    want = hybrid_serve_batch(
+        spark, ivf_meta, text_index, q, k=5, where="label = 3"
+    ).drop("qid").collect()
+    assert sorted(map(key, got)) == sorted(map(key, want)) and got
+    labels = {
+        r.label
+        for r in load_table(spark, "embeddings", SF_SMALL)
+        .filter(F.col("vec_id").isin([x.doc_id for x in got]))
+        .collect()
+    }
+    assert labels == {3}
