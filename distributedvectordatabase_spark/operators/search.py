@@ -491,9 +491,12 @@ def hybrid_serve_batch(
     filter narrows candidates, it does not re-weight the collection),
     with the allowed-id set read once off the store's own scan
     (predicate + id-column pushed). Requires the raw legs
-    (``use_sq``/``use_bq`` carry no metadata — raises) and the
-    current generation (compose ``as_of`` reads yourself for
-    historical filtered serving).
+    (``use_sq``/``use_bq`` carry no metadata — raises); composes with
+    snapshot serving (``store_as_of``/``index_as_of``): the predicate
+    and the allowed-id set evaluate over the PINNED store generation,
+    so a historical filtered serve reproduces exactly what filtered
+    serving returned then — reproducible filtered training-data
+    retrieval through later appends/deletes.
 
     ``queries`` carries (qid, qvec array, terms array<string>);
     returns (qid, id_col, rrf_score, rnk). With ``num_candidates=None``
@@ -523,11 +526,6 @@ def hybrid_serve_batch(
         raise ValueError(
             "filtered serving (where) requires the raw semantic leg: "
             "the SQ/BQ code tables carry no metadata columns"
-        )
-    if where is not None and (store_as_of is not None or index_as_of is not None):
-        raise ValueError(
-            "filtered snapshot serving is not composed here — pin the "
-            "generations and filter explicitly if you need both"
         )
     is_ivf = hasattr(store, "centroids")
     if is_ivf and num_candidates is not None:
@@ -588,7 +586,8 @@ def hybrid_serve_batch(
             from distributedvectordatabase_spark.operators.knn import knn as _knn
 
             hits = _knn(
-                store.read(spark).filter(where), qvecs, k=fetch,
+                store.read(spark, as_of_gen=store_as_of).filter(where),
+                qvecs, k=fetch,
                 metric=metric, id_col=store.id_col, vec_col=store.vec_col,
             )
         else:
@@ -603,7 +602,8 @@ def hybrid_serve_batch(
             )
 
             hits = _knn_pruned(
-                store.read(spark).filter(where), qvecs, store.lsh, k=fetch,
+                store.read(spark, as_of_gen=store_as_of).filter(where),
+                qvecs, store.lsh, k=fetch,
                 num_candidates=int(num_candidates), metric=metric,
                 id_col=store.id_col, vec_col=store.vec_col,
             )
@@ -628,7 +628,7 @@ def hybrid_serve_batch(
     if where is not None:
         # one pass over the store's own table: predicate + id column
         # push to the scan, the semi-join build side is ids only
-        allowed = store.read(spark).filter(where).select(
+        allowed = store.read(spark, as_of_gen=store_as_of).filter(where).select(
             F.col(store.id_col).alias("doc_id")
         )
     text_leg = index.bm25_batch(

@@ -738,3 +738,60 @@ def test_hybrid_serve_batch_filtered(spark, tmp_path):
         hybrid_serve_batch(
             spark, vs, index, queries, k=k, where=where, use_sq=True
         )
+
+
+def test_hybrid_filtered_snapshot_serving(spark, tmp_path):
+    """r8: where composes with as_of — a pinned filtered serve must
+    equal filtered serving over fresh builds of the historical corpora
+    (reproducible filtered retrieval through later appends)."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.functions.lsh import SignLSH
+    from distributedvectordatabase_spark.operators.search import (
+        hybrid_serve_batch,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+    from distributedvectordatabase_spark.sources.text_index import TextIndex
+    from distributedvectordatabase_spark.sources.vector_store import VectorStore
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    d1, d2 = docs.filter("doc_id < 250"), docs.filter("doc_id >= 250")
+    e1, e2 = emb.filter("vec_id < 250"), emb.filter("vec_id >= 250")
+
+    vs = VectorStore(str(tmp_path / "vs"), SignLSH(dim=64))
+    vs.write(e1)
+    ix = TextIndex(str(tmp_path / "ix"), n_buckets=8)
+    ix.build(d1)
+    g_store, g_ix = vs.current_gen(), ix.current_gen()
+    vs.append(e2)
+    ix.append(d2)
+
+    qvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qvecs[q], ["dup", "vector"]) for q in qvecs],
+        "qid long, qvec array<float>, terms array<string>",
+    )
+    got = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, vs, ix, queries, k=5, where="label = 3",
+            store_as_of=g_store, index_as_of=g_ix,
+        ).collect()
+    }
+    fvs = VectorStore(str(tmp_path / "fvs"), SignLSH(dim=64))
+    fvs.write(e1)
+    fix = TextIndex(str(tmp_path / "fix"), n_buckets=8)
+    fix.build(d1)
+    want = {
+        (r.qid, r.doc_id): (round(r.rrf_score, 9), r.rnk)
+        for r in hybrid_serve_batch(
+            spark, fvs, fix, queries, k=5, where="label = 3"
+        ).collect()
+    }
+    assert got == want and got
+    # post-append docs never surface in the pinned serve
+    assert all(d < 250 for (_, d) in got)
