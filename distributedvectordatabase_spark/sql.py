@@ -23,7 +23,8 @@ Grammar (a table factor, case-insensitive name):
 
     knn('<store_path>', <vector expr>, <k> [, <probes> [, '<metric>']]
         [, probes|n_probe => <int>] [, metric => '<m>']
-        [, where => '<sql predicate>'] [, escalate => true|false])
+        [, where => '<sql predicate>'] [, escalate => true|false]
+        [, as_of => <gen>])
 
 Named options (r8, SQL-standard ``name => value`` syntax, after the
 positionals): ``where`` is a predicate over the store's metadata
@@ -65,7 +66,13 @@ LSH-pruned semantic leg + term-bucket-pruned BM25 leg, RRF-fused):
 
     hybrid('<store_path>', '<index_path>', <vector expr>, <terms expr>,
            <k> [, <probes>] [, n_probe|num_candidates => <int>]
-           [, where => '<sql predicate>'])
+           [, where => '<sql predicate>']
+           [, store_as_of => <gen>] [, index_as_of => <gen>])
+
+``as_of``/``store_as_of``/``index_as_of`` (r8) pin the search to a
+snapshot generation (``current_gen()`` semantics — time-travel serving
+from one SQL line, composing with ``where`` for reproducible filtered
+retrieval).
 
 ``where`` on hybrid(...) (r8) serves FILTERED hybrid search: the
 predicate (over the store's metadata columns) restricts both legs —
@@ -187,7 +194,7 @@ def _bool_opt(named: dict, key: str, default: bool) -> bool:
 
 def _knn_view(spark: SparkSession, args: list[str]) -> str:
     args, named = _split_named(
-        args, "knn", {"probes", "n_probe", "metric", "where", "escalate"}
+        args, "knn", {"probes", "n_probe", "metric", "where", "escalate", "as_of"}
     )
     if not 3 <= len(args) <= 5:
         raise ValueError(
@@ -209,6 +216,7 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
         metric = _string_literal(named["metric"], "metric")
     where = _string_literal(named["where"], "where") if "where" in named else None
     escalate = _bool_opt(named, "escalate", True)
+    as_of = int(named["as_of"]) if "as_of" in named else None
 
     # evaluate the vector expression once, driver-side (it is a literal
     # or scalar subquery — the per-row form would be a different op)
@@ -250,7 +258,7 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
             )
             res = store.knn(
                 spark, queries, k=k, n_probe=n_probe, metric=metric,
-                where=where, escalate=escalate,
+                where=where, escalate=escalate, as_of_gen=as_of,
             ).select("neighbor_id", "dist", "rnk")
             name = f"_knn_sugar_{next(_VIEW_IDS)}"
             res.createOrReplaceTempView(name)
@@ -260,7 +268,9 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
         cells = [
             int(c) for c in np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
         ]
-        corpus = store.read(spark).filter(F.col("cell_id").isin(cells))
+        corpus = store.read(spark, as_of_gen=as_of).filter(
+            F.col("cell_id").isin(cells)
+        )
     elif os.path.exists(os.path.join(path, "_lsh.json")):
         from distributedvectordatabase_spark.sources.vector_store import VectorStore
 
@@ -271,7 +281,9 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
                 "store has no per-shard radius bound to escalate against)"
             )
         shards = store.lsh.candidate_shards(vec, probes if probes else 2)
-        corpus = store.read(spark).filter(F.col("shard_id").isin(shards))
+        corpus = store.read(spark, as_of_gen=as_of).filter(
+            F.col("shard_id").isin(shards)
+        )
         if where is not None:
             # pre-filter the probed scan: the predicate pushes to the
             # parquet reader next to the shard pruning (never
@@ -321,7 +333,9 @@ def _bm25_view(spark: SparkSession, args: list[str]) -> str:
 
 def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
     args, named = _split_named(
-        args, "hybrid", {"probes", "n_probe", "num_candidates", "where"}
+        args, "hybrid",
+        {"probes", "n_probe", "num_candidates", "where",
+         "store_as_of", "index_as_of"},
     )
     if not 5 <= len(args) <= 6:
         raise ValueError(
@@ -393,6 +407,12 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
         k=k,
         where=(
             _string_literal(named["where"], "where") if "where" in named else None
+        ),
+        store_as_of=(
+            int(named["store_as_of"]) if "store_as_of" in named else None
+        ),
+        index_as_of=(
+            int(named["index_as_of"]) if "index_as_of" in named else None
         ),
         **probe_kw,
     ).drop("qid")

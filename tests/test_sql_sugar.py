@@ -407,3 +407,50 @@ def test_hybrid_sql_where_matches_python_path(spark, ivf_meta, text_index):
         .collect()
     }
     assert labels == {3}
+
+
+def test_knn_and_hybrid_sql_as_of_snapshots(spark, tmp_path, text_index):
+    """r8: as_of / store_as_of / index_as_of named options — time-travel
+    serving from one SQL line, identical to the Python as_of_gen path
+    and blind to post-pin appends."""
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    e1, e2 = emb.filter("vec_id < 250"), emb.filter("vec_id >= 250")
+    vs = VectorStore(str(tmp_path / "vs"), )
+    vs.write(e1)
+    g = vs.current_gen()
+    vs.append(e2)
+
+    vec, xs = _vec(spark, 300)  # a post-pin vector as the query
+    pinned = sql(
+        spark,
+        f"SELECT * FROM knn('{vs.path}', {vec}, 5, as_of => {g})",
+    ).collect()
+    q = spark.createDataFrame([(0, xs)], "qid long, qvec array<double>")
+    want = (
+        vs.knn(spark, q, k=5, as_of_gen=g)
+        .select("neighbor_id", "dist", "rnk")
+        .collect()
+    )
+    assert sorted(map(tuple, pinned)) == sorted(map(tuple, want))
+    assert pinned and all(r.neighbor_id < 250 for r in pinned)
+    live = sql(spark, f"SELECT * FROM knn('{vs.path}', {vec}, 5)").collect()
+    assert any(r.neighbor_id >= 250 for r in live)  # self-hit at least
+
+    ig = text_index.current_gen()
+    got = sql(
+        spark,
+        f"SELECT * FROM hybrid('{vs.path}', '{text_index.path}', "
+        f"{vec}, array('dup', 'vector'), 5, "
+        f"store_as_of => {g}, index_as_of => {ig})",
+    ).collect()
+    qh = spark.createDataFrame(
+        [(0, xs, ["dup", "vector"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    want_h = hybrid_serve_batch(
+        spark, vs, text_index, qh, k=5, store_as_of=g, index_as_of=ig
+    ).drop("qid").collect()
+    key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want_h)) and got
