@@ -25,7 +25,9 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,7 +47,16 @@ def atomic_dump_json(path: str, obj) -> None:
     the protocol promises. Write to a temp file in the SAME directory
     (rename is only atomic within a filesystem), fsync, then
     ``os.replace`` over the target — readers see either the old
-    complete sidecar or the new complete one, never a prefix."""
+    complete sidecar or the new complete one, never a prefix.
+
+    Doubles as the lease commit-point hook (r9): when this process
+    holds a writer lease for the store enclosing ``path``, the dump
+    first re-verifies ownership on disk and heartbeats the lease's
+    ``ts`` — a holder whose lease was usurped (cross-host wall-clock
+    takeover) fails BEFORE its sidecar commit lands instead of
+    silently orphaning the usurper's rows. Dumps outside any held
+    lease (read-side caches, tests poking sidecars) are untouched."""
+    _assert_enclosing_lease(path)
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp")
     try:
@@ -72,28 +83,101 @@ class WriterLeaseHeld(RuntimeError):
     silent corruption into this explicit refusal."""
 
 
+class WriterLeaseLost(RuntimeError):
+    """This writer's lease was usurped mid-mutation.
+
+    Raised at the next heartbeat/commit point after another contender
+    legitimately took the lease over (the holder looked stale — e.g. a
+    cross-host writer whose heartbeats stopped). The mutation aborts
+    BEFORE its sidecar commit, so its rows stay above the usurper's
+    commit horizon: invisible, healed as an aborted gen by the next
+    writer. Nothing is corrupted — the work is simply lost."""
+
+
+# Leases held by THIS process, keyed by lock path. Drives (a) process-
+# level re-entrancy (an outer mutator calling an inner one — registry
+# membership, not a file pid probe, so a recycled pid on the same host
+# can never fake re-entrancy) and (b) the commit-point ownership check
+# in atomic_dump_json.
+_HELD_LEASES: dict = {}
+_REGISTRY_MU = threading.Lock()
+
+
+def _assert_enclosing_lease(path: str) -> None:
+    """If this process holds a writer lease for the store that contains
+    ``path``, verify on disk that the lease is still ours and heartbeat
+    its ``ts`` — raising ``WriterLeaseLost`` turns a usurped lease into
+    an abort BEFORE the commit dump instead of silent dual-writer
+    corruption. No-op when no enclosing lease is held (read paths,
+    direct sidecar pokes in tests)."""
+    with _REGISTRY_MU:
+        leases = list(_HELD_LEASES.values())
+    ap = os.path.abspath(path)
+    for lease in leases:
+        store = lease.lock_path[: -len("__writer.lock")]
+        if ap.startswith(os.path.abspath(store) + os.sep):
+            lease.refresh()
+            return
+
+
 class writer_lease:
     """Exclusive writer lease for one store directory.
 
-    ``O_CREAT | O_EXCL`` on a SIBLING ``<path>__writer.lock`` file is
-    the mutual-exclusion primitive (atomic on POSIX local and on HDFS/
-    object-store ports of this layout via create-if-absent; a sibling,
-    not a member, because ``compact()`` rmtree-swaps the store dir
-    itself mid-lease). The lock file records pid + acquire time; a
-    holder that died without releasing is detected by liveness
-    (same-host pid probe) or by the ``stale_after_s`` wall-clock
-    horizon, and the lease is TAKEN OVER by atomically swapping the
-    lock file — refusal is the default, the takeover only fires on
-    provable staleness. Re-entrant within one process (``train`` calls
-    ``retrain``, ``delete_where`` calls ``delete`` — the inner scope
-    detects its own pid and leaves release to the outer). Used as a
-    context manager around every gen-allocating write (append/delete/
-    compact/build) in all five stores."""
+    Atomic create-if-absent of a SIBLING ``<path>__writer.lock`` file
+    is the mutual-exclusion primitive (a sibling, not a member, because
+    ``compact()`` rmtree-swaps the store dir itself mid-lease). The
+    lock is created by hardlinking a fully-written temp file into
+    place, so a concurrent reader can NEVER observe an empty or partial
+    lock (an ``O_CREAT|O_EXCL`` + write-payload sequence exposes an
+    empty file whose ts reads as 0.0 → instantly 'stale' → bogus
+    takeover). The payload records pid + host + acquire time + a
+    per-acquisition random token.
 
-    def __init__(self, store_path: str, stale_after_s: float = 3600.0):
+    Staleness and takeover: a holder that died without releasing is
+    detected by liveness (same-host pid probe) or the ``stale_after_s``
+    wall-clock horizon. Takeover first RENAMES the stale lock aside to
+    a contender-unique name — the source file can vanish only once, so
+    exactly one contender wins; losers loop back and re-evaluate the
+    winner's fresh lock (→ ``WriterLeaseHeld``). Refusal is the
+    default; takeover only fires on provable staleness.
+
+    Liveness: while held, a daemon heartbeat thread refreshes ``ts``
+    every ``stale_after_s / 4`` (and every sidecar commit dump inside
+    the store refreshes it too, via ``atomic_dump_json``), so a
+    legitimate long-running mutator — a multi-hour 100 TB ``compact``
+    on another host where the pid probe can't reach — never crosses
+    the wall-clock horizon. Each refresh re-reads the lock and verifies
+    the token: a holder that WAS usurped learns it at the next
+    heartbeat/commit point (``WriterLeaseLost``) rather than committing
+    over the usurper. Release verifies the token before unlinking, so
+    an ex-holder can never remove a successor's lock.
+
+    Re-entrant within one process (``train`` calls ``retrain``,
+    ``delete_where`` calls ``delete`` — the inner scope finds the
+    registry entry and leaves release to the outer). Used as a context
+    manager around every gen-allocating write (append/delete/compact/
+    build) in all five stores."""
+
+    def __init__(
+        self,
+        store_path: str,
+        stale_after_s: float = 3600.0,
+        heartbeat_every_s: float | None = None,
+    ):
         self.lock_path = store_path.rstrip("/") + "__writer.lock"
         self.stale_after_s = float(stale_after_s)
+        self.heartbeat_every_s = (
+            float(heartbeat_every_s)
+            if heartbeat_every_s is not None
+            else max(self.stale_after_s / 4.0, 0.05)
+        )
         self._held = False
+        self._reentrant = False
+        self._token = None
+        self.lost = False
+        self._mu = threading.Lock()
+        self._hb_stop = None
+        self._hb_thread = None
 
     @staticmethod
     def _pid_alive(pid: int) -> bool:
@@ -105,29 +189,97 @@ class writer_lease:
             return True
         return True
 
-    def _try_takeover(self) -> bool:
-        """Replace a provably-stale lock. Returns True if we now hold it."""
+    def _payload(self) -> dict:
+        return {
+            "pid": os.getpid(),
+            "ts": time.time(),
+            "host": os.uname().nodename,
+            "token": self._token,
+        }
+
+    def _read_lock(self) -> dict:
         try:
             with open(self.lock_path) as f:
-                cur = json.load(f)
+                return json.load(f)
         except (OSError, ValueError):
-            cur = {}
+            return {}
+
+    def _is_stale(self, cur: dict) -> bool:
         pid = int(cur.get("pid", -1))
         ts = float(cur.get("ts", 0.0))
         same_host = cur.get("host") == os.uname().nodename
-        stale = (same_host and pid > 0 and not self._pid_alive(pid)) or (
+        return (same_host and pid > 0 and not self._pid_alive(pid)) or (
             time.time() - ts > self.stale_after_s
         )
-        if not stale:
-            return False
-        # Atomic swap: whoever's replace lands last owns the lease, and
-        # both contenders believed the old holder dead — the ts in the
-        # new file restarts the staleness clock for the loser.
-        atomic_dump_json(self.lock_path, self._payload())
-        return True
 
-    def _payload(self) -> dict:
-        return {"pid": os.getpid(), "ts": time.time(), "host": os.uname().nodename}
+    def _create(self) -> bool:
+        """Atomically create the lock WITH its complete payload: write a
+        temp file in the same directory, fsync, ``os.link`` it into
+        place. link() fails with EEXIST if any lock exists — the
+        create-if-absent primitive — and the payload is whole before
+        the name appears, so no reader ever sees a torn lock."""
+        d = os.path.dirname(os.path.abspath(self.lock_path)) or "."
+        fd, tmp = tempfile.mkstemp(
+            dir=d, prefix=os.path.basename(self.lock_path) + ".", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(self._payload(), f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self.lock_path)
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def _takeover_stale(self, observed: dict) -> bool:
+        """Single-winner takeover of a provably-stale lock: rename it
+        aside to a name unique to this contender. Only one rename can
+        succeed (the source vanishes), so at most one contender
+        proceeds to create — the loser returns False and re-evaluates
+        whatever lock now exists.
+
+        ABA guard: the file sitting at the lock path when our rename
+        lands may no longer be the lock we proved stale — a faster
+        contender may have completed its takeover and created a FRESH
+        lock in the gap. After the rename, re-read what we actually
+        grabbed; if it differs from ``observed`` and is not itself
+        stale, we stole a live lock: link it back into place (no-op if
+        a third contender already created) and back off. The robbed
+        holder's lock is absent only for the µs between our rename and
+        the restore; if its heartbeat fires exactly then it aborts
+        cleanly with WriterLeaseLost — never two committed writers."""
+        aside = f"{self.lock_path}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(self.lock_path, aside)
+        except FileNotFoundError:
+            return False
+        try:
+            with open(aside) as f:
+                grabbed = json.load(f)
+        except (OSError, ValueError):
+            grabbed = {}
+        if grabbed != observed and not self._is_stale(grabbed):
+            try:
+                os.link(aside, self.lock_path)
+            except FileExistsError:
+                pass
+            try:
+                os.unlink(aside)
+            except OSError:
+                pass
+            return False
+        try:
+            os.unlink(aside)
+        except OSError:
+            pass
+        return self._create()
 
     def __enter__(self):
         # a store's first write may precede its parent directory (the
@@ -135,43 +287,118 @@ class writer_lease:
         parent = os.path.dirname(self.lock_path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        try:
-            fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                with open(self.lock_path) as f:
-                    cur = json.load(f)
-            except (OSError, ValueError):
-                cur = {}
-            if (
-                int(cur.get("pid", -1)) == os.getpid()
-                and cur.get("host") == os.uname().nodename
-            ):
+        with _REGISTRY_MU:
+            if self.lock_path in _HELD_LEASES:
                 # re-entrant: this process already holds the lease (an
                 # outer mutator called an inner one) — no-op scope, the
-                # outer owner releases
+                # outer owner heartbeats and releases
+                self._reentrant = True
                 return self
-            if not self._try_takeover():
+        self._token = uuid.uuid4().hex
+        for _ in range(16):
+            if self._create():
+                return self._acquired()
+            cur = self._read_lock()
+            if not cur and not os.path.exists(self.lock_path):
+                continue  # lock vanished between create and read — retry
+            if not self._is_stale(cur):
                 raise WriterLeaseHeld(
                     f"store lease {self.lock_path!r} is held by a live "
                     "writer; concurrent writers would race the sidecar "
                     "commit (both allocate the same generation, the losing "
                     "dump orphans the winner's rows) — retry after it "
                     "finishes, or remove the lock if the holder is known dead"
-                ) from None
-            self._held = True
-            return self
-        with os.fdopen(fd, "w") as f:
-            json.dump(self._payload(), f)
+                )
+            if self._takeover_stale(cur):
+                return self._acquired()
+            # lost the takeover race (or a fresh create slipped in) —
+            # loop re-evaluates the new holder's lock
+        raise WriterLeaseHeld(
+            f"could not acquire {self.lock_path!r}: takeover contention "
+            "persisted across retries"
+        )
+
+    def _acquired(self):
+        # re-read and confirm the lock on disk is OURS before claiming
+        # the lease (belt over the atomic link's suspenders)
+        if self._read_lock().get("token") != self._token:
+            raise WriterLeaseHeld(
+                f"lost acquisition race on {self.lock_path!r}"
+            )
         self._held = True
+        self.lost = False
+        with _REGISTRY_MU:
+            _HELD_LEASES[self.lock_path] = self
+        self._hb_stop = threading.Event()
+        self._hb_thread = threading.Thread(
+            target=self._hb_loop, name=f"lease-hb:{self.lock_path}", daemon=True
+        )
+        self._hb_thread.start()
         return self
 
-    def __exit__(self, *exc):
-        if self._held:
+    def _hb_loop(self):
+        while not self._hb_stop.wait(self.heartbeat_every_s):
             try:
-                os.unlink(self.lock_path)
-            except OSError:
-                pass
+                self.refresh()
+            except WriterLeaseLost:
+                return  # self.lost is set; next commit dump raises
+
+    def refresh(self) -> None:
+        """Heartbeat: verify the on-disk lock still carries our token,
+        then rewrite it with a fresh ``ts`` (same token). Raises
+        ``WriterLeaseLost`` — and latches ``self.lost`` — if the lease
+        was usurped. Called by the heartbeat thread and by every
+        sidecar commit dump inside the store."""
+        with self._mu:
+            if not self._held:
+                return
+            if self.lost or self._read_lock().get("token") != self._token:
+                self.lost = True
+                raise WriterLeaseLost(
+                    f"writer lease {self.lock_path!r} was taken over by "
+                    "another contender (this holder looked stale); "
+                    "aborting before the sidecar commit — rerun the "
+                    "mutation under a fresh lease"
+                )
+            # NOTE: plain dump, not atomic_dump_json — that hook calls
+            # back into refresh for store-internal paths; the lock is a
+            # sibling so it never matches, but keep the write local and
+            # atomic on its own
+            d = os.path.dirname(os.path.abspath(self.lock_path)) or "."
+            fd, tmp = tempfile.mkstemp(
+                dir=d, prefix=os.path.basename(self.lock_path) + ".", suffix=".hb"
+            )
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(self._payload(), f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self.lock_path)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+
+    def __exit__(self, *exc):
+        if self._reentrant:
+            self._reentrant = False
+            return False
+        if self._held:
+            if self._hb_stop is not None:
+                self._hb_stop.set()
+                self._hb_thread.join(timeout=2.0)
+            with _REGISTRY_MU:
+                if _HELD_LEASES.get(self.lock_path) is self:
+                    del _HELD_LEASES[self.lock_path]
+            # ownership check before unlink: an ex-holder whose lease
+            # was usurped must never remove the successor's lock
+            if not self.lost and self._read_lock().get("token") == self._token:
+                try:
+                    os.unlink(self.lock_path)
+                except OSError:
+                    pass
             self._held = False
         return False
 
