@@ -3132,11 +3132,15 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("order_window_ranks", _q_order_window_ranks),
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
-        Query(
-            "strat_sample_weighted",
-            _run_strat_sample_weighted,
-            _q_strat_sample_weighted(DUCKDB),
-        ),
+        # r9 rotation (VERDICT r8 #1): hybrid_filtered_topk — the
+        # engine's most composed query (exact filtered semantic leg +
+        # hard-constraint BM25 leg through two persisted stores, RRF
+        # fused) and the only hash-oracle gate the driver had never
+        # checked — enters the window. strat_sample_weighted cedes
+        # (externally hash-green r6-r8, single-mechanism, its quota
+        # sibling already strict-checked in overflow since r8).
+        Query("hybrid_filtered_topk", _run_hybrid_filtered,
+              hybrid_filtered_oracle_sql()),
         # r6 gate rotation (VERDICT r5 #1): the four r5 query families
         # enter the driver's 50-gate window so the external DuckDB
         # oracle hash-checks them; four long-stable single-mechanism
@@ -3194,12 +3198,14 @@ def build_catalog() -> dict[str, Query]:
         Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
         Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
         Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
-        # r8: filtered hybrid serving — metadata predicate composed
-        # across BOTH persisted legs (exact filtered semantic leg +
-        # hard-constraint BM25 leg with corpus-global stats). Overflow
-        # position (the window is fully allocated by the r8 rotation);
-        # bit-for-bit checked by tests/test_catalog.py + exact_compare.
-        Query("hybrid_filtered_topk", _run_hybrid_filtered,
-              hybrid_filtered_oracle_sql()),
+        # r9 rotation: strat_sample_weighted demoted here after three
+        # rounds externally hash-green (r6-r8), ceding its slot to
+        # hybrid_filtered_topk (VERDICT r8 #1). Stays bit-for-bit green
+        # under tests/exact_compare.py beside its quota sibling.
+        Query(
+            "strat_sample_weighted",
+            _run_strat_sample_weighted,
+            _q_strat_sample_weighted(DUCKDB),
+        ),
     ]
     return {q.name: q for q in qs}

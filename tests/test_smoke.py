@@ -38,10 +38,10 @@ DOCUMENTED_OVERFLOW = {
     "doc_packs",
     "mix_weighted_sources",
     "strat_sample_quota",
-    # r8: filtered hybrid serving — new composed gate born past the cap
-    # (the window is fully allocated by the r8 rotation); bit-for-bit
-    # checked locally, benched under BENCH extra.
-    "hybrid_filtered_topk",
+    # r9 rotation (VERDICT r8 #1): hybrid_filtered_topk — born in
+    # overflow in r8 — took strat_sample_weighted's slot (externally
+    # hash-green r6-r8; its quota sibling already strict-checked here).
+    "strat_sample_weighted",
 }
 
 
