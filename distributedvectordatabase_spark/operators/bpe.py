@@ -154,6 +154,26 @@ def _has_pair_expr(a: str, b: str):
     )
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of every RDD currently registered persistent on the context
+    (localCheckpoint registers its materialized RDD here)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdds(sc, ids) -> None:
+    """Deterministically free the blocks of the given persistent RDD
+    ids (non-blocking). Dropping the Python DataFrame reference alone
+    frees a localCheckpoint only when the DRIVER JVM happens to GC — at
+    32k merges that lag accumulates thousands of superseded checkpoint
+    block sets in executor storage (ADVICE r8 #3)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(int(i))
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
     """The incremental merge loop: maintain the global pair-count table
     across iterations instead of re-exploding the full vocabulary per
@@ -187,51 +207,68 @@ def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, 
     # partition count and union ADDS the two sides', so without the
     # coalesce below the vocab would double its (mostly empty) partition
     # count every iteration — 2^n_merges tasks per job by merge 20
+    sc = vocab.sparkSession.sparkContext
+    baseline = _persistent_rdd_ids(sc)  # caller-owned persists: never touched
     n_vocab_parts = max(vocab.rdd.getNumPartitions(), 1)
     stats = _pair_counts(vocab).localCheckpoint(eager=True)
     n_stats_parts = max(stats.rdd.getNumPartitions(), 1)
-    for _ in range(int(n_merges)):
-        top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
-        if not top or int(top[0]["cnt"]) < 2:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((a, b, cnt))
-        has = _has_pair_expr(a, b)
-        affected = vocab.filter(has).coalesce(n_vocab_parts).localCheckpoint(
-            eager=True
-        )
-        merged = (
-            affected.select(_merge_expr(a, b).alias("syms"), "freq")
-            .filter(F.size("syms") >= 2)
-            .localCheckpoint(eager=True)
-        )
-        delta = (
-            _pair_counts(affected, sign=-1)
-            .unionByName(_pair_counts(merged))
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("d"))
-            .filter(F.col("d") != 0)
-            .localCheckpoint(eager=True)
-        )
-        updated = stats.join(F.broadcast(delta), ["a", "b"], "left").select(
-            "a", "b", (F.col("cnt") + F.coalesce(F.col("d"), F.lit(0))).alias("cnt")
-        )
-        hit = stats.join(F.broadcast(delta), ["a", "b"], "left_semi")
-        fresh = delta.join(
-            F.broadcast(hit.select("a", "b")), ["a", "b"], "left_anti"
-        ).select("a", "b", F.col("d").alias("cnt"))
-        stats = (
-            updated.unionByName(fresh)
-            .filter(F.col("cnt") > 0)
-            .coalesce(n_stats_parts)
-            .localCheckpoint(eager=True)
-        )
-        vocab = (
-            vocab.filter(~has)
-            .unionByName(merged)
-            .coalesce(n_vocab_parts)
-            .localCheckpoint(eager=True)
-        )
+    # executor storage must stay FLAT in merge count: once an iteration's
+    # checkpoints are materialized, every checkpoint created by an
+    # earlier iteration is superseded and its blocks are freed
+    # explicitly (see _unpersist_rdds)
+    created: set = _persistent_rdd_ids(sc) - baseline
+    try:
+        for _ in range(int(n_merges)):
+            top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+            if not top or int(top[0]["cnt"]) < 2:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((a, b, cnt))
+            before = _persistent_rdd_ids(sc)
+            has = _has_pair_expr(a, b)
+            affected = vocab.filter(has).coalesce(n_vocab_parts).localCheckpoint(
+                eager=True
+            )
+            merged = (
+                affected.select(_merge_expr(a, b).alias("syms"), "freq")
+                .filter(F.size("syms") >= 2)
+                .localCheckpoint(eager=True)
+            )
+            delta = (
+                _pair_counts(affected, sign=-1)
+                .unionByName(_pair_counts(merged))
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").alias("d"))
+                .filter(F.col("d") != 0)
+                .localCheckpoint(eager=True)
+            )
+            updated = stats.join(F.broadcast(delta), ["a", "b"], "left").select(
+                "a", "b", (F.col("cnt") + F.coalesce(F.col("d"), F.lit(0))).alias("cnt")
+            )
+            hit = stats.join(F.broadcast(delta), ["a", "b"], "left_semi")
+            fresh = delta.join(
+                F.broadcast(hit.select("a", "b")), ["a", "b"], "left_anti"
+            ).select("a", "b", F.col("d").alias("cnt"))
+            stats = (
+                updated.unionByName(fresh)
+                .filter(F.col("cnt") > 0)
+                .coalesce(n_stats_parts)
+                .localCheckpoint(eager=True)
+            )
+            vocab = (
+                vocab.filter(~has)
+                .unionByName(merged)
+                .coalesce(n_vocab_parts)
+                .localCheckpoint(eager=True)
+            )
+            after = _persistent_rdd_ids(sc)
+            created |= after - before
+            superseded = (before - baseline) & created
+            _unpersist_rdds(sc, superseded)
+            created -= superseded
+    finally:
+        # the learned merges are plain Python — nothing persisted escapes
+        _unpersist_rdds(sc, created)
     return merges
 
 
@@ -266,33 +303,48 @@ def bpe_train_from_vocab(
 
     ``incremental=None`` picks by vocabulary size (>=
     ``incremental_min_vocab`` post-filter rows → incremental)."""
+    sc = vocab_df.sparkSession.sparkContext
+    baseline = _persistent_rdd_ids(sc)  # caller-owned persists: never touched
     vocab = vocab_df.select(
         F.split(F.col(word_col), "").alias("syms"), F.col(freq_col).alias("freq")
     )
     # tokens of length 1 can never merge; keep them out of the loop
     vocab = vocab.filter(F.size("syms") >= 2).localCheckpoint(eager=True)
+    created = _persistent_rdd_ids(sc) - baseline  # the entry checkpoint
     if incremental is None:
         incremental = vocab.count() >= int(incremental_min_vocab)
     if incremental:
-        return _train_incremental(vocab, n_merges)
+        try:
+            return _train_incremental(vocab, n_merges)
+        finally:
+            _unpersist_rdds(sc, created)
 
     merges: list[tuple[str, str, int]] = []
-    for it in range(int(n_merges)):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["cnt"] < 2:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((a, b, cnt))
-        vocab = vocab.select(_merge_expr(a, b).alias("syms"), "freq").filter(
-            F.size("syms") >= 2
-        )
-        if (it + 1) % int(checkpoint_every) == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+    try:
+        for it in range(int(n_merges)):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((a, b, cnt))
+            vocab = vocab.select(_merge_expr(a, b).alias("syms"), "freq").filter(
+                F.size("syms") >= 2
+            )
+            if (it + 1) % int(checkpoint_every) == 0:
+                before = _persistent_rdd_ids(sc)
+                vocab = vocab.localCheckpoint(eager=True)
+                created |= _persistent_rdd_ids(sc) - before
+                # the new checkpoint supersedes every earlier one
+                superseded = (before - baseline) & created
+                _unpersist_rdds(sc, superseded)
+                created -= superseded
+    finally:
+        _unpersist_rdds(sc, created)
     return merges
 
 

@@ -209,6 +209,11 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
     if "probes" in named or "n_probe" in named:
         if probes is not None:
             raise ValueError("knn(...) probes given both positionally and named")
+        if "probes" in named and "n_probe" in named:
+            raise ValueError(
+                "knn(...) got both probes => and n_probe => — they are "
+                "the same knob (n_probe is the IVF spelling); pass one"
+            )
         probes = int(named.get("probes", named.get("n_probe")))
     if "metric" in named:
         if len(args) == 5:
@@ -245,6 +250,16 @@ def _knn_view(spark: SparkSession, args: list[str]) -> str:
 
         store = IVFStore(path)  # sidecar-config reopen
         n_probe = probes if probes else 4
+        if where is None and "escalate" in named:
+            # mirror the LSH branch: never silently ignore a named knob.
+            # The unfiltered sugar path is a fixed-probe pruned scan
+            # (IVFStore.knn itself only escalates starved FILTERED
+            # probes — an unfiltered probe always fills k).
+            raise ValueError(
+                "knn(...) escalate => applies to filtered IVF search "
+                "(where => ...) only; an unfiltered probe always fills "
+                "k — widen probes/n_probe to trade recall for scan cost"
+            )
         if where is not None:
             # metadata-filtered search: route through the Python path
             # itself (IVFStore.knn) — the predicate pushes down NEXT TO

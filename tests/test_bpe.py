@@ -171,3 +171,28 @@ def test_first_merge_agrees_with_pair_stats_gate(spark):
         .collect()[0]
     )
     assert (top.pair, int(top.cnt)) == (merges[0][0] + merges[0][1], merges[0][2])
+
+
+def test_incremental_loop_frees_superseded_checkpoints(spark):
+    """Executor storage must stay FLAT in merge count (ADVICE r8 #3):
+    each iteration localCheckpoints ~5 DataFrames, and at 32k merges
+    relying on driver-JVM GC to reap them accumulates unboundedly. The
+    loop must explicitly unpersist superseded checkpoints — after
+    training, no loop-created RDD may remain persistent."""
+    from distributedvectordatabase_spark.operators.bpe import (
+        _persistent_rdd_ids,
+        bpe_train,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL).limit(80)
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    merges = bpe_train(docs, n_merges=12, incremental=True)
+    assert len(merges) > 0
+    leaked = _persistent_rdd_ids(sc) - before
+    assert leaked == set(), f"incremental loop leaked RDDs: {sorted(leaked)}"
+    # the full-scan loop's periodic checkpoints obey the same contract
+    before = _persistent_rdd_ids(sc)
+    assert bpe_train(docs, n_merges=12, incremental=False) == merges
+    leaked = _persistent_rdd_ids(sc) - before
+    assert leaked == set(), f"full-scan loop leaked RDDs: {sorted(leaked)}"

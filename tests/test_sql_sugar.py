@@ -180,6 +180,34 @@ def test_knn_sql_named_args_lsh_and_errors(spark, stores):
         )
 
 
+def test_knn_sql_named_arg_edges_raise(spark, stores, ivf_meta):
+    """ADVICE r8 #5: both probe spellings named must raise (not let
+    probes silently win), and escalate => on an unfiltered IVF store
+    must raise like the LSH branch does (the unfiltered sugar path is a
+    fixed-probe pruned scan that never escalates)."""
+    vs, _ = stores
+    vec = _vec_sql(spark, 5)
+    with pytest.raises(ValueError, match="both probes => and n_probe =>"):
+        sql(
+            spark,
+            f"SELECT * FROM knn('{vs.path}', {vec}, 4, "
+            "probes => 2, n_probe => 3)",
+        )
+    with pytest.raises(ValueError, match="filtered IVF"):
+        sql(
+            spark,
+            f"SELECT * FROM knn('{ivf_meta.path}', {vec}, 4, "
+            "escalate => true)",
+        )
+    # explicit escalate stays accepted where it acts: filtered IVF
+    got = sql(
+        spark,
+        f"SELECT * FROM knn('{ivf_meta.path}', {vec}, 4, "
+        "where => 'label = 2', escalate => true)",
+    ).collect()
+    assert len(got) == 4
+
+
 def test_knn_sql_metric_and_errors(spark, stores):
     vs, _ = stores
     vec = _vec_sql(spark, 2)
