@@ -2847,6 +2847,25 @@ def _run_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = exact.join(approx, ["qid", "neighbor_id"]).count()
         rows.append((n_probe, _qz_py(hits / total)))
     exact.unpersist()
+    # Self-asserting (r9, VERDICT r8 #5): the driver can't oracle a
+    # KMeans-seeded sweep, so the runner pins its own floors — a silent
+    # cell-routing regression turns this gate into `err` instead of
+    # quietly-wrong rows. Floors: recall nondecreasing in probes;
+    # full probe is EXACTLY the exact search (1.0 after quantization);
+    # n_probe=4 has measured 0.65-0.76 across driver regenerations of
+    # this corpus, floored at 0.5 (half the probe budget of a 16-cell
+    # store must beat a coin flip by a wide margin, but the floor stays
+    # clear of regeneration noise).
+    if any(b[1] < a[1] for a, b in zip(rows, rows[1:])):
+        raise AssertionError(f"IVF recall sweep not nondecreasing: {rows}")
+    if rows[-1][1] != 1.0:
+        raise AssertionError(
+            f"full probe (n_probe=n_cells) must equal exact kNN, got {rows[-1]}"
+        )
+    if rows[0][1] < 0.5:
+        raise AssertionError(
+            f"recall@{KNN_K} at n_probe=4 fell below the 0.5 floor: {rows[0]}"
+        )
     return spark.createDataFrame(rows, schema="n_probe int, recall_at_k double")
 
 
