@@ -473,9 +473,12 @@ def hybrid_serve_batch(
     ``store.current_gen()`` and ``index.current_gen()`` together when
     a run starts): the fused result equals serving over fresh builds
     of those historical corpora (pinned in tests/test_snapshot.py).
-    Snapshot serving uses the exact/pruned raw legs — the SQ/BQ code
-    sidecars are rebuilt artifacts without per-gen history, so
-    ``store_as_of`` with ``use_sq``/``use_bq`` raises.
+    Since r9 this includes the compressed legs: SQ/BQ code rows carry
+    the raw rows' ``_gen`` (builds keep it, appends sync it), so
+    ``store_as_of`` with ``use_sq``/``use_bq`` reconstructs the codes
+    as-of — subject to the sidecar's ``built_gen`` floor (rows deleted
+    before the build never reached the codes; those snapshots raise
+    with a pointer to the raw leg).
 
     ``where`` (r8) is a SQL predicate over the STORE's metadata
     columns — filtered hybrid search, the composition of the engine's
@@ -490,9 +493,13 @@ def hybrid_serve_batch(
     (``bm25_batch(allowed_ids=...)`` — the standard IR contract: a
     filter narrows candidates, it does not re-weight the collection),
     with the allowed-id set read once off the store's own scan
-    (predicate + id-column pushed). Requires the raw legs
-    (``use_sq``/``use_bq`` carry no metadata — raises); composes with
-    snapshot serving (``store_as_of``/``index_as_of``): the predicate
+    (predicate + id-column pushed). Since r9 the compressed legs
+    filter too — the same allowed-id set semi-joins into the SQ/BQ
+    codes scan BEFORE the shortlist cut (filter-then-rank at 1-8
+    bytes/dim; at 100 TB serving lives on the compressed rungs, so
+    falling back to the raw leg would re-read 4-32x the bytes).
+    Composes with snapshot serving
+    (``store_as_of``/``index_as_of``): the predicate
     and the allowed-id set evaluate over the PINNED store generation,
     so a historical filtered serve reproduces exactly what filtered
     serving returned then — reproducible filtered training-data
@@ -517,16 +524,6 @@ def hybrid_serve_batch(
     qvecs = q.select("qid", "qvec")
     if use_sq and use_bq:
         raise ValueError("pick ONE compressed leg: use_sq or use_bq")
-    if store_as_of is not None and (use_sq or use_bq):
-        raise ValueError(
-            "snapshot serving (store_as_of) requires the raw semantic "
-            "leg: SQ/BQ code sidecars carry no per-generation history"
-        )
-    if where is not None and (use_sq or use_bq):
-        raise ValueError(
-            "filtered serving (where) requires the raw semantic leg: "
-            "the SQ/BQ code tables carry no metadata columns"
-        )
     is_ivf = hasattr(store, "centroids")
     if is_ivf and num_candidates is not None:
         raise ValueError(
@@ -543,11 +540,12 @@ def hybrid_serve_batch(
         if use_bq:
             hits = store.knn_bq(
                 spark, qvecs, k=fetch, n_probe=probe, rerank=bq_rerank,
-                metric=metric,
+                metric=metric, where=where, as_of_gen=store_as_of,
             )
         elif use_sq:
             hits = store.knn_sq(
                 spark, qvecs, k=fetch, n_probe=probe, rerank=sq_rerank,
+                where=where, as_of_gen=store_as_of,
             )
         else:
             hits = store.knn(
@@ -569,6 +567,7 @@ def hybrid_serve_batch(
             num_candidates=int(num_candidates or 2),
             rerank=bq_rerank,
             metric=metric,
+            where=where, as_of_gen=store_as_of,
         )
     elif use_sq:
         # semantic leg over the store's SQ8 codes sidecar (1 byte/dim
@@ -580,6 +579,7 @@ def hybrid_serve_batch(
             pruned=num_candidates is not None,
             num_candidates=int(num_candidates or 2),
             rerank=sq_rerank,
+            where=where, as_of_gen=store_as_of,
         )
     elif num_candidates is None:
         if where is not None:

@@ -661,7 +661,10 @@ class IVFStore:
             .partitionBy("cell_id")
             .parquet(self._pq_path)
         )
-        side = {**cb.to_dict(), "residual": bool(residual)}
+        # built_gen: the snapshot floor — rows deleted before this build
+        # are physically absent from the codes (r9)
+        side = {**cb.to_dict(), "residual": bool(residual),
+                "built_gen": self._gen()}
         if R is not None:
             side["rotation"] = R.tolist()
         atomic_dump_json(self._pq_codebook_path, side)
@@ -712,7 +715,11 @@ class IVFStore:
             .partitionBy("cell_id")
             .parquet(self._sq_path)
         )
-        atomic_dump_json(self._sq_params_path, params.to_dict())
+        # built_gen: snapshot floor (r9) — see build_pq
+        atomic_dump_json(
+            self._sq_params_path,
+            {**params.to_dict(), "built_gen": self._gen()},
+        )
 
     def sq_params(self):
         from distributedvectordatabase_spark.operators.sq import SQParams
@@ -721,12 +728,7 @@ class IVFStore:
             return SQParams.from_dict(json.load(f))
 
     def _sq_codes_live(self, spark: SparkSession) -> DataFrame:
-        from distributedvectordatabase_spark.sources.tombstones import filter_live
-
-        return filter_live(
-            spark, self._committed(spark.read.parquet(self._sq_path)),
-            self._tombstone_path, self.id_col,
-        )
+        return self._any_codes(spark, self._sq_path)
 
     def knn_sq(
         self,
@@ -737,15 +739,31 @@ class IVFStore:
         rerank: int = 2,
         qid_col: str = "qid",
         qvec_col: str = "qvec",
+        where: str | None = None,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """IVF-SQ8 search: probe the ``n_probe`` nearest cells
         (partition pruning on the codes table), asymmetric-scan only
         those cells' 1-byte/dim codes with a per-query cell mask, then
         exact-rerank the shortlist against the raw vectors of the same
-        probed cells. ``rerank=0`` returns the SQ-estimate distances."""
+        probed cells. ``rerank=0`` returns the SQ-estimate distances.
+
+        ``where``/``as_of_gen`` (r9): filtered + snapshot serving on
+        the compressed leg. Matching ids are read once off the raw
+        table (predicate + id pushed next to the same cell pruning;
+        ``build(meta_cols=)`` co-locates the metadata) and semi-joined
+        into the codes scan BEFORE the shortlist cut — a hard
+        constraint with store-global trained bounds, never
+        score-then-discard. A snapshot read reconstructs codes-as-of
+        via the rows' ``_gen`` (appends sync inline), floor-checked
+        against the sidecar's ``built_gen``. NOTE: unlike the raw
+        ``knn(where=)``, the compressed leg does not escalate — a
+        selective filter inside few probed cells may return under k
+        rows; widen ``n_probe`` or use the raw leg for exactness."""
         n_probe = max(int(n_probe), 1)  # 0 probes nothing and would silently return empty
         from distributedvectordatabase_spark.operators.sq import sq_search
 
+        self._check_codes_snapshot(self._sq_params_path, as_of_gen, "sq")
         C = self.centroids()
         qrows = collect_query_batch(queries, qid_col, qvec_col)
         cand_map: dict[int, frozenset] = {}
@@ -754,10 +772,17 @@ class IVFStore:
             order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
             cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
         probed = sorted({c for s in cand_map.values() for c in s})
-        codes = self._sq_codes_live(spark).drop("_gen").filter(
+        codes = self._any_codes(spark, self._sq_path, as_of_gen).drop(
+            "_gen"
+        ).filter(F.col("cell_id").isin(probed))
+        if where is not None:
+            codes = codes.join(
+                self._allowed_ids(spark, where, as_of_gen),
+                self.id_col, "left_semi",
+            )
+        corpus = self.read(spark, as_of_gen=as_of_gen).filter(
             F.col("cell_id").isin(probed)
         )
-        corpus = self.read(spark).filter(F.col("cell_id").isin(probed))
         return sq_search(
             codes, self.sq_params(), queries, k=k,
             id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
@@ -774,6 +799,8 @@ class IVFStore:
         rerank: int = 4,
         qid_col: str = "qid",
         qvec_col: str = "qvec",
+        where: str | None = None,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """IVFPQ search: probe the ``n_probe`` nearest cells (partition
         pruning on the compressed table), ADC-scan only those cells'
@@ -781,10 +808,13 @@ class IVFStore:
         shortlist against the raw vectors of the same probed cells —
         both probes prune partitions, and the float column is read only
         for ≤ nq·rerank·k shortlist rows. ``rerank=0`` returns raw ADC
-        distances."""
+        distances. ``where``/``as_of_gen``: filtered + snapshot
+        serving, same contracts and non-escalation caveat as
+        :meth:`knn_sq`."""
         n_probe = max(int(n_probe), 1)  # 0 probes nothing and would silently return empty
         from distributedvectordatabase_spark.operators.pq import pq_search
 
+        self._check_codes_snapshot(self._pq_codebook_path, as_of_gen, "pq")
         C = self.centroids()
         qrows = collect_query_batch(queries, qid_col, qvec_col)
         cand_map: dict[int, frozenset] = {}
@@ -793,10 +823,17 @@ class IVFStore:
             order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
             cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
         probed = sorted({c for s in cand_map.values() for c in s})
-        codes = self._codes_live(spark).drop("_gen").filter(
+        codes = self._any_codes(spark, self._pq_path, as_of_gen).drop(
+            "_gen"
+        ).filter(F.col("cell_id").isin(probed))
+        if where is not None:
+            codes = codes.join(
+                self._allowed_ids(spark, where, as_of_gen),
+                self.id_col, "left_semi",
+            )
+        corpus = self.read(spark, as_of_gen=as_of_gen).filter(
             F.col("cell_id").isin(probed)
         )
-        corpus = self.read(spark).filter(F.col("cell_id").isin(probed))
         return pq_search(
             codes, self.pq_codebook(), queries, k=k,
             id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
@@ -857,16 +894,13 @@ class IVFStore:
             self._bq_params_path,
             {"dim": dim,
              "n_bits": None if n_bits is None else int(n_bits),
-             "seed": int(seed), "normalize": bool(normalize)},
+             "seed": int(seed), "normalize": bool(normalize),
+             # snapshot floor (r9) — see build_pq
+             "built_gen": self._gen()},
         )
 
     def _bq_codes_live(self, spark: SparkSession) -> DataFrame:
-        from distributedvectordatabase_spark.sources.tombstones import filter_live
-
-        return filter_live(
-            spark, self._committed(spark.read.parquet(self._bq_path)),
-            self._tombstone_path, self.id_col,
-        )
+        return self._any_codes(spark, self._bq_path)
 
     def knn_bq(
         self,
@@ -878,6 +912,8 @@ class IVFStore:
         qid_col: str = "qid",
         qvec_col: str = "qvec",
         metric: str | None = None,
+        where: str | None = None,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """IVF-BQ search: probe the ``n_probe`` nearest cells (literal
         IN-list → Catalyst partition pruning on the 1-bit codes table),
@@ -891,12 +927,15 @@ class IVFStore:
         ``build_bq(normalize=True)`` store reranks by cosine (the
         honest pairing — the Hamming shortlist is angular by
         construction), others by squared L2. Returns
-        (qid, neighbor_id, dist, rnk), the knn() shape."""
+        (qid, neighbor_id, dist, rnk), the knn() shape.
+        ``where``/``as_of_gen``: filtered + snapshot serving, same
+        contracts and non-escalation caveat as :meth:`knn_sq`."""
         n_probe = max(int(n_probe), 1)  # 0 probes nothing and would silently return empty
         from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
 
         if not os.path.exists(self._bq_params_path):
             raise ValueError("no binary sidecar: run build_bq(spark) first")
+        self._check_codes_snapshot(self._bq_params_path, as_of_gen, "bq")
         with open(self._bq_params_path) as f:
             side = json.load(f)
         if metric is None:
@@ -911,9 +950,14 @@ class IVFStore:
             order = np.argsort(((C - qv) ** 2).sum(axis=1))[:n_probe]
             cand_map[int(r[qid_col])] = frozenset(int(c) for c in order)
         probed = sorted({c for s in cand_map.values() for c in s})
-        codes = self._bq_codes_live(spark).drop("_gen").filter(
-            F.col("cell_id").isin(probed)
-        )
+        codes = self._any_codes(spark, self._bq_path, as_of_gen).drop(
+            "_gen"
+        ).filter(F.col("cell_id").isin(probed))
+        if where is not None:
+            codes = codes.join(
+                self._allowed_ids(spark, where, as_of_gen),
+                self.id_col, "left_semi",
+            )
         # persisted (n_bits, seed) are authoritative for query encoding
         qcodes = bq_encode(
             queries, int(side["dim"]), qvec_col, out_col="qcode",
@@ -925,7 +969,7 @@ class IVFStore:
             shard_map=cand_map, shard_col="cell_id",
         )
         raw = (
-            self.read(spark)
+            self.read(spark, as_of_gen=as_of_gen)
             .filter(F.col("cell_id").isin(probed))
             .select(F.col(self.id_col).alias("neighbor_id"), self.vec_col)
         )
@@ -1034,12 +1078,55 @@ class IVFStore:
         )
 
     def _codes_live(self, spark: SparkSession) -> DataFrame:
-        from distributedvectordatabase_spark.sources.tombstones import filter_live
+        return self._any_codes(spark, self._pq_path)
 
-        return filter_live(
-            spark, self._committed(spark.read.parquet(self._pq_path)),
-            self._tombstone_path, self.id_col,
+    def _any_codes(
+        self, spark: SparkSession, path: str, as_of_gen: int | None = None
+    ) -> DataFrame:
+        """Shared codes-table read for the PQ/SQ/BQ sidecars: committed
+        rows, tombstone-filtered live or reconstructed as-of (codes
+        rows carry the raw rows' ``_gen`` — build keeps it, append
+        syncs it inline)."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_as_of,
+            filter_live,
         )
+
+        df = self._committed(spark.read.parquet(path))
+        if as_of_gen is None:
+            return filter_live(spark, df, self._tombstone_path, self.id_col)
+        return filter_as_of(
+            spark, df, self._tombstone_path, self.id_col, as_of_gen
+        )
+
+    def _allowed_ids(
+        self, spark: SparkSession, where: str, as_of_gen: int | None
+    ) -> DataFrame:
+        """(id) rows matching a metadata predicate — one pass over the
+        raw table (predicate + id column pushed; ``build(meta_cols=)``
+        co-locates the metadata), semi-joined into a compressed codes
+        scan BEFORE its shortlist (the bm25_batch(allowed_ids=)
+        hard-constraint contract)."""
+        return (
+            self.read(spark, as_of_gen=as_of_gen)
+            .filter(where)
+            .select(self.id_col)
+        )
+
+    def _check_codes_snapshot(self, side_path: str, as_of_gen: int | None,
+                              what: str) -> None:
+        """Snapshot floor for a compressed leg (r9): appends sync codes
+        inline (a pure function of persisted params), so the only
+        unreconstructable history is rows deleted before the sidecar's
+        (re)build — tombstones.check_codes_snapshot_floor."""
+        if as_of_gen is None:
+            return
+        from distributedvectordatabase_spark.sources.tombstones import (
+            check_codes_snapshot_floor,
+        )
+
+        with open(side_path) as f:
+            check_codes_snapshot_floor(json.load(f), as_of_gen, what)
 
     def current_gen(self) -> int:
         """The store's persisted write/delete generation — pin it when

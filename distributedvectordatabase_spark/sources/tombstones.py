@@ -547,6 +547,31 @@ def locked_writer(fn):
     return wrapper
 
 
+def check_codes_snapshot_floor(side: dict, as_of_gen: int, what: str) -> None:
+    """Validate a compressed-codes snapshot read (r9): a codes sidecar
+    encodes the rows LIVE at its (re)build, so rows deleted before the
+    build are physically absent from the codes table — a snapshot older
+    than the build cannot be reconstructed from codes (the raw table
+    keeps them until compact; the codes table never had them). Builds
+    record ``built_gen``; snapshot reads at or after it are exact
+    (appends sync per-row ``_gen``; later deletes are merge-on-read
+    tombstones that ``filter_as_of`` re-admits)."""
+    built = side.get("built_gen")
+    if built is None:
+        raise ValueError(
+            f"the {what} sidecar predates snapshot support (no built_gen "
+            f"recorded); re-run build_{what}() once to enable as_of_gen "
+            "reads on the compressed leg"
+        )
+    if int(as_of_gen) < int(built):
+        raise ValueError(
+            f"{what} codes cannot serve a snapshot at gen {as_of_gen}: the "
+            f"sidecar was (re)built at gen {built} and rows deleted before "
+            "that build are physically absent from the codes table — serve "
+            "older snapshots from the raw leg"
+        )
+
+
 def max_tombstoned_id(spark: SparkSession, tomb_dir: str, id_col: str) -> int:
     """Largest id ever deleted (0 if none) — auto-id allocation must
     clear this too, or a reissued id would be silently killed by its

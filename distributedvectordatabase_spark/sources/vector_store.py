@@ -491,7 +491,12 @@ class VectorStore:
             .partitionBy("shard_id")
             .parquet(self._sq_path)
         )
-        atomic_dump_json(self._sq_params_path, {**params.to_dict(), "gen": self._gen()})
+        atomic_dump_json(
+            self._sq_params_path,
+            # built_gen: the snapshot floor — rows deleted before this
+            # build are physically absent from the codes (r9)
+            {**params.to_dict(), "gen": self._gen(), "built_gen": self._gen()},
+        )
 
     def sq_params(self):
         from distributedvectordatabase_spark.operators.sq import SQParams
@@ -510,36 +515,108 @@ class VectorStore:
             return int(json.load(f).get("gen", 0))
 
     def _sq_codes_live(self, spark: SparkSession) -> DataFrame:
-        from distributedvectordatabase_spark.sources.tombstones import filter_live
+        return self._sq_codes(spark)
 
-        return filter_live(
-            spark, self._committed(spark.read.parquet(self._sq_path)),
-            self._tombstone_path, self.id_col,
+    def _sq_codes(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> DataFrame:
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_as_of,
+            filter_live,
         )
+
+        df = self._committed(spark.read.parquet(self._sq_path))
+        if as_of_gen is None:
+            return filter_live(spark, df, self._tombstone_path, self.id_col)
+        return filter_as_of(
+            spark, df, self._tombstone_path, self.id_col, as_of_gen
+        )
+
+    def _allowed_ids(
+        self, spark: SparkSession, where: str, as_of_gen: int | None
+    ) -> DataFrame:
+        """(id) rows matching a metadata predicate — one pass over the
+        store's own table (predicate + id column push to the raw scan),
+        semi-joined into a compressed codes scan BEFORE its shortlist
+        (the ``bm25_batch(allowed_ids=)`` hard-constraint contract)."""
+        return (
+            self.read(spark, as_of_gen=as_of_gen)
+            .filter(where)
+            .select(self.id_col)
+        )
+
+    def _check_codes_gens(
+        self, side_gen: int, as_of_gen: int | None, side: dict, what: str
+    ) -> None:
+        """Shared staleness/snapshot validation for the SQ/BQ legs: a
+        LIVE read requires codes synced to the store head; a SNAPSHOT
+        read only requires codes synced AT LEAST to the pinned gen
+        (rows at gens ≤ as_of_gen are all present) plus the build-time
+        floor (rows deleted before the build never reached the codes —
+        tombstones.check_codes_snapshot_floor)."""
+        from distributedvectordatabase_spark.sources.tombstones import (
+            check_codes_snapshot_floor,
+        )
+
+        if as_of_gen is None:
+            if side_gen != self._gen():
+                raise ValueError(
+                    f"{what} codes are stale: the store was written without "
+                    f"a codes sync since the last build_{what}; re-run "
+                    f"build_{what}(spark)"
+                )
+            return
+        check_codes_snapshot_floor(side, as_of_gen, what)
+        if int(as_of_gen) > side_gen:
+            raise ValueError(
+                f"{what} codes are synced through gen {side_gen} and cannot "
+                f"serve a snapshot at gen {as_of_gen}; re-run "
+                f"build_{what}(spark)"
+            )
 
     def knn_sq(self, spark: SparkSession, queries: DataFrame, k: int = 10,
                rerank: int = 0, pruned: bool = True, num_candidates: int = 2,
-               qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+               qid_col: str = "qid", qvec_col: str = "qvec",
+               where: str | None = None,
+               as_of_gen: int | None = None) -> DataFrame:
         """Top-k over the SQ8 codes instead of the raw vectors — same
         LSH multi-probe pruning as knn(pruned=True) (candidate shards
         become partition-pruning predicates + per-query Arrow masks on
         the codes scan), but the scan reads 1 byte/dim. ``rerank=R``
         exact-rescored the R·k shortlist against the raw store (the
         FAISS refine pattern) — at 100 TB the raw floats are touched
-        only for the ≤ nq·R·k shortlist ids."""
+        only for the ≤ nq·R·k shortlist ids.
+
+        ``where`` (r9) filters with a SQL predicate over the RAW
+        store's columns: matching ids are read once off the raw scan
+        (predicate + id column pushed) and semi-joined into the codes
+        scan BEFORE the shortlist cut — filter-then-rank, never
+        score-then-discard, with the store-global trained bounds (a
+        filter narrows candidates, it does not retrain the quantizer —
+        the bm25_batch(allowed_ids=) contract). Shard partition
+        pruning on the codes scan is unaffected (the semi-join sits
+        above it). Results are a hard-constrained top-k among matching
+        rows; exact filtered kNN at full budget (pinned in tests).
+
+        ``as_of_gen`` (r9) serves the snapshot corpus at that pinned
+        generation: codes rows carry the raw rows' ``_gen`` (build and
+        the append sync both keep it), so the same
+        ``tombstones.filter_as_of`` reconstruction applies to the
+        codes scan, and the rerank probes the snapshot raw rows. Two
+        validity bounds, both raising explicitly: the sidecar's
+        ``built_gen`` floor (rows deleted before the build never
+        reached the codes) and the sync horizon (the snapshot must be
+        covered by synced codes)."""
         if not os.path.exists(self._sq_params_path):
             raise ValueError("no SQ sidecar: run build_sq(spark) first")
-        if self._sq_synced_gen() != self._gen():
-            raise ValueError(
-                "SQ codes are stale: the store was written outside the "
-                "batch append path since the last build_sq; re-run "
-                "build_sq(spark)"
-            )
+        with open(self._sq_params_path) as f:
+            side = json.load(f)
+        self._check_codes_gens(int(side.get("gen", 0)), as_of_gen, side, "sq")
         from distributedvectordatabase_spark.operators.knn import collect_query_batch
         from distributedvectordatabase_spark.operators.sq import sq_search
 
         params = self.sq_params()
-        codes = self._sq_codes_live(spark)
+        codes = self._sq_codes(spark, as_of_gen)
         cand_map = None
         if pruned:
             qrows = collect_query_batch(queries, qid_col, qvec_col)
@@ -554,10 +631,16 @@ class VectorStore:
             all_shards = sorted({s for ss in cand_map.values() for s in ss})
             # literal IN-list → Catalyst partition pruning on _sq/
             codes = codes.filter(F.col("shard_id").isin(all_shards))
+        if where is not None:
+            codes = codes.join(
+                self._allowed_ids(spark, where, as_of_gen),
+                self.id_col, "left_semi",
+            )
         return sq_search(
             codes, params, queries, k=k, id_col=self.id_col,
             qid_col=qid_col, qvec_col=qvec_col,
-            rerank=rerank, corpus=self.read(spark) if rerank else None,
+            rerank=rerank,
+            corpus=self.read(spark, as_of_gen=as_of_gen) if rerank else None,
             vec_col=self.vec_col,
             shard_col="shard_id" if pruned else None, cand_map=cand_map,
         )
@@ -638,7 +721,10 @@ class VectorStore:
             self._bq_params_path,
             {"dim": self.lsh.dim, "gen": self._gen(),
              "n_bits": n_bits, "seed": int(seed),
-             "normalize": bool(normalize)},
+             "normalize": bool(normalize),
+             # snapshot floor: rows deleted before this build are
+             # physically absent from the codes (r9)
+             "built_gen": self._gen()},
         )
 
     def _bq_record_gen(self, gen: int) -> None:
@@ -654,7 +740,9 @@ class VectorStore:
     def knn_bq(self, spark: SparkSession, queries: DataFrame, k: int = 10,
                rerank: int = 2, pruned: bool = True, num_candidates: int = 2,
                qid_col: str = "qid", qvec_col: str = "qvec",
-               metric: str | None = None) -> DataFrame:
+               metric: str | None = None,
+               where: str | None = None,
+               as_of_gen: int | None = None) -> DataFrame:
         """Top-k via the binary sidecar: Hamming shortlist of
         ``rerank·k`` candidates over the 1-bit codes (with the same LSH
         multi-probe pruning as knn(pruned=True): a literal shard
@@ -669,32 +757,43 @@ class VectorStore:
         ``build_bq(normalize=True)`` store reranks by cosine (the
         honest pairing — the Hamming shortlist is angular by
         construction), others by squared L2. Pass ``"l2sq"``/
-        ``"cosine"`` to override per call."""
+        ``"cosine"`` to override per call.
+
+        ``where`` / ``as_of_gen`` (r9): filtered and snapshot serving
+        on the 1-bit leg, same contracts as :meth:`knn_sq` — matching
+        ids semi-join into the codes scan BEFORE the Hamming shortlist
+        (hard constraint, partition pruning unaffected), and snapshot
+        reads reconstruct codes-as-of via the rows' ``_gen`` subject to
+        the ``built_gen`` floor and the sync horizon (for this
+        rebuild-don't-sync sidecar the two coincide)."""
         if not os.path.exists(self._bq_params_path):
             raise ValueError("no binary sidecar: run build_bq(spark) first")
-        if self._bq_synced_gen() != self._gen():
-            raise ValueError(
-                "binary codes are stale: the store was written since "
-                "the last build_bq; re-run build_bq(spark) (one "
-                "projection scan) to regenerate"
-            )
         from distributedvectordatabase_spark.operators.bq import bq_encode, bq_topk
         from distributedvectordatabase_spark.operators.knn import (
             _dist_expr,
             collect_query_batch,
         )
-        from distributedvectordatabase_spark.sources.tombstones import filter_live
+        from distributedvectordatabase_spark.sources.tombstones import (
+            filter_as_of,
+            filter_live,
+        )
 
         k = max(int(k), 1)
         fetch = max(int(rerank), 1) * k
         with open(self._bq_params_path) as f:
             side = json.load(f)
+        self._check_codes_gens(int(side.get("gen", 0)), as_of_gen, side, "bq")
         if metric is None:
             metric = "cosine" if side.get("normalize") else "l2sq"
-        codes = filter_live(
-            spark, self._committed(spark.read.parquet(self._bq_path)),
-            self._tombstone_path, self.id_col,
-        )
+        raw_codes = self._committed(spark.read.parquet(self._bq_path))
+        if as_of_gen is None:
+            codes = filter_live(
+                spark, raw_codes, self._tombstone_path, self.id_col
+            )
+        else:
+            codes = filter_as_of(
+                spark, raw_codes, self._tombstone_path, self.id_col, as_of_gen
+            )
         shard_map = None
         if pruned:
             qrows = collect_query_batch(queries, qid_col, qvec_col)
@@ -709,6 +808,11 @@ class VectorStore:
             all_shards = sorted({s for ss in shard_map.values() for s in ss})
             # literal IN-list → Catalyst partition pruning on _bq/
             codes = codes.filter(F.col("shard_id").isin(all_shards))
+        if where is not None:
+            codes = codes.join(
+                self._allowed_ids(spark, where, as_of_gen),
+                self.id_col, "left_semi",
+            )
         # the persisted (n_bits, seed) are authoritative: queries MUST
         # be encoded exactly like the stored codes were
         qcodes = bq_encode(
@@ -720,7 +824,7 @@ class VectorStore:
             id_col=self.id_col, qid_col=qid_col,
             shard_map=shard_map,
         )
-        raw = self.read(spark).select(
+        raw = self.read(spark, as_of_gen=as_of_gen).select(
             F.col(self.id_col).alias("neighbor_id"), self.vec_col
         )
         rescored = (

@@ -67,7 +67,8 @@ LSH-pruned semantic leg + term-bucket-pruned BM25 leg, RRF-fused):
     hybrid('<store_path>', '<index_path>', <vector expr>, <terms expr>,
            <k> [, <probes>] [, n_probe|num_candidates => <int>]
            [, where => '<sql predicate>']
-           [, store_as_of => <gen>] [, index_as_of => <gen>])
+           [, store_as_of => <gen>] [, index_as_of => <gen>]
+           [, use_sq => true] [, use_bq => true])
 
 ``as_of``/``store_as_of``/``index_as_of`` (r8) pin the search to a
 snapshot generation (``current_gen()`` semantics — time-travel serving
@@ -79,6 +80,13 @@ predicate (over the store's metadata columns) restricts both legs —
 exact-with-escalation on an IVF semantic leg, pre-filtered scan on an
 LSH one, and a hard pre-top-k constraint on the BM25 leg with
 corpus-global statistics (hybrid_serve_batch(where=...) semantics).
+
+``use_sq``/``use_bq`` (r9) route the semantic leg through the store's
+compressed codes sidecar (SQ8 / 1-bit Hamming + exact rerank) — and
+both ``where`` and the ``*_as_of`` pins compose with them: allowed ids
+semi-join into the codes scan before the shortlist, snapshots
+reconstruct codes-as-of via per-row generations (floored at the
+sidecar's build).
 
 - ``store_path``: a built VectorStore dir (the serving store);
 - ``index_path``: a built TextIndex dir;
@@ -350,7 +358,7 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
     args, named = _split_named(
         args, "hybrid",
         {"probes", "n_probe", "num_candidates", "where",
-         "store_as_of", "index_as_of"},
+         "store_as_of", "index_as_of", "use_sq", "use_bq"},
     )
     if not 5 <= len(args) <= 6:
         raise ValueError(
@@ -429,6 +437,11 @@ def _hybrid_view(spark: SparkSession, args: list[str]) -> str:
         index_as_of=(
             int(named["index_as_of"]) if "index_as_of" in named else None
         ),
+        # r9: the compressed legs serve filtered/snapshot too — the
+        # sugar exposes them directly (knn_sq/knn_bq raise their own
+        # clear errors when the sidecar is missing or stale)
+        use_sq=_bool_opt(named, "use_sq", False),
+        use_bq=_bool_opt(named, "use_bq", False),
         **probe_kw,
     ).drop("qid")
     name = f"_hybrid_sugar_{next(_VIEW_IDS)}"

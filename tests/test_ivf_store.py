@@ -638,7 +638,8 @@ def test_ivfbq_config_authoritative_and_normalized_domain(spark, tmp_path):
     s.build_bq(spark, n_bits=128, seed=7, normalize=True)
     with open(s._bq_params_path) as f:
         side = json.load(f)
-    assert side == {"dim": 64, "n_bits": 128, "seed": 7, "normalize": True}
+    assert side == {"dim": 64, "n_bits": 128, "seed": 7, "normalize": True,
+                    "built_gen": 1}
     s.build_bq(spark)  # refresh with defaults must keep the config
     with open(s._bq_params_path) as f:
         assert json.load(f) == side

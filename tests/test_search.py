@@ -730,14 +730,14 @@ def test_hybrid_serve_batch_filtered(spark, tmp_path):
     ).collect()
     assert probed and all(r.doc_id in allowed for r in probed)
 
-    # compressed legs carry no metadata → explicit raise
-    import pytest
-
+    # r9: the compressed leg filters too — allowed ids semi-join into
+    # the codes scan before the shortlist (hard constraint holds)
     vs.build_sq(spark)
-    with pytest.raises(ValueError, match="metadata"):
-        hybrid_serve_batch(
-            spark, vs, index, queries, k=k, where=where, use_sq=True
-        )
+    comp = hybrid_serve_batch(
+        spark, vs, index, queries, k=k, where=where, use_sq=True,
+        sq_rerank=4,
+    ).collect()
+    assert comp and all(r.doc_id in allowed for r in comp)
 
 
 def test_hybrid_filtered_snapshot_serving(spark, tmp_path):

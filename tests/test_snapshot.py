@@ -249,10 +249,30 @@ def test_hybrid_serve_at_pinned_gens_equals_fresh_builds(spark, tmp_path):
     )
     assert snap == want
 
-    # snapshot serving requires the raw leg
+    # r9: snapshot serving now reaches the compressed leg — codes rows
+    # carry _gen, so a snapshot AT OR AFTER the sidecar build serves
+    # (identical to the live compressed serve when pinned at head)...
+    store.build_sq(spark)
+    g_head = store.current_gen()
+    live_sq = sorted(
+        (r.qid, r.doc_id, r.rrf_score, r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, ix, queries, k=8, use_sq=True, sq_rerank=4,
+        ).collect()
+    )
+    snap_sq = sorted(
+        (r.qid, r.doc_id, r.rrf_score, r.rnk)
+        for r in hybrid_serve_batch(
+            spark, store, ix, queries, k=8, use_sq=True, sq_rerank=4,
+            store_as_of=g_head, index_as_of=ix.current_gen(),
+        ).collect()
+    )
+    assert snap_sq == live_sq
+    # ...while a snapshot OLDER than the build floor raises: rows
+    # deleted before the build are physically absent from the codes
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="snapshot serving"):
+    with _pytest.raises(ValueError, match="built"):
         hybrid_serve_batch(
             spark, store, ix, queries, k=8, use_sq=True, store_as_of=sg
         )

@@ -482,3 +482,39 @@ def test_knn_and_hybrid_sql_as_of_snapshots(spark, tmp_path, text_index):
     ).drop("qid").collect()
     key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want_h)) and got
+
+
+def test_hybrid_sql_compressed_leg_with_where(spark, stores, text_index):
+    """r9: use_sq => true routes the semantic leg through the SQ8 codes
+    sidecar, composing with where — rows identical to
+    hybrid_serve_batch(use_sq=True, where=...)."""
+    from distributedvectordatabase_spark.operators.search import hybrid_serve_batch
+
+    vs, _ = stores
+    vs.build_sq(spark)
+    vec_sql, xs = _vec(spark, 3)
+    terms_sql = "array('dup', 'vector')"
+    q = spark.createDataFrame(
+        [(0, xs, ["dup", "vector"])],
+        "qid long, qvec array<double>, terms array<string>",
+    )
+    key = lambda r: (r.rnk, r.doc_id, round(r.rrf_score, 12))  # noqa: E731
+
+    got = sql(
+        spark,
+        f"SELECT * FROM hybrid('{vs.path}', '{text_index.path}', "
+        f"{vec_sql}, {terms_sql}, 5, use_sq => true, "
+        "where => 'vec_id % 2 = 1')",
+    ).collect()
+    want = hybrid_serve_batch(
+        spark, vs, text_index, q, k=5, use_sq=True, where="vec_id % 2 = 1"
+    ).drop("qid").collect()
+    assert sorted(map(key, got)) == sorted(map(key, want)) and got
+    assert all(r.doc_id % 2 == 1 for r in got)
+    # both compressed legs at once stays a refusal
+    with pytest.raises(ValueError, match="ONE compressed leg"):
+        sql(
+            spark,
+            f"SELECT * FROM hybrid('{vs.path}', '{text_index.path}', "
+            f"{vec_sql}, {terms_sql}, 5, use_sq => true, use_bq => true)",
+        )

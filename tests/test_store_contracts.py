@@ -255,7 +255,108 @@ class _TOK:
         return store._tombstone_path
 
 
-ADAPTERS = [_VS(), _IVF(), _TIX(), _SIG(), _TOK()]
+class _VS_SQF:
+    """Filtered-compressed serving row (r9, VERDICT r8 #2): the
+    canonical query is the SQ8 leg with a metadata filter at FULL
+    budget (unpruned scan, shortlist >= matching count), which equals
+    exact filtered kNN — bounds-independent, so append==fresh-build
+    holds even though the two fits train different SQ bounds. The
+    lifecycle sweep thereby covers the codes sidecar's append sync,
+    tombstone filtering, compact carry, and upsert under a filter."""
+
+    name = "vector_store_sq_filtered"
+    WHERE = "vec_id % 4 = 1"
+
+    def corpus(self, spark):
+        return load_table(spark, "embeddings", SF_SMALL)
+
+    def split_col(self):
+        return "vec_id"
+
+    def build(self, spark, path, df):
+        s = VectorStore(path, SignLSH(dim=64, num_tables=5, seed=99))
+        s.write(df)
+        s.build_sq(spark)
+        return s
+
+    def append(self, spark, store, df):
+        store.append(df)  # SQ codes sync inline
+
+    def reopen(self, path):
+        return VectorStore(path)
+
+    def canon(self, spark, store):
+        q = queries_fixture(spark, SF_SMALL, n=3)
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk)
+            for r in store.knn_sq(
+                spark, q, k=5, rerank=10, pruned=False, where=self.WHERE
+            ).collect()
+        )
+
+    def ids_of(self, rows):
+        return sorted({nid for _, nid, _ in rows})
+
+    def delete(self, spark, store, ids):
+        store.delete(spark, ids)
+
+    def compact(self, spark, store):
+        store.compact(spark)
+
+    def tombstone_path(self, store):
+        return store._tombstone_path
+
+
+class _IVF_SQF:
+    """IVF twin of _VS_SQF: metadata co-located via build(meta_cols=),
+    canonical query = full-probe filtered SQ8 at full rerank budget
+    (== exact filtered kNN, assignment- and bounds-independent)."""
+
+    name = "ivf_store_sq_filtered"
+    WHERE = "label = 3"
+
+    def corpus(self, spark):
+        return load_table(spark, "embeddings", SF_SMALL)
+
+    def split_col(self):
+        return "vec_id"
+
+    def build(self, spark, path, df):
+        s = IVFStore(path, n_cells=5, seed=7, meta_cols=("label",))
+        s.build(df)
+        s.build_sq(spark)
+        return s
+
+    def append(self, spark, store, df):
+        store.append(df)  # codes sync inline (pure function of params)
+
+    def reopen(self, path):
+        return IVFStore(path)
+
+    def canon(self, spark, store):
+        q = queries_fixture(spark, SF_SMALL, n=3)
+        return sorted(
+            (r.qid, r.neighbor_id, r.rnk)
+            for r in store.knn_sq(
+                spark, q, k=5, n_probe=store.n_cells, rerank=10,
+                where=self.WHERE,
+            ).collect()
+        )
+
+    def ids_of(self, rows):
+        return sorted({nid for _, nid, _ in rows})
+
+    def delete(self, spark, store, ids):
+        store.delete(spark, ids)
+
+    def compact(self, spark, store):
+        store.compact(spark)
+
+    def tombstone_path(self, store):
+        return store._tombstone_path
+
+
+ADAPTERS = [_VS(), _IVF(), _TIX(), _SIG(), _TOK(), _VS_SQF(), _IVF_SQF()]
 
 
 @pytest.fixture(params=ADAPTERS, ids=[a.name for a in ADAPTERS])
