@@ -102,6 +102,7 @@ def bpe_train(
     text_col: str = "text",
     checkpoint_every: int = 8,
     incremental: bool | None = None,
+    merge_batch: int = 64,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges over a document corpus; returns
     [(a, b, pair_count)] in merge order. One corpus pass folds to the
@@ -112,6 +113,7 @@ def bpe_train(
         n_merges,
         checkpoint_every=checkpoint_every,
         incremental=incremental,
+        merge_batch=merge_batch,
     )
 
 
@@ -154,6 +156,141 @@ def _has_pair_expr(a: str, b: str):
     )
 
 
+# Spark-iteration count of the most recent _train_incremental call
+# (diagnostic for the batched loop — merges/iteration is the overhead
+# amortization factor the r9 probe reports).
+LAST_TRAIN_ITERATIONS = 0
+
+
+def _select_merge_batch(rows, max_batch: int, fetched_all: bool):
+    """Greedy selection of a batch of merges that sequential BPE would
+    perform in exactly this order (the classic batched-BPE trick, made
+    EXACT):
+
+    Scan candidate pairs in (cnt desc, a, b) order. A pair is selected
+    while (a) its symbols are disjoint from every already-selected
+    pair's symbols, (b) neither of its symbols equals an earlier
+    selection's merged string and its own merged string equals no
+    earlier selection's symbol (string collisions would let one batch
+    member create or consume occurrences of another), and (c) no
+    conflict has been seen yet. The FIRST conflicting pair stops the
+    scan and caps the batch: every sharing pair has cnt <= that stop
+    count (sort order), every pair a batch merge can CREATE is a
+    sub-occurrence of some existing sharing pair (cnt(x, ab) <=
+    cnt(x, a)), so after truncating the selection to counts STRICTLY
+    above the stop count, no created pair can outrank — or tie and win
+    the lexicographic tie-break against — any selected pair. Counts of
+    symbol-disjoint pairs are invariant under each other's merges, so
+    each batch member is precisely the argmax sequential BPE would see
+    at its turn, with its recorded count unchanged. The head pair is
+    always safe (it IS the current argmax), so progress is guaranteed.
+
+    ``fetched_all=False`` means candidates below the fetched window
+    exist; the window edge then acts as the stop count (an unseen
+    sharing pair could tie it)."""
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    merged_strs: set[str] = set()
+    stop_cnt = None
+    for r in rows:
+        a, b, cnt = r["a"], r["b"], int(r["cnt"])
+        if cnt < 2:
+            break
+        if (
+            a in used
+            or b in used
+            or (a + b) in used
+            or a in merged_strs
+            or b in merged_strs
+        ):
+            stop_cnt = cnt
+            break
+        if len(sel) >= int(max_batch):
+            stop_cnt = cnt
+            break
+        sel.append((a, b, cnt))
+        used.update((a, b))
+        merged_strs.add(a + b)
+    if stop_cnt is None and not fetched_all and sel:
+        stop_cnt = sel[-1][2]
+    if stop_cnt is not None:
+        while len(sel) > 1 and sel[-1][2] <= stop_cnt:
+            sel.pop()
+    return sel
+
+
+def _has_any_pair_expr(pairs):
+    """True where ``syms`` contains any of the batch's adjacent pairs —
+    one pass via a literal a→b map lookup (batch symbols are disjoint,
+    so keys are unique). Map-side predicate, no shuffle."""
+    m = F.create_map(
+        *[x for a, b, _ in pairs for x in (F.lit(a), F.lit(b))]
+    )
+    return F.exists(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        # coalesce: a missing map key yields NULL (not false), and a
+        # NULL leaking out of exists() makes filter(~has) DROP the
+        # unaffected word instead of keeping it
+        lambda i: F.coalesce(
+            F.try_element_at(m, F.element_at("syms", i))
+            == F.element_at("syms", i + 1),
+            F.lit(False),
+        ),
+    )
+
+
+def _merge_expr_batch(pairs):
+    """One greedy left-to-right pass applying EVERY batch pair at once
+    (valid because _select_merge_batch guarantees symbol-disjointness
+    and no string collisions: an occurrence of one pair is untouched by
+    another's merges, so the combined pass equals the sequential
+    per-pair passes). Same (acc, just) fold as _merge_expr with the
+    pair literal generalized to an a → (b, merged) map."""
+    m = F.create_map(
+        *[
+            x
+            for a, b, _ in pairs
+            for x in (
+                F.lit(a),
+                F.struct(F.lit(b).alias("b"), F.lit(a + b).alias("ab")),
+            )
+        ]
+    )
+
+    def step(s, x):
+        last = F.try_element_at(s.getField("acc"), F.lit(-1))
+        ent = F.try_element_at(m, last)
+        hit = (
+            ~s.getField("just")
+            & ent.isNotNull()
+            & (x == ent.getField("b"))
+        )
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(
+                    F.slice(
+                        s.getField("acc"), 1, F.size(s.getField("acc")) - 1
+                    ),
+                    F.array(ent.getField("ab")),
+                ).alias("acc"),
+                F.lit(True).alias("just"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(s.getField("acc"), F.array(x)).alias("acc"),
+                F.lit(False).alias("just"),
+            )
+        )
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("acc"), F.lit(False).alias("just")
+    )
+    return F.aggregate(
+        F.col("syms"), zero, step, lambda s: s.getField("acc")
+    )
+
+
 def _persistent_rdd_ids(sc) -> set:
     """Ids of every RDD currently registered persistent on the context
     (localCheckpoint registers its materialized RDD here)."""
@@ -174,7 +311,9 @@ def _unpersist_rdds(sc, ids) -> None:
             jrdd.unpersist(False)
 
 
-def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
+def _train_incremental(
+    vocab: DataFrame, n_merges: int, merge_batch: int = 64
+) -> list[tuple[str, str, int]]:
     """The incremental merge loop: maintain the global pair-count table
     across iterations instead of re-exploding the full vocabulary per
     merge.
@@ -202,6 +341,8 @@ def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, 
     merge cost drops from O(vocab × word_len) explode + shuffle + agg to
     O(affected × word_len) + map passes: sub-linear in vocabulary for
     every merge past the first few (BASELINE.md r8 probe)."""
+    global LAST_TRAIN_ITERATIONS
+    LAST_TRAIN_ITERATIONS = 0
     merges: list[tuple[str, str, int]] = []
     # partition budgets are pinned at entry: filter preserves the parent
     # partition count and union ADDS the two sides', so without the
@@ -217,20 +358,34 @@ def _train_incremental(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, 
     # earlier iteration is superseded and its blocks are freed
     # explicitly (see _unpersist_rdds)
     created: set = _persistent_rdd_ids(sc) - baseline
+    # batched argmax (r9, VERDICT r8 #4): per-iteration cost is
+    # dominated by FIXED job overhead (argmax collect + 3-4
+    # localCheckpoints), not data — so each iteration commits a whole
+    # batch of provably-independent merges (_select_merge_batch's
+    # exactness rule), amortizing the overhead across up to
+    # ``merge_batch`` merges. Learned merges stay IDENTICAL to the
+    # one-at-a-time loop (pinned in tests/test_bpe.py).
+    fetch = max(4 * int(merge_batch), 64)
     try:
-        for _ in range(int(n_merges)):
-            top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        while len(merges) < int(n_merges):
+            top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(fetch).collect()
             if not top or int(top[0]["cnt"]) < 2:
                 break
-            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            merges.append((a, b, cnt))
+            batch = _select_merge_batch(
+                top, min(int(merge_batch), int(n_merges) - len(merges)),
+                fetched_all=len(top) < fetch,
+            )
+            if not batch:
+                break
+            merges.extend(batch)
+            LAST_TRAIN_ITERATIONS += 1
             before = _persistent_rdd_ids(sc)
-            has = _has_pair_expr(a, b)
+            has = _has_any_pair_expr(batch)
             affected = vocab.filter(has).coalesce(n_vocab_parts).localCheckpoint(
                 eager=True
             )
             merged = (
-                affected.select(_merge_expr(a, b).alias("syms"), "freq")
+                affected.select(_merge_expr_batch(batch).alias("syms"), "freq")
                 .filter(F.size("syms") >= 2)
                 .localCheckpoint(eager=True)
             )
@@ -280,6 +435,7 @@ def bpe_train_from_vocab(
     freq_col: str = "freq",
     incremental: bool | None = None,
     incremental_min_vocab: int = 20_000,
+    merge_batch: int = 64,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) vocabulary —
     the corpus' sufficient statistic for BPE, which is exactly what
@@ -302,7 +458,11 @@ def bpe_train_from_vocab(
       vocabulary re-scans the vocabulary 32k times otherwise).
 
     ``incremental=None`` picks by vocabulary size (>=
-    ``incremental_min_vocab`` post-filter rows → incremental)."""
+    ``incremental_min_vocab`` post-filter rows → incremental).
+    ``merge_batch`` (r9) caps how many provably-independent merges the
+    incremental loop commits per Spark iteration (exactness preserved —
+    see _select_merge_batch; 1 restores strict one-merge-per-iteration
+    behavior)."""
     sc = vocab_df.sparkSession.sparkContext
     baseline = _persistent_rdd_ids(sc)  # caller-owned persists: never touched
     vocab = vocab_df.select(
@@ -315,7 +475,7 @@ def bpe_train_from_vocab(
         incremental = vocab.count() >= int(incremental_min_vocab)
     if incremental:
         try:
-            return _train_incremental(vocab, n_merges)
+            return _train_incremental(vocab, n_merges, merge_batch=merge_batch)
         finally:
             _unpersist_rdds(sc, created)
 

@@ -196,3 +196,77 @@ def test_incremental_loop_frees_superseded_checkpoints(spark):
     assert bpe_train(docs, n_merges=12, incremental=False) == merges
     leaked = _persistent_rdd_ids(sc) - before
     assert leaked == set(), f"full-scan loop leaked RDDs: {sorted(leaked)}"
+
+
+def test_batched_merges_identical_across_batch_sizes(spark):
+    """merge_batch amortizes per-iteration job overhead but must never
+    change WHAT is learned: batch sizes 1 (strict sequential), 4, and
+    64 all produce the reference merges."""
+    docs = load_table(spark, "documents", SF_SMALL)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _py_bpe_train(_py_word_freqs(texts), 16)
+    for mb in (1, 4, 64):
+        got = bpe_train(docs, n_merges=16, incremental=True, merge_batch=mb)
+        assert got == want, f"merge_batch={mb} diverged"
+
+
+def test_select_merge_batch_rule():
+    """The exactness rule driver-side: stop at the first
+    symbol-sharing pair, truncate ties with the stop count, reject
+    string collisions between a merged product and another selection's
+    symbols, always keep the head pair."""
+    from distributedvectordatabase_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    rows = lambda *t: [{"a": a, "b": b, "cnt": c} for a, b, c in t]  # noqa: E731
+
+    # disjoint pairs, no conflict, full fetch → all selected
+    sel = _select_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7)), 64, fetched_all=True
+    )
+    assert sel == [("a", "b", 9), ("c", "d", 8), ("e", "f", 7)]
+
+    # conflict ('b','x' shares b) stops the scan; the tie at cnt=8
+    # with the stop count is truncated (a created pair could tie and
+    # win the lexicographic tie-break)
+    sel = _select_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 8), ("b", "x", 8), ("e", "f", 7)),
+        64, fetched_all=True,
+    )
+    assert sel == [("a", "b", 9)]
+
+    # conflict strictly below the last selection keeps the selection
+    sel = _select_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 8), ("b", "x", 5)), 64, fetched_all=True
+    )
+    assert sel == [("a", "b", 9), ("c", "d", 8)]
+
+    # string collision: ("a","b") produces "ab", which is a symbol of
+    # ("ab","z") — the second pair's count would change mid-batch
+    sel = _select_merge_batch(
+        rows(("a", "b", 9), ("ab", "z", 4)), 64, fetched_all=True
+    )
+    assert sel == [("a", "b", 9)]
+
+    # reverse collision: earlier selection's symbol equals a later
+    # pair's merge product ("x" + "y" -> "xy" colliding with "xy")
+    sel = _select_merge_batch(
+        rows(("xy", "q", 9), ("x", "y", 4)), 64, fetched_all=True
+    )
+    assert sel == [("xy", "q", 9)]
+
+    # window edge without fetched_all acts as a stop count (ties drop)
+    sel = _select_merge_batch(
+        rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 8)), 64, fetched_all=False
+    )
+    assert sel == [("a", "b", 9)]
+
+    # head pair survives even when tied with the stop count
+    sel = _select_merge_batch(
+        rows(("a", "b", 9), ("b", "c", 9)), 64, fetched_all=True
+    )
+    assert sel == [("a", "b", 9)]
+
+    # cnt<2 never merges
+    assert _select_merge_batch(rows(("a", "b", 1)), 64, fetched_all=True) == []
