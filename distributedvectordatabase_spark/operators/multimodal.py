@@ -10,11 +10,15 @@ involvement, embarrassingly parallel per input split. No shuffle
 anywhere in the decode path; downstream aggregations shuffle only the
 small feature rows, never the payload bytes.
 
-The container has no image/audio codecs, so the ``"real"`` decoder is a
-clearly-marked stub (NotImplementedError behind an import-try); the
-``"fake"`` decoder is a deterministic md5-based transform, which keeps
-the whole pipeline — schema, batching, UDF signatures — real, tested,
-and DuckDB-oracle-checkable (md5 agrees across engines).
+The ``"real"`` decoder does genuine pixel work: PNG decodes through
+the engine's own pure-stdlib codec (``operators/png_codec`` — zlib
+inflate + scanline unfilter, no third-party library), and JPEG/WebP
+decode through PIL when it is installed (a clearly-marked
+NotImplementedError behind an import-try otherwise — this container
+ships no codec libraries). The ``"fake"`` decoder is a deterministic
+md5-based transform, which keeps the hash-gated correctness pipeline —
+schema, batching, UDF signatures — DuckDB-oracle-checkable (md5 agrees
+across engines).
 """
 
 from __future__ import annotations
@@ -89,16 +93,26 @@ def _fake_decode(payload: bytes) -> float:
 
 
 def _real_decode(payload: bytes) -> float:
-    """Real pixel decode (mean brightness in [0, 1]) when PIL is
-    installed; the correctness gates use the deterministic fake
-    decoder, so this path is exercised by a skipif-PIL test only
-    (this container ships no codecs — reference real-model analogue:
-    generate_coco_embeddings.py:27-83)."""
+    """Real pixel decode (mean brightness in [0, 1]).
+
+    PNG payloads decode through the engine's own pure-stdlib codec
+    (``operators/png_codec``) — real pixels in every environment, PIL
+    or not, and deterministic across environments because the same
+    decoder always runs. Non-PNG formats (JPEG/WebP) fall back to PIL
+    when installed, else raise the documented NotImplementedError
+    (reference real-model analogue: generate_coco_embeddings.py:27-83;
+    the correctness gates use the deterministic fake decoder)."""
+    from .png_codec import PNG_SIGNATURE, decode_png, luma
+
+    payload = bytes(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return float(luma(decode_png(payload)).mean() / 255.0)
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode requires PIL/pillow, not present in this environment"
+            "real non-PNG image decode requires PIL/pillow, not present in this "
+            "environment (PNG decodes via the built-in stdlib codec)"
         ) from e
     import io
 

@@ -56,8 +56,11 @@ def _has_pil() -> bool:
         return False
 
 
-@pytest.mark.skipif(_has_pil(), reason="PIL present: real decode works")
-def test_real_decoder_raises_without_pil(spark, media):
+@pytest.mark.skipif(_has_pil(), reason="PIL present: real non-PNG decode works")
+def test_real_decoder_raises_on_non_png_without_pil(spark, media):
+    """Non-PNG payloads (the text-derived fixture bytes) still need PIL;
+    without it the documented NotImplementedError surfaces. PNG no
+    longer depends on PIL at all (stdlib codec)."""
     with pytest.raises(Exception) as ei:
         decode_stats(media.limit(1), decoder="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -65,25 +68,43 @@ def test_real_decoder_raises_without_pil(spark, media):
     )
 
 
-@pytest.mark.skipif(not _has_pil(), reason="real decode needs PIL")
-def test_real_decoder_decodes_png(spark):
-    """With pillow installed, decoder='real' returns true pixel-mean
-    brightness. Fixture: a 2×1 grayscale PNG with pixels (0, 255) →
-    mean 127.5/255 = 0.5."""
-    import io
+def test_real_decoder_decodes_png_stdlib(spark):
+    """decoder='real' does true pixel decoding with NO codec library:
+    PNG goes through operators/png_codec. Fixture: a 2×1 grayscale PNG
+    with pixels (0, 255) → mean 127.5/255 = 0.5."""
+    import numpy as np
 
-    from PIL import Image
+    from distributedvectordatabase_spark.operators.png_codec import encode_png
 
-    buf = io.BytesIO()
-    img = Image.new("L", (2, 1))
-    img.putdata([0, 255])
-    img.save(buf, format="PNG")
+    payload = encode_png(np.array([[0, 255]], dtype=np.uint8))
     media = spark.createDataFrame(
-        [(1, buf.getvalue(), "png", 2, 1)],
+        [(1, payload, "png", 2, 1)],
         schema="item_id long, payload binary, format string, width int, height int",
     )
     row = decode_stats(media, decoder="real").first()
     assert abs(row.brightness - 0.5) < 1e-9
+
+
+def test_real_decoder_png_batch_matches_numpy(spark):
+    """End-to-end through the Spark Arrow batch path: a batch of real
+    RGB PNGs (every filter type) decodes to exactly the luma mean
+    numpy computes on the source arrays."""
+    import numpy as np
+
+    from distributedvectordatabase_spark.operators.png_codec import encode_png, luma
+
+    rng = np.random.default_rng(7)
+    rows, want = [], {}
+    for i, ft in enumerate([0, 1, 2, 3, 4]):
+        arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+        rows.append((i, encode_png(arr, filter_type=ft), "png", 3, 5))
+        want[i] = float(luma(arr).mean() / 255.0)
+    media = spark.createDataFrame(
+        rows, schema="item_id long, payload binary, format string, width int, height int"
+    )
+    got = {r.item_id: r.brightness for r in decode_stats(media, decoder="real").collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
 
 
 def test_resize_metadata(media):
