@@ -101,6 +101,9 @@ EXTRA = [
     "source_regex_stats",
     # r8: filtered hybrid serving (overflow gate)
     "hybrid_filtered_topk",
+    # r9: retrieval-quality eval over the exact-kNN ranker (overflow
+    # gate, operators/evaluate.py)
+    "retrieval_eval_metrics",
 ]
 
 

@@ -3064,6 +3064,104 @@ def _salted_event_counts_oracle() -> str:
 # the catalog
 # ---------------------------------------------------------------------------
 
+def _run_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation end-to-end: exact kNN top-k as the
+    ranker under test, same-label membership (excluding self) as the
+    relevance judgments, and operators/evaluate.ranking_metrics for
+    recall@k / precision@k / MRR / AP@k / nDCG@k per query. The
+    reference never measures ranking quality (benchmark_performance.py
+    is latency-only); an LLM-data pipeline shipping an index must."""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.evaluate import ranking_metrics
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.sources.tables import load_table, queries_fixture
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_fixture(spark, sf_dir, n=N_QUERIES)
+    results = knn(corpus, queries, k=KNN_K, metric="l2sq")
+    qmeta = (
+        corpus.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    )
+    # Judged relevant = same label, excluding the query row itself (so
+    # the guaranteed rank-1 self hit is NOT a free win).
+    qrels = (
+        F.broadcast(qmeta)
+        .join(corpus, corpus["label"] == qmeta["qlabel"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("rel"))
+    )
+    per = ranking_metrics(results, qrels, k=KNN_K, doc_col="neighbor_id")
+    return per.select(
+        "qid",
+        "n_rel",
+        "hits",
+        _qz_col("recall_at_k").alias("recall_at_k"),
+        _qz_col("precision_at_k").alias("precision_at_k"),
+        _qz_col("mrr").alias("mrr"),
+        _qz_col("ap").alias("ap"),
+        _qz_col("ndcg").alias("ndcg"),
+    )
+
+
+def retrieval_eval_oracle_sql(n_queries: int = N_QUERIES, k: int = KNN_K) -> str:
+    """Full relational restatement of the eval gate: the exact-kNN
+    oracle CTE feeds the trec_eval-convention metric algebra (windowed
+    cumulative hits for AP, best-first qrels window for IDCG)."""
+    return f"""
+    WITH res AS ({knn_oracle_sql("l2sq", n_queries, k)}),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    qrels AS (
+      SELECT q.qid, e.vec_id AS neighbor_id, 1 AS rel
+      FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid
+    ),
+    totals AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+    ideal AS (
+      SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
+      FROM (
+        SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS pos
+        FROM qrels
+      ) i WHERE pos <= {k} GROUP BY qid
+    ),
+    j AS (
+      SELECT r.qid, r.rnk,
+             CASE WHEN qr.rel IS NULL THEN 0 ELSE 1 END AS hit,
+             coalesce(qr.rel, 0) AS rel
+      FROM res r
+      LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.neighbor_id = r.neighbor_id
+    ),
+    jc AS (
+      SELECT *, sum(hit) OVER (PARTITION BY qid ORDER BY rnk) AS cum_hits FROM j
+    ),
+    per AS (
+      SELECT qid,
+             sum(hit) AS hits,
+             coalesce(max(CASE WHEN hit = 1 THEN 1.0 / rnk END), 0.0) AS mrr,
+             sum(CASE WHEN hit = 1
+                 THEN (pow(2.0, rel) - 1.0) / log2(rnk + 1.0) ELSE 0.0 END) AS dcg,
+             sum(CASE WHEN hit = 1
+                 THEN cast(cum_hits AS double) / rnk ELSE 0.0 END) AS ap_num
+      FROM jc GROUP BY qid
+    )
+    SELECT t.qid, t.n_rel,
+           cast(coalesce(p.hits, 0) AS bigint) AS hits,
+           {_qz('cast(coalesce(p.hits, 0) as double) / t.n_rel')} AS recall_at_k,
+           {_qz(f'cast(coalesce(p.hits, 0) as double) / {k}.0')} AS precision_at_k,
+           {_qz('coalesce(p.mrr, 0.0)')} AS mrr,
+           {_qz(f'coalesce(p.ap_num, 0.0) / least(t.n_rel, {k})')} AS ap,
+           {_qz('coalesce(p.dcg, 0.0) / i.idcg')} AS ndcg
+    FROM totals t
+    JOIN ideal i USING (qid)
+    LEFT JOIN per p USING (qid)
+    """
+
+
 def build_catalog() -> dict[str, Query]:
     qs = [
         # vector search (O9/O11/X1, O10 pruning, O13)
@@ -3257,5 +3355,12 @@ def build_catalog() -> dict[str, Query]:
             _run_strat_sample_weighted,
             _q_strat_sample_weighted(DUCKDB),
         ),
+        # r9 new surface, born in overflow like hybrid_filtered_topk
+        # was: retrieval-quality evaluation (recall@k / precision@k /
+        # MRR / AP@k / nDCG@k per query) over the exact-kNN ranker with
+        # same-label qrels — the eval pass an index-shipping pipeline
+        # needs and the reference never measures. Full hash oracle;
+        # candidate for a future rotation slot.
+        Query("retrieval_eval_metrics", _run_retrieval_eval, retrieval_eval_oracle_sql()),
     ]
     return {q.name: q for q in qs}

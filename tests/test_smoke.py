@@ -42,6 +42,10 @@ DOCUMENTED_OVERFLOW = {
     # overflow in r8 — took strat_sample_weighted's slot (externally
     # hash-green r6-r8; its quota sibling already strict-checked here).
     "strat_sample_weighted",
+    # r9 new surface, born in overflow (the hybrid_filtered_topk
+    # pattern): IR-metric evaluation of the exact-kNN ranker
+    # (operators/evaluate.py); full hash oracle, rotation candidate.
+    "retrieval_eval_metrics",
 }
 
 
