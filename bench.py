@@ -104,6 +104,8 @@ EXTRA = [
     # r9: retrieval-quality eval over the exact-kNN ranker (overflow
     # gate, operators/evaluate.py)
     "retrieval_eval_metrics",
+    # r9: Morton layout key (overflow gate, operators/zorder.py)
+    "events_zorder_key",
 ]
 
 

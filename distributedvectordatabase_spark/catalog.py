@@ -1832,6 +1832,58 @@ def _q_events_value_histogram(d: str) -> str:
     """
 
 
+def _q_events_zorder_key(d: str) -> str:
+    """Morton (Z-order) key over min-max-bucketed (user_id, value) —
+    the layout key operators/zorder.py clusters on, restated as one
+    flat bit-twiddling expression per dialect so the interleave itself
+    is hash-checked. 8 bits per dimension; column 0 (user bucket) owns
+    even output bits, column 1 (value bucket) odd bits. The aggregate
+    roll-up (count + id checksum per key prefix) keeps the gate output
+    small while still pinning every row's full key through the md5-free
+    integer checksum."""
+    shl = (lambda x, k: f"shiftleft({x}, {k})") if d == SPARK else (
+        lambda x, k: f"(({x}) << {k})"
+    )
+    shr = (lambda x, k: f"shiftright({x}, {k})") if d == SPARK else (
+        lambda x, k: f"(({x}) >> {k})"
+    )
+
+    def bucket(col: str, mn: str, mx: str) -> str:
+        span = f"(cast({mx} as double) - cast({mn} as double))"
+        scaled = (
+            f"floor((cast({col} as double) - cast({mn} as double)) * 256.0 / {span})"
+        )
+        return (
+            f"cast(case when {span} <= 0 then 0 "
+            f"else least(greatest({scaled}, 0.0), 255.0) end as bigint)"
+        )
+
+    ub = bucket("user_id", "s.umin", "s.umax")
+    vb = bucket("value", "s.vmin", "s.vmax")
+    terms = []
+    for b in range(8):
+        terms.append(shl(f"({shr('ub', b)} & 1)", 2 * b))
+        terms.append(shl(f"({shr('vb', b)} & 1)", 2 * b + 1))
+    zkey = " + ".join(terms)
+    return f"""
+    WITH s AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events
+    ),
+    b AS (
+      SELECT event_id, {ub} AS ub, {vb} AS vb
+      FROM events CROSS JOIN s
+    ),
+    z AS (SELECT event_id, ({zkey}) AS zkey FROM b)
+    SELECT cast({("shiftright(zkey, 8)" if d == SPARK else "(zkey >> 8)")} as bigint) AS z_block,
+           count(*) AS n_events,
+           cast(sum(zkey * 1000003 + event_id) as bigint) AS z_checksum
+    FROM z
+    GROUP BY 1
+    """
+
+
 def _run_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-count (SURVEY §2.2 approximate-ops row
     beyond LSH): HyperLogLog++ per-group user cardinality. The
@@ -3362,5 +3414,11 @@ def build_catalog() -> dict[str, Query]:
         # needs and the reference never measures. Full hash oracle;
         # candidate for a future rotation slot.
         Query("retrieval_eval_metrics", _run_retrieval_eval, retrieval_eval_oracle_sql()),
+        # r9 new surface: the Morton interleave operators/zorder.py
+        # clusters on (multi-dimensional data skipping), hash-checked
+        # as one flat bit-twiddling expression per dialect; the layout
+        # payoff itself is pinned against parquet footer stats in
+        # tests/test_zorder.py.
+        _sql_query("events_zorder_key", _q_events_zorder_key),
     ]
     return {q.name: q for q in qs}

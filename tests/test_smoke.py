@@ -46,6 +46,9 @@ DOCUMENTED_OVERFLOW = {
     # pattern): IR-metric evaluation of the exact-kNN ranker
     # (operators/evaluate.py); full hash oracle, rotation candidate.
     "retrieval_eval_metrics",
+    # r9 new surface: the Z-order layout key (operators/zorder.py);
+    # the data-skipping payoff is pinned in tests/test_zorder.py.
+    "events_zorder_key",
 }
 
 
