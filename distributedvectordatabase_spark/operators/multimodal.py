@@ -209,6 +209,83 @@ def infer_embeddings(media: DataFrame, model_fn=None, dim: int = EMBED_DIM) -> D
     return media.mapInPandas(batches, schema="item_id long, embedding array<double>")
 
 
+def resize_bilinear(img, out_h: int, out_w: int):
+    """Real bilinear resample of a 2-D float array (align_corners=False
+    / half-pixel-centers convention, matching torchvision's default).
+    Pure vectorized numpy, deterministic float64 — the resize step the
+    reference pays inside torchvision transforms
+    (generate_coco_embeddings.py:17-22), no longer a stub."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def make_pixel_model(dim: int = EMBED_DIM, seed: int = 42, size: int = 16):
+    """Deterministic-weights convolutional featurizer over REAL pixels.
+
+    The reference's O2 runs pretrained ResNet50/101 over decoded JPEGs
+    (generate_coco_embeddings.py:27-83). Pretrained weights are a
+    non-deterministic external dependency this hash-gated engine
+    excludes by design (SURVEY O2) — but the *compute shape* of model
+    inference need not be faked: this returns a ``model_fn`` for
+    :func:`infer_embeddings` that decodes PNG payloads with the
+    stdlib codec, bilinear-resizes the luma plane to ``size``², and
+    runs a genuine two-layer conv net (3×3 valid convs, ReLU, 2×2
+    average pool, global average pool, L2 normalize) whose weights are
+    drawn once from a seeded generator. Every step a real vision
+    model's batch pass performs — decode, resize, convolve, pool,
+    normalize — executes for real inside the Arrow batch; only the
+    weight VALUES are synthetic. Swapping in trained weights (e.g. an
+    ONNX export) changes nothing structurally.
+    """
+    import numpy as np
+
+    from .png_codec import decode_png, luma
+
+    rng = np.random.default_rng(seed)
+    n_c1 = 8
+    k1 = rng.standard_normal((n_c1, 3, 3)) / 3.0
+    k2 = rng.standard_normal((dim, n_c1, 3, 3)) / (3.0 * np.sqrt(n_c1))
+
+    def _forward(gray: "np.ndarray") -> "np.ndarray":
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        x = resize_bilinear(gray, size, size) / 255.0
+        # conv1: (size-2, size-2, 3, 3) windows → (n_c1, size-2, size-2)
+        win = sliding_window_view(x, (3, 3))
+        f1 = np.maximum(np.einsum("yxij,kij->kyx", win, k1), 0.0)
+        # 2×2 average pool (size-2 == 14 → 7×7 maps)
+        ph, pw = f1.shape[1] // 2, f1.shape[2] // 2
+        f1 = f1[:, : ph * 2, : pw * 2].reshape(n_c1, ph, 2, pw, 2).mean(axis=(2, 4))
+        # conv2 + ReLU + global average pool
+        win2 = sliding_window_view(f1, (3, 3), axis=(1, 2))
+        f2 = np.maximum(np.einsum("cyxij,dcij->dyx", win2, k2), 0.0)
+        v = f2.mean(axis=(1, 2))
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def model_fn(payloads, d: int) -> "np.ndarray":
+        assert d == dim, f"model built for dim={dim}, called with {d}"
+        out = np.empty((len(payloads), dim), dtype=np.float64)
+        for r, payload in enumerate(payloads):
+            out[r] = _forward(luma(decode_png(bytes(payload))))
+        return out
+
+    return model_fn
+
+
 def resize_metadata(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize plumbing: recompute metadata + scale factors Spark-side;
     the pixel resample itself is the stubbed decode path. Keeps the

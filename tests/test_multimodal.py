@@ -236,3 +236,79 @@ def test_audio_window_stats_edge_payloads(spark):
     assert set(rows) == {1, 3}
     assert rows[1].n_samples == 1  # byte 3 dropped by PCM16 framing
     assert rows[3].peak == 32768 and rows[3].zero_crossings == 2
+
+
+# ---------------------------------------------------------------------------
+# r9: real pixel inference path (stdlib PNG decode → bilinear resize →
+# seeded conv net) — the O2 compute shape executed for real
+# ---------------------------------------------------------------------------
+
+
+def test_resize_bilinear_identity_and_range():
+    import numpy as np
+
+    from distributedvectordatabase_spark.operators.multimodal import resize_bilinear
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (9, 7))
+    np.testing.assert_allclose(resize_bilinear(img, 9, 7), img, atol=1e-12)
+    up = resize_bilinear(img, 18, 14)
+    assert up.shape == (18, 14)
+    assert up.min() >= img.min() - 1e-9 and up.max() <= img.max() + 1e-9
+    # constant image stays exactly constant at any size
+    const = np.full((5, 5), 42.0)
+    np.testing.assert_allclose(resize_bilinear(const, 3, 11), 42.0)
+
+
+def test_pixel_model_deterministic_and_normalized():
+    import numpy as np
+
+    from distributedvectordatabase_spark.operators.multimodal import make_pixel_model
+    from distributedvectordatabase_spark.operators.png_codec import encode_png
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(3)]
+    payloads = [encode_png(a) for a in imgs] + [encode_png(imgs[0])]
+    fn = make_pixel_model(dim=16, seed=7)
+    E1 = fn(payloads, 16)
+    E2 = make_pixel_model(dim=16, seed=7)(payloads, 16)
+    np.testing.assert_array_equal(E1, E2)              # fully deterministic
+    np.testing.assert_allclose(np.linalg.norm(E1, axis=1), 1.0, atol=1e-12)
+    np.testing.assert_array_equal(E1[0], E1[3])        # same pixels → same vec
+    assert not np.allclose(E1[0], E1[1])               # different pixels differ
+    # a different seed is a different model
+    assert not np.allclose(E1, make_pixel_model(dim=16, seed=8)(payloads, 16))
+
+
+def test_pixel_inference_end_to_end_knn_finds_duplicate(spark):
+    """The full real pipeline through Spark: PNG payloads → stdlib
+    decode → bilinear resize → conv featurizer → embeddings → exact
+    kNN. A near-duplicate image (one pixel changed) must be its
+    original's nearest non-self neighbor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.operators.multimodal import (
+        infer_embeddings,
+        make_pixel_model,
+    )
+    from distributedvectordatabase_spark.operators.png_codec import encode_png
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)]
+    neardup = imgs[0].copy()
+    neardup[3, 3] ^= 1
+    rows = [(i, encode_png(a), "png", 16, 16) for i, a in enumerate(imgs)]
+    rows.append((99, encode_png(neardup), "png", 16, 16))
+    media = spark.createDataFrame(
+        rows, "item_id long, payload binary, format string, width int, height int"
+    ).repartition(4)
+    emb = infer_embeddings(media, model_fn=make_pixel_model(dim=16, seed=3), dim=16)
+    corpus = emb.select(F.col("item_id").alias("vec_id"), "embedding")
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = knn(corpus, queries, k=2, metric="cosine").orderBy("rnk").collect()
+    assert top[0].neighbor_id == 0          # self
+    assert top[1].neighbor_id == 99         # the near-duplicate
