@@ -592,6 +592,65 @@ def main() -> None:
         text_stats["hybrid_serve_rows"] = served.count()
         hq.unpersist()
 
+    # ---- Z-order layout probe: data-skipping at scale ----------------
+    # n_rows synthetic events over a (user_id, value) plane; the same
+    # table written time-ordered (event_id ranges) vs Z-ordered. A 1/8
+    # x 1/8 box predicate then measures (a) what fraction of files the
+    # footer min-max stats can prune, (b) the wall-clock of the pruned
+    # scan. At 100 TB (a) IS the scan cost — files never opened.
+    from distributedvectordatabase_spark.operators.zorder import cluster_by_zorder
+
+    zorder_stats: dict = {}
+    ev = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.hash(F.col("id") * 2654435761) , F.lit(10_000)).alias("user_id"),
+            (-F.log(
+                (F.pmod(F.hash(F.col("id") * 40503 + 7), F.lit(1_000_000)) + 1.0)
+                / 1_000_001.0
+            ) * 50.0).alias("value"),
+        )
+    )
+    n_files = 64
+    zdir, ldir = os.path.join(tmp, "ev_z"), os.path.join(tmp, "ev_linear")
+    t0 = time.perf_counter()
+    cluster_by_zorder(ev, ["user_id", "value"], num_files=n_files, bits=8).write.parquet(zdir)
+    zorder_stats["zorder_write_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ev.repartitionByRange(n_files, "event_id").sortWithinPartitions("event_id").write.parquet(ldir)
+    zorder_stats["linear_write_s"] = round(time.perf_counter() - t0, 3)
+
+    def _overlap_fraction(d: str, uhi: int, vhi: float) -> float:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        hit = 0
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ok = False
+            for g in range(md.num_row_groups):
+                su = md.row_group(g).column(names["user_id"]).statistics
+                sv = md.row_group(g).column(names["value"]).statistics
+                if su.min <= uhi and sv.min <= vhi:
+                    ok = True
+                    break
+            hit += ok
+        return round(hit / len(files), 4)
+
+    uhi, vhi = 10_000 // 8, 14.9  # ~1/8 of users x ~1/4 of the exp(50) mass
+    zorder_stats["zorder_files_overlapping_box"] = _overlap_fraction(zdir, uhi, vhi)
+    zorder_stats["linear_files_overlapping_box"] = _overlap_fraction(ldir, uhi, vhi)
+    box = f"user_id <= {uhi} AND value <= {vhi}"
+    zq = spark.read.parquet(zdir).filter(box)
+    lq = spark.read.parquet(ldir).filter(box)
+    assert zq.count() == lq.count()  # layouts hold identical data
+    zorder_stats["zorder_box_scan_s"] = timed_min(lambda: zq.agg(F.sum("value")).collect())
+    zorder_stats["linear_box_scan_s"] = timed_min(lambda: lq.agg(F.sum("value")).collect())
+
     print(
         json.dumps(
             {
@@ -617,6 +676,7 @@ def main() -> None:
                 "semdedup_removed": semdedup_removed,
                 **text_stats,
                 "crash_filter_pushed": crash_filter_pushed,
+                "zorder": zorder_stats,
                 "ingest_rows_per_s": round(n_rows / timings["ingest_bucketed_write"]),
             }
         )
