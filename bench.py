@@ -106,6 +106,8 @@ EXTRA = [
     "retrieval_eval_metrics",
     # r9: Morton layout key (overflow gate, operators/zorder.py)
     "events_zorder_key",
+    # r9: snapshot drift monitor (overflow gate, operators/drift.py)
+    "embedding_drift",
 ]
 
 

@@ -1884,6 +1884,90 @@ def _q_events_zorder_key(d: str) -> str:
     """
 
 
+DRIFT_BINS = 10
+
+
+def _run_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor (operators/drift.py): the even-vec_id
+    half of the embeddings table as the reference snapshot, the odd
+    half as the candidate — per-dimension PSI + standardized mean
+    difference. (The halves come from one corpus, so the gate pins the
+    metric algebra; drifted inputs are exercised in tests/test_drift.py
+    where a shifted copy must cross the 0.25 PSI alarm.)"""
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.operators.drift import embedding_drift
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    out = embedding_drift(ref, cur, bins=DRIFT_BINS)
+    return out.select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        _qz_col("mean_ref").alias("mean_ref"),
+        _qz_col("mean_cur").alias("mean_cur"),
+        _qz_col("smd").alias("smd"),
+        _qz_col("psi").alias("psi"),
+    )
+
+
+def embedding_drift_oracle_sql(bins: int = DRIFT_BINS) -> str:
+    """DuckDB restatement of the drift monitor: unnest-with-subscripts
+    explode, pooled fixed-width bins, Laplace-smoothed PSI with the
+    closed-form correction for bins observed on neither side."""
+    b = float(bins)
+    return f"""
+    WITH ex AS (
+      SELECT (vec_id % 2) AS side,
+             cast(generate_subscripts(embedding, 1) - 1 AS int) AS dim,
+             cast(unnest(embedding) AS double) AS val
+      FROM embeddings
+    ),
+    rng AS (
+      SELECT dim, min(val) AS vmin, max(val) AS vmax FROM ex GROUP BY dim
+    ),
+    binned AS (
+      SELECT ex.dim, ex.side, ex.val,
+             CASE WHEN (rng.vmax - rng.vmin) <= 0 THEN 0
+                  ELSE cast(least(floor((ex.val - rng.vmin) * {b} / (rng.vmax - rng.vmin)), {bins - 1}.0) AS int)
+             END AS bin
+      FROM ex JOIN rng USING (dim)
+    ),
+    mom AS (
+      SELECT dim,
+             cast(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS bigint) AS n_ref,
+             cast(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS bigint) AS n_cur,
+             avg(CASE WHEN side = 0 THEN val END) AS mean_ref,
+             avg(CASE WHEN side = 1 THEN val END) AS mean_cur,
+             coalesce(var_samp(CASE WHEN side = 0 THEN val END), 0.0) AS var_ref,
+             coalesce(var_samp(CASE WHEN side = 1 THEN val END), 0.0) AS var_cur
+      FROM binned GROUP BY dim
+    ),
+    hist AS (
+      SELECT dim, bin,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_cur
+      FROM binned GROUP BY dim, bin
+    ),
+    obs AS (
+      SELECT h.dim,
+             sum(((h.c_cur + 1.0) / (m.n_cur + {b}) - (h.c_ref + 1.0) / (m.n_ref + {b}))
+                 * ln(((h.c_cur + 1.0) / (m.n_cur + {b})) / ((h.c_ref + 1.0) / (m.n_ref + {b})))) AS psi_obs,
+             count(*) AS n_bins_obs
+      FROM hist h JOIN mom m USING (dim) GROUP BY h.dim
+    )
+    SELECT m.dim, m.n_ref, m.n_cur,
+           {_qz('m.mean_ref')} AS mean_ref,
+           {_qz('m.mean_cur')} AS mean_cur,
+           {_qz('CASE WHEN (m.var_ref + m.var_cur) <= 0 THEN 0.0 ELSE (m.mean_cur - m.mean_ref) / sqrt((m.var_ref + m.var_cur) / 2.0) END')} AS smd,
+           {_qz(f'o.psi_obs + ({b} - o.n_bins_obs) * (1.0 / (m.n_cur + {b}) - 1.0 / (m.n_ref + {b})) * ln((1.0 / (m.n_cur + {b})) / (1.0 / (m.n_ref + {b})))')} AS psi
+    FROM mom m JOIN obs o USING (dim)
+    """
+
+
 def _run_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-count (SURVEY §2.2 approximate-ops row
     beyond LSH): HyperLogLog++ per-group user cardinality. The
@@ -3420,5 +3504,10 @@ def build_catalog() -> dict[str, Query]:
         # payoff itself is pinned against parquet footer stats in
         # tests/test_zorder.py.
         _sql_query("events_zorder_key", _q_events_zorder_key),
+        # r9 new surface: snapshot drift monitor (operators/drift.py)
+        # — per-dimension PSI + SMD between two embedding snapshots;
+        # alarm behavior on genuinely shifted inputs pinned in
+        # tests/test_drift.py.
+        Query("embedding_drift", _run_embedding_drift, embedding_drift_oracle_sql()),
     ]
     return {q.name: q for q in qs}

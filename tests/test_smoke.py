@@ -49,6 +49,9 @@ DOCUMENTED_OVERFLOW = {
     # r9 new surface: the Z-order layout key (operators/zorder.py);
     # the data-skipping payoff is pinned in tests/test_zorder.py.
     "events_zorder_key",
+    # r9 new surface: snapshot drift monitor (operators/drift.py);
+    # alarm behavior on shifted inputs pinned in tests/test_drift.py.
+    "embedding_drift",
 }
 
 
