@@ -10,15 +10,16 @@ involvement, embarrassingly parallel per input split. No shuffle
 anywhere in the decode path; downstream aggregations shuffle only the
 small feature rows, never the payload bytes.
 
-The ``"real"`` decoder does genuine pixel work: PNG decodes through
-the engine's own pure-stdlib codec (``operators/png_codec`` — zlib
-inflate + scanline unfilter, no third-party library), and JPEG/WebP
-decode through PIL when it is installed (a clearly-marked
-NotImplementedError behind an import-try otherwise — this container
-ships no codec libraries). The ``"fake"`` decoder is a deterministic
-md5-based transform, which keeps the hash-gated correctness pipeline —
-schema, batching, UDF signatures — DuckDB-oracle-checkable (md5 agrees
-across engines).
+The ``"real"`` decoder does genuine pixel work with no third-party
+library: PNG decodes through the engine's own pure-stdlib codec
+(``operators/png_codec`` — zlib inflate + scanline unfilter) and
+baseline JPEG through ``operators/jpeg_codec`` (Huffman entropy
+decode, dequant, IDCT, chroma upsample, YCbCr→RGB). Only leftovers
+(WebP, progressive JPEG) fall back to PIL when installed, with a
+clearly-marked NotImplementedError otherwise. The ``"fake"`` decoder
+is a deterministic md5-based transform, which keeps the hash-gated
+correctness pipeline — schema, batching, UDF signatures —
+DuckDB-oracle-checkable (md5 agrees across engines).
 """
 
 from __future__ import annotations
@@ -92,35 +93,50 @@ def _fake_decode(payload: bytes) -> float:
     return int(hashlib.md5(payload).hexdigest()[:8], 16) / 2**32
 
 
-def _real_decode(payload: bytes) -> float:
-    """Real pixel decode (mean brightness in [0, 1]).
-
-    PNG payloads decode through the engine's own pure-stdlib codec
-    (``operators/png_codec``) — real pixels in every environment, PIL
-    or not, and deterministic across environments because the same
-    decoder always runs. Non-PNG formats (JPEG/WebP) fall back to PIL
-    when installed, else raise the documented NotImplementedError
-    (reference real-model analogue: generate_coco_embeddings.py:27-83;
-    the correctness gates use the deterministic fake decoder)."""
-    from .png_codec import PNG_SIGNATURE, decode_png, luma
-
+def decode_image(payload: bytes):
+    """Dispatch real pixel decoding by signature: PNG and baseline JPEG
+    go through the engine's own pure-stdlib codecs
+    (``operators/png_codec`` / ``operators/jpeg_codec``) — real pixels
+    in every environment, PIL or not, and deterministic across
+    environments because the same decoders always run. Anything else
+    (WebP, exotic JPEG processes) falls back to PIL when installed,
+    else raises the documented NotImplementedError. Returns a uint8
+    ndarray, (H, W) or (H, W, C)."""
     payload = bytes(payload)
+    from .png_codec import PNG_SIGNATURE, decode_png
+
     if payload[:8] == PNG_SIGNATURE:
-        return float(luma(decode_png(payload)).mean() / 255.0)
+        return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg_codec import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # non-baseline process -> PIL below if available
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "real non-PNG image decode requires PIL/pillow, not present in this "
-            "environment (PNG decodes via the built-in stdlib codec)"
+            "this payload needs PIL/pillow (not present): PNG and baseline "
+            "JPEG decode via the built-in stdlib codecs, other formats do not"
         ) from e
     import io
 
     import numpy as np
 
     with Image.open(io.BytesIO(payload)) as img:
-        arr = np.asarray(img.convert("L"), dtype=np.float64)
-    return float(arr.mean() / 255.0)
+        return np.asarray(img.convert("RGB"))
+
+
+def _real_decode(payload: bytes) -> float:
+    """Real pixel decode (mean luma brightness in [0, 1]) via
+    :func:`decode_image` (reference real-model analogue:
+    generate_coco_embeddings.py:27-83; the correctness gates use the
+    deterministic fake decoder)."""
+    from .png_codec import luma
+
+    return float(luma(decode_image(payload)).mean() / 255.0)
 
 
 _DECODERS = {"fake": _fake_decode, "real": _real_decode}
@@ -240,8 +256,8 @@ def make_pixel_model(dim: int = EMBED_DIM, seed: int = 42, size: int = 16):
     non-deterministic external dependency this hash-gated engine
     excludes by design (SURVEY O2) — but the *compute shape* of model
     inference need not be faked: this returns a ``model_fn`` for
-    :func:`infer_embeddings` that decodes PNG payloads with the
-    stdlib codec, bilinear-resizes the luma plane to ``size``², and
+    :func:`infer_embeddings` that decodes PNG/JPEG payloads with the
+    stdlib codecs, bilinear-resizes the luma plane to ``size``², and
     runs a genuine two-layer conv net (3×3 valid convs, ReLU, 2×2
     average pool, global average pool, L2 normalize) whose weights are
     drawn once from a seeded generator. Every step a real vision
@@ -252,7 +268,7 @@ def make_pixel_model(dim: int = EMBED_DIM, seed: int = 42, size: int = 16):
     """
     import numpy as np
 
-    from .png_codec import decode_png, luma
+    from .png_codec import luma
 
     rng = np.random.default_rng(seed)
     n_c1 = 8
@@ -280,7 +296,7 @@ def make_pixel_model(dim: int = EMBED_DIM, seed: int = 42, size: int = 16):
         assert d == dim, f"model built for dim={dim}, called with {d}"
         out = np.empty((len(payloads), dim), dtype=np.float64)
         for r, payload in enumerate(payloads):
-            out[r] = _forward(luma(decode_png(bytes(payload))))
+            out[r] = _forward(luma(decode_image(bytes(payload))))
         return out
 
     return model_fn

@@ -1,0 +1,164 @@
+"""Baseline JPEG codec: DCT orthonormality, constant-block exactness,
+round-trip fidelity (PSNR) across sampling modes/qualities/odd sizes,
+determinism, Huffman/entropy edge symbols (ZRL, category extremes),
+and malformed-stream rejection."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from distributedvectordatabase_spark.operators.jpeg_codec import (
+    _D,
+    _ZZ_FLAT,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_dct_matrix_is_orthonormal():
+    np.testing.assert_allclose(_D @ _D.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_a_permutation_with_spec_prefix():
+    assert sorted(_ZZ_FLAT.tolist()) == list(range(64))
+    # the first eight entries of the T.81 zigzag, in natural index form
+    assert _ZZ_FLAT[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (17, 9), (1, 1), (5, 3)])
+def test_constant_gray_roundtrips_exactly(shape):
+    """A constant image is DC-only; at quality 95 the DC quant step is
+    small enough that reconstruction is bit-exact at every size
+    (including non-multiples of 8 exercising edge padding)."""
+    for v in (0, 7, 128, 200, 255):
+        img = np.full(shape, v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_constant_color_roundtrips_exactly(subsample):
+    img = np.zeros((20, 14, 3), dtype=np.uint8)
+    img[...] = (90, 160, 30)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=subsample))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("shape", [(32, 32), (33, 31), (8, 64)])
+def test_smooth_image_high_psnr(shape, subsample):
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    img = (
+        127.5
+        + 90 * np.sin(2 * np.pi * xx / shape[1])
+        + 30 * np.cos(2 * np.pi * yy / shape[0])
+    ).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([img, 255 - img, np.roll(img, 3, axis=1)], axis=-1)
+    out = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=subsample))
+    assert out.shape == rgb.shape
+    # 4:2:0 with nearest-neighbor chroma upsampling costs a couple dB
+    # on strong chroma gradients (libjpeg recovers it with its
+    # triangular "fancy upsampling"); both modes must clear a real bar.
+    assert _psnr(out, rgb) > (27.0 if subsample else 30.0)
+
+
+def test_noise_image_roundtrip_quality_ladder():
+    """Random noise is JPEG's worst case; error must still be bounded
+    and must shrink as quality rises."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    errs = []
+    for q in (50, 75, 95):
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        errs.append(np.mean(np.abs(out.astype(int) - img.astype(int))))
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 8.0
+
+
+def test_deterministic_bytes():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+
+
+def test_zrl_and_high_category_symbols():
+    """A block with one huge DC step and a lone late AC coefficient
+    forces ZRL runs (>16 zeros) and large size categories through the
+    entropy coder."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[7, 7] = 255  # sharp corner spike -> energy across the spectrum
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (8, 8)
+    checker = (255 * ((np.add.outer(np.arange(8), np.arange(8)) % 2))).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg(checker, quality=100))
+    assert _psnr(out2, checker) > 25.0
+
+
+def test_decode_rejects_malformed():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 3])
+    # flip the SOF0 marker to SOF2 (progressive) -> explicit refusal
+    prog = bytearray(good)
+    i = prog.find(bytes([0xFF, 0xC0]))
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_decodes_foreign_table_layout():
+    """The decoder must not depend on THIS encoder's table choices:
+    re-emit a stream whose DHT uses a different (per-symbol canonical)
+    code-length distribution and confirm identical pixels. Built by
+    round-tripping our stream through a re-encode with quality change
+    plus a handmade two-table DHT reshuffle is overkill; instead pin
+    the generic path: tables parsed from DHT, multiple DQT/DHT
+    segments in one marker (as many encoders emit)."""
+    img = np.full((10, 10), 55, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=95))
+    # merge the two DHT segments into one multi-table DHT segment
+    def find_seg(buf, marker, start=2):
+        i = start
+        while i + 4 <= len(buf):
+            if buf[i] == 0xFF and buf[i + 1] == marker:
+                (ln,) = struct.unpack(">H", bytes(buf[i + 2 : i + 4]))
+                return i, ln
+            if buf[i] == 0xFF and buf[i + 1] == 0xDA:
+                return None, None
+            if buf[i] == 0xFF:
+                (ln,) = struct.unpack(">H", bytes(buf[i + 2 : i + 4]))
+                i += 2 + ln
+            else:
+                i += 1
+        return None, None
+
+    i1, l1 = find_seg(data, 0xC4)
+    p1 = bytes(data[i1 + 4 : i1 + 2 + l1])
+    i2, l2 = find_seg(data, 0xC4, i1 + 2 + l1)
+    p2 = bytes(data[i2 + 4 : i2 + 2 + l2])
+    merged = (
+        bytes([0xFF, 0xC4]) + struct.pack(">H", len(p1) + len(p2) + 2) + p1 + p2
+    )
+    rebuilt = bytes(data[:i1]) + merged + bytes(data[i2 + 2 + l2 :])
+    np.testing.assert_array_equal(decode_jpeg(rebuilt), decode_jpeg(bytes(data)))
+
+
+def test_gray_vs_color_shapes_and_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((4, 4), dtype=np.float64))
+    with pytest.raises(ValueError, match="3 channels"):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    g = decode_jpeg(encode_jpeg(np.zeros((9, 5), dtype=np.uint8)))
+    assert g.shape == (9, 5) and g.ndim == 2
+    c = decode_jpeg(encode_jpeg(np.zeros((9, 5, 3), dtype=np.uint8)))
+    assert c.shape == (9, 5, 3)

@@ -312,3 +312,50 @@ def test_pixel_inference_end_to_end_knn_finds_duplicate(spark):
     top = knn(corpus, queries, k=2, metric="cosine").orderBy("rnk").collect()
     assert top[0].neighbor_id == 0          # self
     assert top[1].neighbor_id == 99         # the near-duplicate
+
+
+def test_real_decoder_jpeg_batch(spark):
+    """Baseline JPEG through the Spark Arrow path: decoded brightness
+    equals the stdlib decoder's luma exactly, and stays within lossy
+    tolerance of the pre-encode source image."""
+    import numpy as np
+
+    from distributedvectordatabase_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from distributedvectordatabase_spark.operators.png_codec import luma
+
+    rng = np.random.default_rng(21)
+    rows, exact, approx = [], {}, {}
+    for i, (sub, shape) in enumerate([(False, (16, 16, 3)), (True, (17, 13, 3)), (False, (9, 8))]):
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        payload = encode_jpeg(arr, quality=90, subsample=sub)
+        rows.append((i, payload, "jpeg", shape[1], shape[0]))
+        exact[i] = float(luma(decode_jpeg(payload)).mean() / 255.0)
+        approx[i] = float(luma(arr).mean() / 255.0)
+    media = spark.createDataFrame(
+        rows, "item_id long, payload binary, format string, width int, height int"
+    )
+    got = {r.item_id: r.brightness for r in decode_stats(media, decoder="real").collect()}
+    assert all(abs(got[k] - exact[k]) < 1e-12 for k in exact)
+    assert all(abs(got[k] - approx[k]) < 0.03 for k in approx)  # lossy but close
+
+
+def test_pixel_model_accepts_jpeg_and_png(spark):
+    """make_pixel_model embeds the same underlying image encoded as PNG
+    (lossless) and as JPEG q=95 (near-lossless) to nearby vectors —
+    the decode dispatch is format-transparent."""
+    import numpy as np
+
+    from distributedvectordatabase_spark.operators.multimodal import make_pixel_model
+    from distributedvectordatabase_spark.operators.jpeg_codec import encode_jpeg
+    from distributedvectordatabase_spark.operators.png_codec import encode_png
+
+    rng = np.random.default_rng(33)
+    yy, xx = np.mgrid[:24, :24]
+    img = (128 + 60 * np.sin(xx / 4) + 40 * np.cos(yy / 5)).clip(0, 255).astype(np.uint8)
+    fn = make_pixel_model(dim=16, seed=9, size=16)
+    E = fn([encode_png(img), encode_jpeg(img, quality=95)], 16)
+    cos = float(E[0] @ E[1])
+    assert cos > 0.999, cos
