@@ -63,10 +63,9 @@ def test_smooth_image_high_psnr(shape, subsample):
     rgb = np.stack([img, 255 - img, np.roll(img, 3, axis=1)], axis=-1)
     out = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=subsample))
     assert out.shape == rgb.shape
-    # 4:2:0 with nearest-neighbor chroma upsampling costs a couple dB
-    # on strong chroma gradients (libjpeg recovers it with its
-    # triangular "fancy upsampling"); both modes must clear a real bar.
-    assert _psnr(out, rgb) > (27.0 if subsample else 30.0)
+    # 4:2:0 halves chroma resolution; the triangular "fancy upsample"
+    # in the decoder keeps even strong chroma gradients >= 30 dB.
+    assert _psnr(out, rgb) > 30.0
 
 
 def test_noise_image_roundtrip_quality_ladder():
