@@ -1,0 +1,191 @@
+"""Pure-stdlib AVI (RIFF) MJPEG container codec — the video leg of the
+engine's media-decode path.
+
+The reference's media pipeline decodes images through torchvision
+(generate_coco_embeddings.py:17-22) and ships no video path at all; the
+engine's video decode was previously a documented byte-window stub.
+This module removes that stub for the one video format a
+zero-dependency engine can honestly own end-to-end: **Motion JPEG in an
+AVI container**, where every frame is an independent baseline JPEG that
+``operators/jpeg_codec`` already decodes for real. Container parsing is
+plain RIFF chunk walking (struct + bytes — no third-party libs), and
+the walker reads chunk ids/sizes generically, so third-party MJPEG AVIs
+parse exactly like ours (same contract as the JPEG decoder reading
+foreign DQT/DHT tables).
+
+Scope, honestly stated: MJPEG/AVI only. Inter-frame codecs (H.264 etc.)
+require entropy decoders far outside stdlib reach and still fall back
+to the documented NotImplementedError in the dispatch layer
+(``operators/multimodal.py``). For frame *sampling* that is no loss:
+MJPEG frames are all keyframes, so stride sampling here is exactly the
+keyframe-seek a production sampler performs.
+
+Layout written by :func:`encode_avi_mjpeg` (and accepted, plus
+arbitrary extra chunks like JUNK/INFO, by the reader)::
+
+    RIFF <sz> 'AVI '
+      LIST 'hdrl'
+        'avih' MainAVIHeader        (frame timing, dims, counts)
+        LIST 'strl'
+          'strh' AVIStreamHeader    (fccType 'vids', handler 'MJPG')
+          'strf' BITMAPINFOHEADER   (dims, biCompression 'MJPG')
+      LIST 'movi'
+        '00dc' <jpeg bytes> [pad]   (one chunk per frame)
+      'idx1' <16 B per frame>       (AVIIF_KEYFRAME entries)
+"""
+
+from __future__ import annotations
+
+import struct
+
+AVI_RIFF_SIGNATURE = b"RIFF"
+AVIIF_KEYFRAME = 0x10
+AVIF_HASINDEX = 0x10
+
+_FRAME_SUFFIXES = (b"dc", b"db")  # compressed / uncompressed DIB frame chunks
+
+
+def is_avi(data: bytes) -> bool:
+    """True when the payload is a RIFF AVI container."""
+    return len(data) >= 12 and data[:4] == AVI_RIFF_SIGNATURE and data[8:12] == b"AVI "
+
+
+def _chunk(ckid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return ckid + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Encode a sequence of uint8 images ((H,W) or (H,W,3) ndarrays, all
+    the same shape) as an MJPEG AVI. Each frame goes through the
+    engine's own deterministic baseline-JPEG encoder, so the bytes are
+    reproducible across runs/hosts (same property as encode_jpeg /
+    encode_png, which the export-determinism story relies on)."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg
+
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError(f"all frames must share one shape, got {f.shape[:2]} vs {(h, w)}")
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(int(fps), 1),  # dwMicroSecPerFrame
+        sum(len(p) for p in payloads) * max(int(fps), 1) // max(len(payloads), 1),
+        0,  # dwPaddingGranularity
+        AVIF_HASINDEX,
+        len(payloads),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max(len(p) for p in payloads),  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            max(int(fps), 1),  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            len(payloads),  # dwLength (frames)
+            max(len(p) for p in payloads),  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: varying-size samples)
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage (nominal)
+        0, 0, 0, 0,
+    )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+
+    movi_body = b""
+    offsets = []  # offset of each ckid relative to the 'movi' fourcc
+    for p in payloads:
+        offsets.append(4 + len(movi_body))
+        movi_body += _chunk(b"00dc", p)
+    movi = _list(b"movi", movi_body)
+
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", AVIIF_KEYFRAME, off, len(p))
+        for off, p in zip(offsets, payloads)
+    )
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk(data: bytes, pos: int, end: int, frames: list, meta: dict) -> None:
+    """Generic RIFF chunk walk: recurse into LISTs, collect stream frame
+    chunks (ids ``##dc``/``##db``) and the avih/strh/strf headers,
+    ignore everything else (JUNK, INFO, idx1, odd vendor chunks) —
+    which is what makes third-party AVIs parse."""
+    while pos + 8 <= end:
+        ckid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        if ckid == b"LIST" and size >= 4:
+            _walk(data, body_start + 4, body_end, frames, meta)
+        elif ckid[2:4] in _FRAME_SUFFIXES and ckid[:2].isdigit():
+            frames.append(data[body_start:body_end])
+        elif ckid == b"avih" and size >= 56:
+            vals = struct.unpack_from("<14I", data, body_start)
+            meta.setdefault("micro_sec_per_frame", vals[0])
+            meta.setdefault("total_frames", vals[4])
+            meta.setdefault("width", vals[8])
+            meta.setdefault("height", vals[9])
+        elif ckid == b"strh" and size >= 56:
+            fcc_type = data[body_start : body_start + 4]
+            if fcc_type == b"vids":
+                meta.setdefault("handler", data[body_start + 4 : body_start + 8].decode("ascii", "replace"))
+                scale, rate = struct.unpack_from("<II", data, body_start + 20)
+                if scale:
+                    meta.setdefault("fps", rate / scale)
+        pos = body_start + size + (size % 2)  # chunks are word-aligned
+
+
+def decode_avi(data: bytes):
+    """Parse an AVI container: returns ``(meta, frame_payloads)`` where
+    meta has width/height/total_frames/fps/handler (whatever the file
+    declares) and frame_payloads is the ordered list of raw per-frame
+    codec payloads (for MJPEG: one baseline JPEG per entry, ready for
+    ``jpeg_codec.decode_jpeg`` / ``multimodal.decode_image``)."""
+    data = bytes(data)
+    if not is_avi(data):
+        raise ValueError("not a RIFF AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(8 + riff_size, len(data))
+    frames: list[bytes] = []
+    meta: dict = {}
+    _walk(data, 12, end, frames, meta)
+    return meta, frames
+
+
+def avi_frames(data: bytes) -> list:
+    """Just the ordered frame payloads of an AVI (MJPEG: JPEGs)."""
+    return decode_avi(data)[1]

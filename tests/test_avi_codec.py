@@ -1,0 +1,162 @@
+"""AVI/MJPEG container codec + the real video decode path.
+
+Covers: container round-trip fidelity (every frame back out, PSNR
+bound through the JPEG layer), header metadata, word-alignment padding
+with odd-size frame chunks, foreign-container robustness (JUNK chunks,
+trailing idx1, '##db' frame ids), and the Spark mapInPandas path
+(sample_video_frames stride/cap semantics + video_frame_stats
+brightness against driver-side numpy over the same frames)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from distributedvectordatabase_spark.operators.avi_codec import (
+    avi_frames,
+    decode_avi,
+    encode_avi_mjpeg,
+    is_avi,
+)
+from distributedvectordatabase_spark.operators.jpeg_codec import decode_jpeg
+from distributedvectordatabase_spark.operators.multimodal import (
+    sample_video_frames,
+    video_frame_stats,
+)
+from distributedvectordatabase_spark.operators.png_codec import luma
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient_frames(n=6, h=32, w=48):
+    """Smooth, per-frame-distinct gradients (JPEG-friendly content)."""
+    y, x = np.mgrid[0:h, 0:w]
+    return [
+        ((x * 255 / (w - 1)) * 0.5 + (y * 255 / (h - 1)) * 0.3 + i * 20).clip(0, 255).astype(np.uint8)
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_frame_count_and_fidelity():
+    frames = _gradient_frames()
+    data = encode_avi_mjpeg(frames, fps=10, quality=90)
+    assert is_avi(data)
+    meta, payloads = decode_avi(data)
+    assert len(payloads) == len(frames)
+    for orig, p in zip(frames, payloads):
+        assert p[:3] == b"\xff\xd8\xff"  # each frame is a standalone JPEG
+        out = decode_jpeg(p)
+        assert out.shape == orig.shape
+        assert _psnr(out, orig) > 30.0
+
+
+def test_header_metadata():
+    frames = _gradient_frames(n=5, h=24, w=40)
+    meta, payloads = decode_avi(encode_avi_mjpeg(frames, fps=25))
+    assert meta["width"] == 40 and meta["height"] == 24
+    assert meta["total_frames"] == 5 and len(payloads) == 5
+    assert meta["handler"] == "MJPG"
+    assert meta["fps"] == pytest.approx(25.0)
+    assert meta["micro_sec_per_frame"] == 1_000_000 // 25
+
+
+def test_color_frames_roundtrip():
+    rng = np.random.default_rng(7)
+    base = rng.integers(60, 196, size=(16, 16, 3), dtype=np.uint8)
+    frames = [np.roll(base, i, axis=1) for i in range(3)]
+    payloads = avi_frames(encode_avi_mjpeg(frames, quality=95))
+    assert len(payloads) == 3
+    for orig, p in zip(frames, payloads):
+        assert decode_jpeg(p).shape == orig.shape
+
+
+def test_odd_size_chunk_padding():
+    """A frame chunk with an odd payload length must be word-padded in
+    the container without corrupting the NEXT frame's bytes."""
+    frames = _gradient_frames(n=4)
+    data = encode_avi_mjpeg(frames)
+    payloads = avi_frames(data)
+    odd = [p for p in payloads if len(p) % 2]
+    # decodability of every frame is the real assertion; if at least one
+    # payload was odd-length, the pad path was actually exercised.
+    for p in payloads:
+        decode_jpeg(p)
+    if not odd:  # force an odd payload through a private re-encode
+        from distributedvectordatabase_spark.operators.avi_codec import _chunk
+
+        assert len(_chunk(b"00dc", b"\x01\x02\x03")) % 2 == 0
+
+
+def test_foreign_container_junk_and_db_chunks():
+    """Reader robustness on containers we did not write: JUNK padding
+    chunks between lists, frames under '##db' ids, missing idx1."""
+    frames = _gradient_frames(n=2, h=16, w=16)
+    data = bytearray(encode_avi_mjpeg(frames))
+    # splice a JUNK chunk right after 'AVI ' (offset 12)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    spliced = bytes(data[:12]) + junk + bytes(data[12:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    meta, payloads = decode_avi(spliced)
+    assert len(payloads) == 2 and meta["width"] == 16
+    # rename the frame ids 00dc -> 00db (uncompressed-DIB id): still found
+    renamed = spliced.replace(b"00dc", b"00db")
+    assert len(avi_frames(renamed)) >= 2  # movi chunks + idx1 entries both renamed
+
+
+def test_rejects_non_avi():
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
+
+
+def test_mismatched_frame_shapes_rejected():
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([np.zeros((8, 8), np.uint8), np.zeros((8, 16), np.uint8)])
+
+
+# ---------------------------------------------------------------- Spark path
+
+
+@pytest.fixture(scope="module")
+def video_media(spark):
+    frames = _gradient_frames(n=6, h=16, w=16)
+    payload = encode_avi_mjpeg(frames, fps=10, quality=90)
+    rows = [(1, bytearray(payload), "avi", 16, 16), (2, bytearray(b"not a container, just bytes " * 8), "bin", 0, 0)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary, format string, width int, height int")
+    return df, frames, payload
+
+
+def test_sample_video_frames_real_container(spark, video_media):
+    media, frames, payload = video_media
+    out = sample_video_frames(media, stride=2, max_frames=2).toPandas()
+    vid = out[out.item_id == 1].sort_values("frame_idx")
+    # stride 2 over 6 frames capped at 2 -> frame_idx 0, 2
+    assert vid.frame_idx.tolist() == [0, 2]
+    expect = avi_frames(payload)
+    assert bytes(vid.frame_payload.iloc[0]) == expect[0]
+    assert bytes(vid.frame_payload.iloc[1]) == expect[2]
+    # non-container payload falls back to byte windows (plumbing path)
+    fallback = out[out.item_id == 2]
+    assert len(fallback) == 2 and all(len(bytes(p)) == 64 for p in fallback.frame_payload)
+
+
+def test_video_frame_stats_matches_numpy(spark, video_media):
+    media, frames, payload = video_media
+    out = video_frame_stats(media.filter("item_id = 1"), stride=1, max_frames=8).toPandas()
+    out = out.sort_values("frame_idx").reset_index(drop=True)
+    assert len(out) == 6
+    assert (out.width == 16).all() and (out.height == 16).all()
+    for i, p in enumerate(avi_frames(payload)):
+        truth = float(luma(decode_jpeg(p)).mean() / 255.0)
+        assert out.brightness.iloc[i] == pytest.approx(truth, abs=1e-12)
+    # JPEG is lossy but close: decoded brightness tracks the source frames
+    for i, f in enumerate(frames):
+        assert abs(out.brightness.iloc[i] - f.mean() / 255.0) < 0.02
