@@ -108,6 +108,8 @@ EXTRA = [
     "events_zorder_key",
     # r9: snapshot drift monitor (overflow gate, operators/drift.py)
     "embedding_drift",
+    # r9: Gopher n-gram repetition filter (overflow gate)
+    "doc_gopher_repetition",
 ]
 
 

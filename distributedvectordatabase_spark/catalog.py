@@ -441,6 +441,79 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_gopher_repetition(d: str) -> str:
+    """Gopher-style n-gram repetition FILTER (Rae et al. 2021, App. A —
+    the repetition rules large-scale curation applies before training):
+    per document, the fraction of word-characters covered by the single
+    most-covering 2-gram (``top2_frac``) and the fraction of 5-gram
+    occurrence characters that belong to duplicated 5-grams
+    (``dup5_frac``), plus type-token ratio and the composed keep/drop
+    verdict at the Gopher thresholds (top-2-gram ≤ 0.20, dup-5-gram ≤
+    0.15). Complements ``doc_quality``'s scalar per-row profile with
+    the explode+aggregate form the real rules need — counts are per
+    (doc, shingle), not derivable row-locally.
+
+    Determinism architecture: every count/char tally is INTEGER (so
+    engine sum order is irrelevant), the keep verdict is evaluated as
+    integer cross-multiplication (``top2*5 <= chars`` etc. — no float
+    compare at the threshold), and the reported fractions are one IEEE
+    division of identical ints, quantized 1e-6 by the shared
+    floor-round macro. The 100 TB shape: shingles materialize once per
+    doc, both n-gram passes are map-side-combinable groupBys keyed by
+    (doc_id, shingle) — no join against the corpus, shuffle bounded by
+    distinct shingles, and the verdict join-back is per-doc skinny."""
+    toks = T.tokens("text", d)
+    q6 = "(cast(floor(({x}) * cast(1000000 as double) + cast(0.5 as double)) as bigint) / cast(1000000 as double))"
+    if d == SPARK:
+        ex2 = "SELECT doc_id, s FROM st LATERAL VIEW explode(sh2) e2 AS s"
+        ex5 = "SELECT doc_id, s FROM st LATERAL VIEW explode(sh5) e5 AS s"
+    else:
+        ex2 = "SELECT doc_id, unnest(sh2) AS s FROM st"
+        ex5 = "SELECT doc_id, unnest(sh5) AS s FROM st"
+    ttr = q6.format(x="cast(n_types as double) / n_words")
+    top2_frac = q6.format(x="cast(coalesce(top2_chars, 0) as double) / total_chars")
+    dup5_frac = q6.format(
+        x="CASE WHEN coalesce(all5_chars, 0) = 0 THEN 0.0 "
+        "ELSE cast(coalesce(dup5_chars, 0) as double) / all5_chars END"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+    st AS (
+      SELECT doc_id,
+             {_asize(d)}(toks) AS n_words,
+             {_asize(d)}({_adistinct(d)}(toks)) AS n_types,
+             {T.sum_token_lengths('toks', d)} AS total_chars,
+             {T.word_shingles('toks', 2, d)} AS sh2,
+             {T.word_shingles('toks', 5, d)} AS sh5
+      FROM base
+    ),
+    c2 AS (SELECT doc_id, s, count(*) AS c FROM ({ex2}) x GROUP BY doc_id, s),
+    t2 AS (SELECT doc_id, cast(max(c * (length(s) - 1)) as bigint) AS top2_chars
+           FROM c2 GROUP BY doc_id),
+    c5 AS (SELECT doc_id, s, count(*) AS c FROM ({ex5}) y GROUP BY doc_id, s),
+    t5 AS (SELECT doc_id,
+                  cast(sum(CASE WHEN c >= 2 THEN c * (length(s) - 4) ELSE 0 END) as bigint) AS dup5_chars,
+                  cast(sum(c * (length(s) - 4)) as bigint) AS all5_chars
+           FROM c5 GROUP BY doc_id)
+    SELECT st.doc_id,
+           cast(n_words as bigint) AS n_words,
+           cast(n_types as bigint) AS n_types,
+           cast(total_chars as bigint) AS total_chars,
+           cast(coalesce(top2_chars, 0) as bigint) AS top2_chars,
+           cast(coalesce(dup5_chars, 0) as bigint) AS dup5_chars,
+           cast(coalesce(all5_chars, 0) as bigint) AS all5_chars,
+           {ttr} AS ttr,
+           {top2_frac} AS top2_frac,
+           {dup5_frac} AS dup5_frac,
+           CASE WHEN coalesce(top2_chars, 0) * 5 <= total_chars
+                 AND coalesce(dup5_chars, 0) * 20 <= coalesce(all5_chars, 0) * 3
+                THEN 1 ELSE 0 END AS keep
+    FROM st
+    LEFT JOIN t2 ON st.doc_id = t2.doc_id
+    LEFT JOIN t5 ON st.doc_id = t5.doc_id
+    """
+
+
 def _q_bpe_pair_stats(d: str) -> str:
     """One BPE merge step's statistics (Sennrich 2016 — the loop body
     of tokenizer training): frequency of every adjacent character pair,
@@ -3509,5 +3582,11 @@ def build_catalog() -> dict[str, Query]:
         # alarm behavior on genuinely shifted inputs pinned in
         # tests/test_drift.py.
         Query("embedding_drift", _run_embedding_drift, embedding_drift_oracle_sql()),
+        # r9 new surface: Gopher-style n-gram repetition filter — the
+        # explode+aggregate repetition rules (top-2-gram coverage,
+        # dup-5-gram char fraction, keep verdict at the paper
+        # thresholds) that doc_quality's row-local profile can't
+        # express. All-integer tallies + integer threshold compares.
+        _sql_query("doc_gopher_repetition", _q_doc_gopher_repetition),
     ]
     return {q.name: q for q in qs}

@@ -76,3 +76,34 @@ def test_queries_pin_utc_regardless_of_caller_tz(spark, oracle):
             assert_matches_oracle(q.run(spark, SF_DIR), oracle, q.oracle)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_gopher_repetition_drops_planted_spam(spark):
+    """Behavioral pin for doc_gopher_repetition (oracle parity is the
+    parametrized exact test): a doc that is one 2-gram repeated wall to
+    wall must trip BOTH Gopher rules and be dropped; a diverse doc must
+    keep. Planted inputs, not testdata — the thresholds should fire on
+    content we control."""
+    from distributedvectordatabase_spark.catalog import SPARK, _q_doc_gopher_repetition
+
+    spam = "buy now " * 40  # one 2-gram covering ~100% of chars
+    fine = " ".join(f"w{i:03d}" for i in range(80))  # all-distinct words
+    # period-12 repeat: every 5-gram duplicates, but each 2-gram covers
+    # only ~3/36 of the words -> the dup-5-gram rule alone must fire
+    half = (" ".join(f"tok{i:02d}" for i in range(12)) + " ") * 3
+    spark.createDataFrame(
+        [(1, spam.strip()), (2, fine), (3, half.strip())], "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    try:
+        out = {r["doc_id"]: r.asDict() for r in spark.sql(_q_doc_gopher_repetition(SPARK)).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert out[1]["keep"] == 0
+    assert out[1]["top2_frac"] > 0.9  # "buy now"/"now buy" dominate coverage
+    assert out[1]["dup5_frac"] == 1.0  # every 5-gram occurs ≥ 2 times
+    assert out[2]["keep"] == 1
+    assert out[2]["top2_chars"] * 5 <= out[2]["total_chars"]
+    assert out[2]["dup5_frac"] == 0.0 and out[2]["ttr"] == 1.0
+    # half: dup-5-gram rule fires even though no single 2-gram covers 20%
+    assert out[3]["dup5_frac"] == 1.0 and out[3]["keep"] == 0
+    assert out[3]["top2_chars"] * 5 <= out[3]["total_chars"]

@@ -52,6 +52,10 @@ DOCUMENTED_OVERFLOW = {
     # r9 new surface: snapshot drift monitor (operators/drift.py);
     # alarm behavior on shifted inputs pinned in tests/test_drift.py.
     "embedding_drift",
+    # r9 new surface: Gopher n-gram repetition filter (explode+agg
+    # repetition rules + keep verdict); planted-input behavior pinned
+    # in tests/test_catalog.py.
+    "doc_gopher_repetition",
 }
 
 
