@@ -110,6 +110,8 @@ EXTRA = [
     "embedding_drift",
     # r9: Gopher n-gram repetition filter (overflow gate)
     "doc_gopher_repetition",
+    # r9: DSIR importance weights (overflow gate, operators/dsir.py)
+    "doc_dsir_weights",
 ]
 
 

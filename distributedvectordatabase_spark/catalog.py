@@ -441,6 +441,92 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dsir_weights(d: str) -> str:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is, then
+    select the top fraction. Features are unigrams + word bigrams
+    hashed into {B} buckets; the target distribution comes from the
+    corpus's own `lang = 'en'` slice (stand-in for the paper's
+    high-quality target corpus — any target predicate slots in);
+    per-bucket log-ratio λ_b = ln(p_target(b) / p_raw(b)) with add-one
+    smoothing; a document's weight is Σ_b n_b(doc)·λ_b and the top 20%
+    by weight are flagged ``selected``.
+
+    Determinism discipline (the lm-score gate's): the ln argument is a
+    single IEEE division of two EXACT integer products ((tc+1)(RC+B)
+    over (rc+1)(TC+B) — no intermediate float), each λ_b is
+    floor-quantized to integer micro-units, and per-doc weights are
+    exact bigint dot products — summation order can't move a bit. The
+    selection cut is integer cross-multiplication (rank·5 ≤ n_docs).
+
+    Scale shape: the corpus is touched once (tokenize + shingle +
+    per-(doc, term) count); buckets fold that to ≤ {B} rows per doc;
+    the λ table is {B} rows — broadcast-sized at any corpus scale (the
+    DataFrame form in operators/dsir.py broadcasts it); only the gate's
+    final rank is a global window over one skinny row per doc, and the
+    production path (dsir_select) replaces it with a top-k."""
+    B = 512
+    toks = T.tokens("text", d)
+    sh2 = T.word_shingles("toks", 2, d)
+    if d == SPARK:
+        exu = "SELECT doc_id, w AS s FROM base LATERAL VIEW explode(toks) eu AS w"
+        exb = "SELECT doc_id, w AS s FROM base LATERAL VIEW explode(sh2) eb AS w"
+    else:
+        exu = "SELECT doc_id, unnest(toks) AS s FROM base"
+        exb = "SELECT doc_id, unnest(sh2) AS s FROM base"
+    logr = (
+        "ln(cast((coalesce(tc, 0) + 1) * rtot as double)"
+        " / cast((rc + 1) * ttot as double))"
+    )
+    lam_u = f"cast(floor(({logr}) * cast(1000000 as double) + cast(0.5 as double)) as bigint)"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    base2 AS (SELECT doc_id, {sh2} AS sh2 FROM base),
+    occ AS ({exu} UNION ALL {exb.replace('base', 'base2')}),
+    term AS (SELECT doc_id, s, count(*) AS c FROM occ GROUP BY doc_id, s),
+    dt AS (
+      SELECT doc_id, {T.hash64('s', d)} % {B} AS bkt, cast(sum(c) as bigint) AS k
+      FROM term GROUP BY doc_id, {T.hash64('s', d)} % {B}
+    ),
+    raw AS (SELECT bkt, cast(sum(k) as bigint) AS rc FROM dt GROUP BY bkt),
+    tgt AS (
+      SELECT dt.bkt, cast(sum(dt.k) as bigint) AS tc
+      FROM dt JOIN documents tdoc ON tdoc.doc_id = dt.doc_id AND tdoc.lang = 'en'
+      GROUP BY dt.bkt
+    ),
+    tot_r AS (SELECT cast(sum(rc) as bigint) + {B} AS rtot FROM raw),
+    tot_t AS (SELECT cast(coalesce(sum(tc), 0) as bigint) + {B} AS ttot FROM tgt),
+    lam AS (
+      SELECT raw.bkt, {lam_u} AS lam_u
+      FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt
+      CROSS JOIN tot_r CROSS JOIN tot_t
+    ),
+    scored AS (
+      SELECT dt.doc_id,
+             cast(sum(dt.k) as bigint) AS n_feats,
+             cast(sum(dt.k * lam.lam_u) as bigint) AS weight_micro
+      FROM dt JOIN lam ON lam.bkt = dt.bkt
+      GROUP BY dt.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_feats, weight_micro,
+             row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
+    SELECT r.doc_id, docs.lang, r.n_feats, r.weight_micro,
+           (cast(r.weight_micro as double) / cast(1000000 as double)) AS weight,
+           cast(r.rnk as bigint) AS rnk,
+           CASE WHEN r.rnk * 5 <= n.n_docs THEN 1 ELSE 0 END AS selected
+    FROM ranked r
+    JOIN documents docs ON docs.doc_id = r.doc_id
+    CROSS JOIN n
+    """
+
+
 def _q_doc_gopher_repetition(d: str) -> str:
     """Gopher-style n-gram repetition FILTER (Rae et al. 2021, App. A —
     the repetition rules large-scale curation applies before training):
@@ -3588,5 +3674,10 @@ def build_catalog() -> dict[str, Query]:
         # thresholds) that doc_quality's row-local profile can't
         # express. All-integer tallies + integer threshold compares.
         _sql_query("doc_gopher_repetition", _q_doc_gopher_repetition),
+        # r9 new surface: DSIR importance weights (hashed-n-gram
+        # log-ratio scoring against a target slice + top-20% select);
+        # the DataFrame scale path lives in operators/dsir.py and is
+        # pinned bit-identical to this gate in tests/test_dsir.py.
+        _sql_query("doc_dsir_weights", _q_doc_dsir_weights),
     ]
     return {q.name: q for q in qs}

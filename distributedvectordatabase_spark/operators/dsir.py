@@ -1,0 +1,121 @@
+"""DSIR data selection (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling") — the DataFrame scale path behind
+the ``doc_dsir_weights`` gate (catalog._q_doc_dsir_weights).
+
+Select pretraining documents whose hashed-n-gram profile looks like a
+target corpus: features are unigrams + word bigrams hashed into a
+fixed bucket space, each bucket gets a smoothed log-ratio
+λ_b = ln(p_target(b) / p_raw(b)), and a document's importance weight
+is Σ_b n_b(doc)·λ_b. Selection takes the highest-weight documents.
+
+100 TB shape:
+
+- The raw corpus is touched ONCE (tokenize + shingle + per-(doc, term)
+  count, all map-side-combinable); bucket folding bounds per-doc state
+  at ``buckets`` rows.
+- The λ table is ``buckets`` rows regardless of corpus size — it
+  broadcasts, so scoring is a map-side join + one per-doc aggregation.
+  No corpus-vs-corpus join anywhere.
+- Selection is ``sort+limit`` → Spark's TakeOrderedAndProject (partial
+  top-k per partition, no global sort/window). The gate's SQL form
+  uses a global row_number() only because the driver needs every row.
+- The only ``.collect()``s are two single-row totals (O(1), bounded).
+
+Determinism matches the gate bit-for-bit (pinned in tests/test_dsir.py):
+the λ argument is one IEEE division of exact integer products, λ is
+floor-quantized to micro-units, weights are exact bigint dot products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import SPARK, hash64, tokens, word_shingles
+
+BUCKETS = 512
+
+
+def _bucket_expr(buckets: int) -> str:
+    return f"{hash64('s', SPARK)} % {buckets}"
+
+
+def hashed_feature_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-(doc, bucket) feature counts: unigrams + word bigrams hashed
+    into ``buckets``. One corpus pass; output ≤ buckets rows per doc."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.expr(tokens(text_col, SPARK)).alias("toks"))
+    uni = base.select("doc_id", F.explode("toks").alias("s"))
+    big = base.select("doc_id", F.explode(F.expr(word_shingles("toks", 2, SPARK))).alias("s"))
+    term = uni.unionAll(big).groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    return (
+        term.groupBy("doc_id", F.expr(_bucket_expr(buckets)).alias("bkt"))
+        .agg(F.sum("c").cast("bigint").alias("k"))
+    )
+
+
+def fit_logratios(
+    counts: DataFrame, target_ids: DataFrame, buckets: int = BUCKETS
+) -> DataFrame:
+    """λ table (bkt, lam_u): micro-quantized add-one-smoothed
+    ln(p_target/p_raw) per bucket, from one pass over the bucket counts.
+    ``target_ids`` is a (doc_id) frame naming the target slice; the
+    semi-join keeps the raw counts frame as the single corpus-derived
+    input. Returns ≤ ``buckets`` rows — broadcast it into scoring."""
+    raw = counts.groupBy("bkt").agg(F.sum("k").cast("bigint").alias("rc"))
+    tgt = (
+        counts.join(target_ids.select("doc_id"), "doc_id", "semi")
+        .groupBy("bkt")
+        .agg(F.sum("k").cast("bigint").alias("tc"))
+    )
+    # two O(1) scalar totals (bounded collects)
+    rtot = raw.agg(F.sum("rc")).collect()[0][0] + buckets
+    ttot = (tgt.agg(F.sum("tc")).collect()[0][0] or 0) + buckets
+    lam_u = (
+        f"cast(floor(ln(cast((coalesce(tc, 0) + 1) * {rtot} as double)"
+        f" / cast((rc + 1) * {ttot} as double))"
+        " * cast(1000000 as double) + cast(0.5 as double)) as bigint)"
+    )
+    return (
+        raw.join(tgt, "bkt", "left")
+        .select("bkt", F.expr(lam_u).alias("lam_u"))
+    )
+
+
+def importance_weights(counts: DataFrame, lam: DataFrame) -> DataFrame:
+    """Per-doc importance weight: exact bigint dot product of the doc's
+    bucket counts with the broadcast λ table."""
+    return (
+        counts.join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_feats"),
+            F.sum(F.col("k") * F.col("lam_u")).cast("bigint").alias("weight_micro"),
+        )
+        .withColumn("weight", F.col("weight_micro").cast("double") / F.lit(1000000.0))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """End-to-end: feature counts → λ fit → per-doc weights."""
+    counts = hashed_feature_counts(docs, text_col, id_col, buckets)
+    lam = fit_logratios(counts, target_ids, buckets)
+    return importance_weights(counts, lam)
+
+
+def dsir_select(weights: DataFrame, k: int) -> DataFrame:
+    """Top-k documents by importance weight (ties broken by doc_id for
+    reproducibility). sort+limit → TakeOrderedAndProject: partial
+    top-k per partition, no global sort — the selection plan that
+    survives a 100 TB corpus."""
+    return weights.orderBy(F.col("weight_micro").desc(), F.col("doc_id")).limit(int(k))

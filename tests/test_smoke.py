@@ -56,6 +56,10 @@ DOCUMENTED_OVERFLOW = {
     # repetition rules + keep verdict); planted-input behavior pinned
     # in tests/test_catalog.py.
     "doc_gopher_repetition",
+    # r9 new surface: DSIR importance weights (operators/dsir.py);
+    # DataFrame path pinned bit-identical to the gate in
+    # tests/test_dsir.py.
+    "doc_dsir_weights",
 }
 
 
