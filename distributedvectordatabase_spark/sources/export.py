@@ -29,6 +29,25 @@ Megatron-style ingestion): same placement, same within-shard order
 (one writer task per shard preserves row order in the text file),
 same manifest + verification. JSONL carries no schema and no binary
 columns faithfully — keep those exports Parquet.
+
+``fmt="wds"`` writes **WebDataset-style tar shards** — the container
+multimodal training loaders stream (one ``{key}.json`` metadata member
+per sample, plus ``{key}.txt`` for a text column and ``{key}.<col>``
+raw-bytes members for binary columns, grouped by key prefix per the
+WebDataset convention). Tar bytes are fully deterministic (zeroed
+mtime/uid/gid, USTAR, canonical sorted-key JSON, members in
+within-shard hash order — keys sort lexicographically in row order,
+so sequential tar reads replay the deterministic shuffle), written
+tmp+fsync+rename per shard (the engine's atomic-sidecar discipline —
+a crash never leaves a torn shard visible). Spark has no tar
+FileFormat, so this is the one sink that runs as imperative
+per-partition logic (``mapInPandas`` over the shard-sorted exchange:
+each shard still has exactly one writer, batches stream through
+bounded memory, tars stream to disk). The writer targets a
+POSIX-visible path (local/NFS/FUSE-mounted object store);
+``read_shards``/``verify_export`` re-read the tars through Spark's
+``binaryFile`` source and return the member-level view
+(shard, key, json, text, n_members).
 """
 
 from __future__ import annotations
@@ -53,7 +72,164 @@ def _order_col(id_col: str):
     return F.expr(hash64(f"concat(cast({id_col} as string), ':order')", SPARK))
 
 
-_FORMATS = ("parquet", "jsonl")
+_FORMATS = ("parquet", "jsonl", "wds")
+
+
+def _write_wds(sharded: DataFrame, data_path: str, id_col: str) -> None:
+    """Stream the shard-sorted exchange into one deterministic tar per
+    shard. Input must be repartitioned on ``shard`` and sorted by
+    (shard, _ord, id) — every shard then arrives contiguously inside
+    exactly one partition, so one task owns each tar end to end.
+    Memory is bounded by one Arrow batch; tar bytes stream to a tmp
+    file and land via fsync + os.replace (atomic, crash-safe)."""
+    import json
+    import tarfile
+
+    fields = {f.name: f.dataType.simpleString() for f in sharded.schema.fields}
+    bin_cols = sorted(n for n, t in fields.items() if t == "binary")
+    has_text = "text" in fields and fields["text"] == "string"
+    json_cols = [
+        c for c in sharded.columns if c not in {"_ord", "shard", *bin_cols}
+    ]
+
+    def _member(tf, name: str, payload: bytes) -> None:
+        info = tarfile.TarInfo(name=name)
+        info.size = len(payload)
+        info.mtime = 0
+        info.uid = info.gid = 0
+        info.uname = info.gname = ""
+        info.mode = 0o644
+        import io
+
+        tf.addfile(info, io.BytesIO(payload))
+
+    def write_partition(it):
+        import pandas as pd
+
+        cur_shard = None
+        tf = None
+        tmp = final = None
+        n_rows = 0
+        stats: list[tuple[int, int, int]] = []
+
+        def close_current():
+            nonlocal tf, n_rows
+            if tf is None:
+                return
+            tf.close()
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, final)
+            stats.append((int(cur_shard), n_rows, os.path.getsize(final)))
+            tf = None
+            n_rows = 0
+
+        for pdf in it:
+            for row in pdf.to_dict("records"):
+                shard = int(row["shard"])
+                if shard != cur_shard:
+                    close_current()
+                    cur_shard = shard
+                    d = os.path.join(data_path, f"shard={shard}")
+                    os.makedirs(d, exist_ok=True)
+                    final = os.path.join(d, "part-000.tar")
+                    tmp = final + ".tmp"
+                    tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
+                key = f"{int(row['_ord']):015x}-{row[id_col]}"
+                meta = {}
+                for c in json_cols:
+                    v = row[c]
+                    if hasattr(v, "item"):  # numpy scalar -> python
+                        v = v.item()
+                    elif not isinstance(v, (str, int, float, bool, type(None), list, dict)):
+                        v = str(v)
+                    meta[c] = v
+                _member(
+                    tf,
+                    f"{key}.json",
+                    json.dumps(meta, sort_keys=True, separators=(",", ":")).encode(),
+                )
+                if has_text and row["text"] is not None:
+                    _member(tf, f"{key}.txt", str(row["text"]).encode())
+                for c in bin_cols:
+                    if row[c] is not None:
+                        _member(tf, f"{key}.{c}", bytes(row[c]))
+                n_rows += 1
+        close_current()
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([s for s, _, _ in stats], dtype="int32"),
+                "n_rows": pd.Series([n for _, n, _ in stats], dtype="int64"),
+                "n_bytes": pd.Series([b for _, _, b in stats], dtype="int64"),
+            }
+        )
+
+    # the collect is bounded: one row per written shard
+    sharded.mapInPandas(write_partition, "shard int, n_rows long, n_bytes long").collect()
+
+
+def _read_wds_members(spark: SparkSession, data_path: str) -> DataFrame:
+    """Member-level view of a wds export: (shard, key, json, text,
+    n_members) per sample, parsed from the tars via the binaryFile
+    source (shard pruning still works — it's a directory filter)."""
+    import json as _json
+    import tarfile
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(data_path)
+        .select("path", "content")
+    )
+
+    def parse(it):
+        import io
+        import re
+
+        import pandas as pd
+
+        for pdf in it:
+            shards, keys, jsons, texts, counts = [], [], [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard=(\d+)", str(path))
+                shard = int(m.group(1)) if m else -1
+                samples: dict[str, dict] = {}
+                order: list[str] = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for info in tf:
+                        key, _, ext = info.name.rpartition(".")
+                        if key not in samples:
+                            samples[key] = {"json": None, "text": None, "n": 0}
+                            order.append(key)
+                        samples[key]["n"] += 1
+                        if ext == "json":
+                            samples[key]["json"] = tf.extractfile(info).read().decode()
+                        elif ext == "txt":
+                            samples[key]["text"] = tf.extractfile(info).read().decode()
+                for key in order:
+                    s = samples[key]
+                    shards.append(shard)
+                    keys.append(key)
+                    jsons.append(s["json"])
+                    texts.append(s["text"])
+                    counts.append(s["n"])
+            yield pd.DataFrame(
+                {
+                    "shard": pd.Series(shards, dtype="int32"),
+                    "key": pd.Series(keys, dtype="object"),
+                    "json": pd.Series(jsons, dtype="object"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "n_members": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    return bf.mapInPandas(
+        parse, "shard int, key string, json string, text string, n_members int"
+    )
 
 
 def export_shards(
@@ -91,18 +267,24 @@ def export_shards(
     sharded = df.withColumn("shard", _shard_col(id_col, n_shards)).withColumn(
         "_ord", _order_col(id_col)
     )
-    writer = (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "_ord", id_col)
-        .drop("_ord")
-        .write.mode("overwrite")
-        .partitionBy("shard")
+    exchange = sharded.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "_ord", id_col
     )
     data_path = os.path.join(path, DATA_DIR)
-    if fmt == "jsonl":
-        writer.json(data_path)
+    if fmt == "wds":
+        import shutil
+
+        # overwrite semantics match the Spark writers': clear, rewrite
+        if os.path.exists(data_path):
+            shutil.rmtree(data_path)
+        os.makedirs(data_path, exist_ok=True)
+        _write_wds(exchange, data_path, id_col)
     else:
-        writer.parquet(data_path)
+        writer = exchange.drop("_ord").write.mode("overwrite").partitionBy("shard")
+        if fmt == "jsonl":
+            writer.json(data_path)
+        else:
+            writer.parquet(data_path)
     spark = df.sparkSession
     manifest = _aggregate_manifest(_read_data(spark, path, fmt), weight_col, fmt)
     manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -115,6 +297,8 @@ def _read_data(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     data_path = os.path.join(path, DATA_DIR)
     if fmt == "jsonl":
         return spark.read.json(data_path)
+    if fmt == "wds":
+        return _read_wds_members(spark, data_path)
     return spark.read.parquet(data_path)
 
 
@@ -129,7 +313,13 @@ def _aggregate_manifest(
 ) -> DataFrame:
     aggs = [F.count("*").alias("n_rows")]
     if weight_col is not None:
-        aggs.append(F.sum(weight_col).cast("long").alias("weight"))
+        if fmt == "wds":
+            # the member view carries metadata as canonical JSON; pull
+            # the recorded weight column back out of it
+            w = F.get_json_object("json", f"$.{weight_col}").cast("double")
+            aggs.append(F.sum(w).cast("long").alias("weight"))
+        else:
+            aggs.append(F.sum(weight_col).cast("long").alias("weight"))
     out = data.groupBy("shard").agg(*aggs).withColumn("format", F.lit(fmt))
     if weight_col is not None:
         # record WHICH column the weight summed, so verify_export can
@@ -164,7 +354,7 @@ def verify_export(spark: SparkSession, path: str) -> None:
         weight_src = manifest.select("weight_src").first()[0]
     fmt = _manifest_format(manifest)
     data = _read_data(spark, path, fmt)
-    if weight_src is not None and weight_src not in data.columns:
+    if weight_src is not None and fmt != "wds" and weight_src not in data.columns:
         raise ValueError(
             f"manifest records weight column {weight_src!r} not present in the data"
         )

@@ -150,3 +150,93 @@ def test_export_rejects_unknown_format(spark, tmp_path):
     docs = load_table(spark, "documents", SF_DIR)
     with pytest.raises(ValueError, match="fmt"):
         export_shards(docs, str(tmp_path / "x"), n_shards=2, fmt="csv")
+
+
+# ------------------------------------------------------------------ wds (tar)
+
+
+def test_wds_export_roundtrip_and_verify(spark, docs, out_dir):
+    mani = export_shards(docs, out_dir, n_shards=N_SHARDS, fmt="wds",
+                         weight_col="n_chars")
+    rows = {r.shard: (r.n_rows, r.weight) for r in mani.collect()}
+    assert sum(n for n, _ in rows.values()) == docs.count()
+    assert sum(w for _, w in rows.values()) == docs.agg(F.sum("n_chars")).first()[0]
+    # member view: every sample has json + txt members, text round-trips
+    back = read_shards(spark, out_dir)
+    assert back.count() == docs.count()
+    assert back.filter("json IS NULL OR text IS NULL").count() == 0
+    assert back.filter("n_members != 2").count() == 0
+    one = back.orderBy("key").first()
+    import json as _json
+
+    meta = _json.loads(one.json)
+    src = docs.filter(F.col("doc_id") == meta["doc_id"]).first()
+    assert one.text == src.text and meta["lang"] == src.lang
+    verify_export(spark, out_dir)
+
+
+def test_wds_tar_bytes_layout_independent(spark, docs, out_dir):
+    a_dir, b_dir = out_dir + "_a", out_dir + "_b"
+    export_shards(docs, a_dir, n_shards=N_SHARDS, fmt="wds")
+    export_shards(docs.repartition(13), b_dir, n_shards=N_SHARDS, fmt="wds")
+    for d in sorted(glob.glob(os.path.join(a_dir, "data", "shard=*"))):
+        shard = os.path.basename(d)
+        fa = os.path.join(d, "part-000.tar")
+        fb = os.path.join(b_dir, "data", shard, "part-000.tar")
+        with open(fa, "rb") as f1, open(fb, "rb") as f2:
+            assert f1.read() == f2.read(), f"{shard} tar bytes differ across layouts"
+
+
+def test_wds_members_ordered_and_grouped(spark, docs, out_dir):
+    """WebDataset contract: a sample's members are adjacent (json, txt
+    in order) and keys ascend lexicographically — sequential tar reads
+    replay the deterministic within-shard shuffle."""
+    import tarfile
+
+    export_shards(docs, out_dir, n_shards=2, fmt="wds")
+    for d in glob.glob(os.path.join(out_dir, "data", "shard=*")):
+        with tarfile.open(os.path.join(d, "part-000.tar")) as tf:
+            names = tf.getnames()
+            info = tf.getmember(names[0])
+        assert names, d
+        keys = [n.rpartition(".")[0] for n in names]
+        exts = [n.rpartition(".")[2] for n in names]
+        # pairs: (k.json, k.txt), keys non-decreasing across samples
+        assert exts == ["json", "txt"] * (len(names) // 2)
+        assert keys[0::2] == keys[1::2]
+        assert keys[0::2] == sorted(set(keys))
+        assert info.mtime == 0 and info.uid == 0 and info.uname == ""
+
+
+def test_wds_binary_column_member(spark, out_dir):
+    rows = [(1, "hello", bytearray(b"\x00\x01\xffpayload")), (2, "world", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blob binary")
+    export_shards(df, out_dir, n_shards=1, fmt="wds")
+    import tarfile
+
+    with tarfile.open(os.path.join(out_dir, "data", "shard=0", "part-000.tar")) as tf:
+        blobs = {n: tf.extractfile(n).read() for n in tf.getnames() if n.endswith(".blob")}
+        jsons = [n for n in tf.getnames() if n.endswith(".json")]
+    assert len(jsons) == 2
+    assert list(blobs.values()) == [b"\x00\x01\xffpayload"]  # None -> no member
+    # binary excluded from the json metadata
+    import json as _json
+
+    with tarfile.open(os.path.join(out_dir, "data", "shard=0", "part-000.tar")) as tf:
+        for n in jsons:
+            assert "blob" not in _json.loads(tf.extractfile(n).read())
+    # member view counts members per sample correctly
+    back = read_shards(spark, out_dir).orderBy("key").collect()
+    assert [r.n_members for r in back] in ([3, 2], [2, 3])
+
+
+def test_wds_verify_detects_truncated_tar(spark, docs, out_dir):
+    export_shards(docs, out_dir, n_shards=N_SHARDS, fmt="wds", weight_col="n_chars")
+    victim = glob.glob(os.path.join(out_dir, "data", "shard=*", "*.tar"))[0]
+    size = os.path.getsize(victim)
+    with open(victim, "rb") as f:
+        head = f.read(max(size // 2, 1536))
+    with open(victim, "wb") as f:
+        f.write(head)  # torn shard: half the members gone
+    with pytest.raises(Exception):
+        verify_export(spark, out_dir)
