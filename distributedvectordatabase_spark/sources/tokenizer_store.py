@@ -85,6 +85,10 @@ class TokenizerStore:
         return os.path.join(self.path, "merges")
 
     @property
+    def _pieces_path(self) -> str:
+        return os.path.join(self.path, "pieces")
+
+    @property
     def _config_path(self) -> str:
         return os.path.join(self.path, "_config.json")
 
@@ -295,6 +299,12 @@ class TokenizerStore:
             shutil.copytree(
                 self._merges_path, os.path.join(tmp, "merges")
             )
+        if os.path.exists(self._pieces_path):
+            # the unigram artifact versions ride through compaction
+            # exactly like the merge versions
+            shutil.copytree(
+                self._pieces_path, os.path.join(tmp, "pieces")
+            )
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
@@ -326,6 +336,95 @@ class TokenizerStore:
             os.path.join(self._merges_path, f"gen={gen}")
         )
         return merges
+
+    @locked_writer
+    def retrain_unigram(self, spark: SparkSession, **train_kw) -> dict[str, float]:
+        """Train the unigram-LM artifact (operators/unigram.py) over
+        the SAME live word statistics the BPE loop trains from, and
+        persist it as a versioned piece table (``pieces/gen=<g>/`` —
+        the merges-table contract exactly: stamped with the config
+        gen, overwrite-idempotent at the same gen, time-travelable via
+        ``as_of_gen``). Both tokenizer families are pure functions of
+        the (word, freq) statistics, so every lifecycle operation
+        (append / delete / compact / streaming ingest) serves both —
+        one registered corpus, two trained artifacts. ``train_kw``
+        forwards to :func:`unigram_train` (vocab_size, seed_size, …)
+        and the values used are recorded in the config for
+        reproducibility."""
+        from distributedvectordatabase_spark.operators.unigram import unigram_train
+
+        gen = int(self._config().get("gen", 0))
+        vocab, _report = unigram_train(None, wv=self.vocab(spark), **train_kw)
+        rows = sorted(vocab.items())
+        df = spark.createDataFrame(rows or [], "piece string, logp double")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._pieces_path, f"gen={gen}")
+        )
+        cfg = self._config()
+        cfg["unigram"] = {
+            k: v for k, v in train_kw.items() if isinstance(v, (int, float, str))
+        }
+        self._write_config(cfg)
+        return vocab
+
+    def unigram_versions(self, spark: SparkSession) -> list[int]:
+        """Gens with a trained unigram version, ascending."""
+        if not os.path.exists(self._pieces_path):
+            return []
+        return sorted(
+            r.gen
+            for r in spark.read.parquet(self._pieces_path)
+            .select("gen").distinct().collect()
+        )
+
+    def unigram_vocab(
+        self, spark: SparkSession, as_of_gen: int | None = None
+    ) -> dict[str, float]:
+        """The persisted piece → log-prob table (latest version, or the
+        newest at gen <= ``as_of_gen`` — the merges() pinning rule)."""
+        vs = self.unigram_versions(spark)
+        if not vs:
+            raise ValueError(
+                f"tokenizer store at {self.path!r} has no trained unigram "
+                "version — run retrain_unigram(spark) first"
+            )
+        if as_of_gen is not None:
+            vs = [g for g in vs if g <= int(as_of_gen)]
+            if not vs:
+                raise ValueError(
+                    f"no unigram version at or before generation {as_of_gen}"
+                )
+        pick = vs[-1]
+        return {
+            r.piece: float(r.logp)
+            for r in spark.read.parquet(self._pieces_path)
+            .filter(F.col("gen") == pick)
+            .collect()
+        }
+
+    def apply_unigram(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "uni_tokens",
+        as_of_gen: int | None = None,
+        **kw,
+    ) -> DataFrame:
+        """Tokenize ``docs`` under the persisted unigram pieces —
+        row-identical to ``unigram_apply(docs, store.unigram_vocab())``
+        (parquet float64 round-trips log-probs exactly, so the Viterbi
+        decisions cannot differ; pinned in tests)."""
+        from distributedvectordatabase_spark.operators.unigram import unigram_apply
+
+        return unigram_apply(
+            docs,
+            self.unigram_vocab(docs.sparkSession, as_of_gen=as_of_gen),
+            text_col=text_col,
+            id_col=id_col,
+            out_col=out_col,
+            **kw,
+        )
 
     # -- use --------------------------------------------------------------
 

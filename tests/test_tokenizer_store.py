@@ -196,3 +196,85 @@ def test_merges_before_first_retrain_raises_clearly(spark, tmp_path):
         store.apply(docs).collect()
     store.retrain(spark)
     assert store.merges(spark) == bpe_train(docs, n_merges=4)
+
+
+# ----------------------------------------------------------- unigram artifact
+
+
+UNI_KW = dict(vocab_size=48, seed_size=200, em_iters=2, max_piece_len=6)
+
+
+def test_unigram_persists_and_apply_from_disk_equals_memory(spark, tmp_path):
+    from distributedvectordatabase_spark.operators.unigram import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    docs = _docs(spark).limit(120)
+    store = TokenizerStore(str(tmp_path / "uni"), n_merges=5)
+    store.train(docs)  # registers counts + BPE artifact
+    vocab = store.retrain_unigram(spark, **UNI_KW)
+
+    fresh, _ = unigram_train(docs, **UNI_KW)
+    assert vocab == fresh  # pure function of the word statistics
+
+    reopened = TokenizerStore(str(tmp_path / "uni"))
+    assert reopened.unigram_vocab(spark) == vocab  # float64 exact round-trip
+    from_disk = {
+        r.doc_id: list(r.uni_tokens)
+        for r in reopened.apply_unigram(docs, max_piece_len=6).collect()
+    }
+    in_memory = {
+        r.doc_id: list(r.uni_tokens)
+        for r in unigram_apply(docs, vocab, max_piece_len=6).collect()
+    }
+    assert from_disk == in_memory and len(from_disk) == 120
+    # both artifacts coexist on one registered corpus
+    assert reopened.merges(spark) and reopened.unigram_versions(spark)
+
+
+def test_unigram_append_equals_fresh_train_over_union(spark, tmp_path):
+    from distributedvectordatabase_spark.operators.unigram import unigram_train
+
+    docs = _docs(spark).limit(200)
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    store = TokenizerStore(str(tmp_path / "uinc"), n_merges=5)
+    store.train(lo)
+    store.append(hi, retrain=False)
+    got = store.retrain_unigram(spark, **UNI_KW)
+
+    want, _ = unigram_train(docs, **UNI_KW)
+    assert got == want
+
+
+def test_unigram_versions_time_travelable_and_survive_compact(spark, tmp_path):
+    docs = _docs(spark).limit(150)
+    lo = docs.filter(F.col("doc_id") % 3 != 0)
+    store = TokenizerStore(str(tmp_path / "uv"), n_merges=5)
+    store.train(lo)
+    v1 = store.retrain_unigram(spark, **UNI_KW)
+    g1 = store.current_gen()
+
+    store.append(docs.filter(F.col("doc_id") % 3 == 0), retrain=False)
+    v2 = store.retrain_unigram(spark, **UNI_KW)
+    assert v2 != v1
+    assert store.unigram_vocab(spark) == v2
+    assert store.unigram_vocab(spark, as_of_gen=g1) == v1
+
+    store.compact(spark)
+    assert store.unigram_vocab(spark, as_of_gen=g1) == v1  # history survives
+    assert store.unigram_vocab(spark) == v2
+
+
+def test_unigram_before_first_retrain_raises_clearly(spark, tmp_path):
+    import pytest
+
+    store = TokenizerStore(str(tmp_path / "unone"), n_merges=5)
+    store.train(_docs(spark).limit(50))
+    with pytest.raises(ValueError, match="no trained unigram version"):
+        store.unigram_vocab(spark)
+    with pytest.raises(ValueError, match="at or before generation"):
+        store.retrain_unigram(spark, **UNI_KW)
+        store.unigram_vocab(spark, as_of_gen=-1)
