@@ -97,7 +97,14 @@ def test_gopher_repetition_drops_planted_spam(spark):
     try:
         out = {r["doc_id"]: r.asDict() for r in spark.sql(_q_doc_gopher_repetition(SPARK)).collect()}
     finally:
+        # the planted view shadowed the registered testdata view AND
+        # register_views' per-session memo still thinks the real views
+        # exist — drop the plant and invalidate the memo so later
+        # tests re-register
+        from distributedvectordatabase_spark.sources import tables as _tables
+
         spark.catalog.dropTempView("documents")
+        _tables._REGISTERED.pop(spark, None)
     assert out[1]["keep"] == 0
     assert out[1]["top2_frac"] > 0.9  # "buy now"/"now buy" dominate coverage
     assert out[1]["dup5_frac"] == 1.0  # every 5-gram occurs ≥ 2 times
