@@ -73,7 +73,7 @@ def fit_logratios(
         .agg(F.sum("k").cast("bigint").alias("tc"))
     )
     # two O(1) scalar totals (bounded collects)
-    rtot = raw.agg(F.sum("rc")).collect()[0][0] + buckets
+    rtot = (raw.agg(F.sum("rc")).collect()[0][0] or 0) + buckets
     ttot = (tgt.agg(F.sum("tc")).collect()[0][0] or 0) + buckets
     lam_u = (
         f"cast(floor(ln(cast((coalesce(tc, 0) + 1) * {rtot} as double)"
