@@ -441,6 +441,45 @@ def main() -> None:
         text_stats["minhash_pairs"] = mh.count()
         text_stats["n_docs"] = n_docs
 
+        # DSIR importance weighting at scale: the λ table stays 512
+        # rows however large the corpus — scoring must be one corpus
+        # pass + a broadcast join, so the time should track the
+        # tokenize cost, not the join
+        from distributedvectordatabase_spark.operators.dsir import (
+            dsir_select,
+            dsir_weights,
+        )
+
+        target_ids = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        dw = dsir_weights(docs, target_ids)
+        timings["dsir_weights"] = timed_min(lambda: dw.count())
+        timings["dsir_select_top1k"] = timed_min(
+            lambda: dsir_select(dw, 1000).count()
+        )
+
+        # unigram-LM EM at scale: distinct words bound the lattice work
+        # (the synthetic corpus holds ~5k distinct words whatever
+        # n_docs is), so one EM pass should be flat in corpus size
+        # once the single word-count pass is paid
+        from distributedvectordatabase_spark.operators.bpe import word_vocab
+        from distributedvectordatabase_spark.operators.unigram import (
+            _em_step,
+            _seed_pieces,
+        )
+
+        wv = word_vocab(docs).localCheckpoint(eager=True)
+        text_stats["unigram_distinct_words"] = wv.count()
+        t0 = time.perf_counter()
+        seeds = _seed_pieces(wv, seed_size=2000, max_piece_len=6)
+        timings["unigram_seed"] = round(time.perf_counter() - t0, 3)
+        import math as _math
+
+        stot = sum(s for _, s in seeds)
+        uv = {p: _math.log(s) - _math.log(stot) for p, s in seeds if s > 0}
+        t0 = time.perf_counter()
+        _em_step(wv, uv, max_piece_len=6)
+        timings["unigram_em_pass"] = round(time.perf_counter() - t0, 3)
+
         # BM25 over the synthetic corpus: one rare-ish term + two
         # common ones from the w{0..vocab} vocabulary — measures the
         # vocabulary-pruned explode + tf/df aggregation at scale
