@@ -112,6 +112,8 @@ EXTRA = [
     "doc_gopher_repetition",
     # r9: DSIR importance weights (overflow gate, operators/dsir.py)
     "doc_dsir_weights",
+    # r9: exact repeated-substring detection (overflow gate)
+    "doc_substring_dedup",
 ]
 
 

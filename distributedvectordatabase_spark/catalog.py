@@ -441,6 +441,101 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_substring_dedup(d: str) -> str:
+    """Exact repeated-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    fingerprint variant of their suffix-array pass): every {K}-word
+    window that occurs ≥ 2 times ANYWHERE in the corpus marks its span;
+    overlapping marks merge into maximal spans per document
+    (gaps-and-islands over start positions), and the gate reports the
+    per-doc duplicated-token mass the trim pass would remove. This is
+    corpus-global repetition — MinHash/SimHash find near-duplicate
+    DOCUMENTS, the Gopher gate finds within-doc repetition; repeated
+    boilerplate SPANS across documents (headers, licence blocks,
+    navigation chrome) are exactly what neither catches.
+
+    All arithmetic is integer (positions, window counts, span
+    lengths); the only double is the final int/int fraction. Scale
+    shape: one posexplode of K-shingles (corpus × ~len rows, the scan
+    pass), repeated-window detection is a map-side-combinable count
+    keyed by shingle, the span merge windows over each doc's own marks
+    only — shuffle keys are (shingle) then (doc_id), nothing joins the
+    corpus against itself row-by-row."""
+    K = 8
+    toks = T.tokens("text", d)
+    if d == SPARK:
+        ex = (
+            "SELECT doc_id, pos, s FROM st "
+            "LATERAL VIEW posexplode(shk) e AS pos, s"
+        )
+    else:
+        # DuckDB: unnest WITH ORDINALITY via generate_subscripts idiom
+        ex = (
+            "SELECT doc_id, unnest(range(len(shk))) AS pos, "
+            "unnest(shk) AS s FROM st"
+        )
+    prev_end = (
+        f"max(pos + {K} - 1) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    dup_frac = (
+        "(cast(floor((CASE WHEN n_words = 0 THEN 0.0 "
+        "ELSE cast(coalesce(dup_tokens, 0) as double) / n_words END) "
+        "* cast(1000000 as double) + cast(0.5 as double)) as bigint) "
+        "/ cast(1000000 as double))"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, {_asize(d)}(toks) AS n_words,
+             {T.word_shingles('toks', K, d)} AS shk
+      FROM base
+    ),
+    sh AS ({ex}),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+    marks AS (
+      SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON dup.s = sh.s
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN {prev_end} IS NULL OR pos > {prev_end} + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marks
+    ),
+    grouped AS (
+      SELECT doc_id, pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             min(pos) AS s_start, max(pos) + {K} - 1 AS s_end
+      FROM grouped GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             cast(count(*) as bigint) AS n_spans,
+             cast(sum(s_end - s_start + 1) as bigint) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    mark_counts AS (
+      SELECT doc_id, cast(count(*) as bigint) AS n_dup_windows
+      FROM marks GROUP BY doc_id
+    )
+    SELECT st.doc_id,
+           cast(st.n_words as bigint) AS n_words,
+           cast(coalesce(m.n_dup_windows, 0) as bigint) AS n_dup_windows,
+           cast(coalesce(p.n_spans, 0) as bigint) AS n_spans,
+           cast(coalesce(p.dup_tokens, 0) as bigint) AS dup_tokens,
+           {dup_frac} AS dup_frac,
+           CASE WHEN coalesce(p.dup_tokens, 0) = 0 THEN 1 ELSE 0 END AS clean
+    FROM st
+    LEFT JOIN per_doc p ON p.doc_id = st.doc_id
+    LEFT JOIN mark_counts m ON m.doc_id = st.doc_id
+    """
+
+
 def _q_doc_dsir_weights(d: str) -> str:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -3679,5 +3774,10 @@ def build_catalog() -> dict[str, Query]:
         # the DataFrame scale path lives in operators/dsir.py and is
         # pinned bit-identical to this gate in tests/test_dsir.py.
         _sql_query("doc_dsir_weights", _q_doc_dsir_weights),
+        # r9 new surface: exact repeated-substring detection (the Lee
+        # et al. 2021 trim pass, fingerprint variant) — corpus-global
+        # K-gram marks merged to maximal per-doc spans; the boilerplate
+        # class MinHash (whole docs) and Gopher (within-doc) both miss.
+        _sql_query("doc_substring_dedup", _q_doc_substring_dedup),
     ]
     return {q.name: q for q in qs}

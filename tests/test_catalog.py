@@ -114,3 +114,48 @@ def test_gopher_repetition_drops_planted_spam(spark):
     # half: dup-5-gram rule fires even though no single 2-gram covers 20%
     assert out[3]["dup5_frac"] == 1.0 and out[3]["keep"] == 0
     assert out[3]["top2_chars"] * 5 <= out[3]["total_chars"]
+
+
+def test_substring_dedup_finds_planted_boilerplate(spark):
+    """Behavioral pin for doc_substring_dedup: an identical 12-word
+    boilerplate header shared by two docs must merge into ONE maximal
+    span of exactly 12 tokens in each; a fully unique doc is clean; a
+    doc repeating its own 8-gram is caught by the corpus-global count."""
+    from distributedvectordatabase_spark.catalog import SPARK, _q_doc_substring_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12-word header
+    tail_a = " ".join(f"a{i}" for i in range(20))
+    tail_b = " ".join(f"c{i}" for i in range(20))
+    selfrep = " ".join(f"s{i}" for i in range(8))  # one 8-gram...
+    rows = [
+        (1, f"{boiler} {tail_a}"),
+        (2, f"{boiler} {tail_b}"),
+        (3, " ".join(f"u{i}" for i in range(30))),
+        (4, f"{selfrep} {' '.join(f'x{i}' for i in range(9))} {selfrep}"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql(_q_doc_substring_dedup(SPARK)).collect()
+        }
+    finally:
+        from distributedvectordatabase_spark.sources import tables as _tables
+
+        spark.catalog.dropTempView("documents")
+        _tables._REGISTERED.pop(spark, None)
+    # 12-word shared header -> 5 dup 8-gram windows, one merged span
+    # covering exactly the 12 boilerplate tokens
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] == 5
+        assert out[d]["n_spans"] == 1
+        assert out[d]["dup_tokens"] == 12
+        assert out[d]["clean"] == 0
+    assert out[3]["clean"] == 1 and out[3]["dup_tokens"] == 0
+    # self-repeat: both occurrences of the 8-gram marked (2 windows,
+    # 2 disjoint spans of 8)
+    assert out[4]["n_dup_windows"] == 2
+    assert out[4]["n_spans"] == 2
+    assert out[4]["dup_tokens"] == 16
