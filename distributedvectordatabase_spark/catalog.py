@@ -560,7 +560,10 @@ def _q_doc_dsir_weights(d: str) -> str:
     the λ table is {B} rows — broadcast-sized at any corpus scale (the
     DataFrame form in operators/dsir.py broadcasts it); only the gate's
     final rank is a global window over one skinny row per doc, and the
-    production path (dsir_select) replaces it with a top-k."""
+    production path (dsir_select) replaces it with a top-k. The final
+    BROADCAST(docs) hint is likewise gate-only decoration (the lang
+    join-back for a driver-sized result); the production path returns
+    weights keyed by doc_id with no corpus join at all."""
     B = 512
     toks = T.tokens("text", d)
     sh2 = T.word_shingles("toks", 2, d)
@@ -595,12 +598,15 @@ def _q_doc_dsir_weights(d: str) -> str:
     tot_r AS (SELECT cast(sum(rc) as bigint) + {B} AS rtot FROM raw),
     tot_t AS (SELECT cast(coalesce(sum(tc), 0) as bigint) + {B} AS ttot FROM tgt),
     lam AS (
-      SELECT raw.bkt, {lam_u} AS lam_u
+      -- hint is a comment to DuckDB; in Spark it pins the ≤{B}-row
+      -- derived sides to broadcast (aggregates carry no size stats,
+      -- so the planner would otherwise sort-merge a 512-row join)
+      SELECT /*+ BROADCAST(tgt) */ raw.bkt, {lam_u} AS lam_u
       FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt
       CROSS JOIN tot_r CROSS JOIN tot_t
     ),
     scored AS (
-      SELECT dt.doc_id,
+      SELECT /*+ BROADCAST(lam) */ dt.doc_id,
              cast(sum(dt.k) as bigint) AS n_feats,
              cast(sum(dt.k * lam.lam_u) as bigint) AS weight_micro
       FROM dt JOIN lam ON lam.bkt = dt.bkt
@@ -612,7 +618,7 @@ def _q_doc_dsir_weights(d: str) -> str:
       FROM scored
     ),
     n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
-    SELECT r.doc_id, docs.lang, r.n_feats, r.weight_micro,
+    SELECT /*+ BROADCAST(docs) */ r.doc_id, docs.lang, r.n_feats, r.weight_micro,
            (cast(r.weight_micro as double) / cast(1000000 as double)) AS weight,
            cast(r.rnk as bigint) AS rnk,
            CASE WHEN r.rnk * 5 <= n.n_docs THEN 1 ELSE 0 END AS selected

@@ -75,7 +75,12 @@ def ranking_metrics(
 
     topk = results.filter(F.col(r) <= k).select(q, d, r)
     hitcol = F.col(rel).isNotNull().cast("int")
-    joined = topk.join(rel_rows, on=[q, d], how="left").withColumn("hit", hitcol)
+    # qrels are eval-set-sized by nature (human/synthetic judgments,
+    # never corpus-sized) — broadcast them; the derived frame has no
+    # stats, so without the hint Spark falls back to a sort-merge join
+    joined = topk.join(F.broadcast(rel_rows), on=[q, d], how="left").withColumn(
+        "hit", hitcol
+    )
     w_rank = Window.partitionBy(q).orderBy(r)
     joined = joined.withColumn("cum_hits", F.sum("hit").over(w_rank))
 
@@ -98,9 +103,11 @@ def ranking_metrics(
         ).alias("ap_num"),
     )
 
+    # all three sides are one-row-per-judged-query aggregates —
+    # broadcast the probe sides (same missing-stats reason as above)
     return (
-        totals.join(ideal, on=q)
-        .join(per, on=q, how="left")
+        totals.join(F.broadcast(ideal), on=q)
+        .join(F.broadcast(per), on=q, how="left")
         .select(
             F.col(q),
             F.col("n_rel"),

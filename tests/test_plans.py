@@ -206,7 +206,15 @@ def test_no_catalog_query_plans_a_cartesian_or_shuffled_join(spark):
     a one-row aggregate (bm25's corpus-stats crossJoin)."""
     from distributedvectordatabase_spark.catalog import build_catalog
 
-    allowed_bnlj = {"doc_bm25_topk", "hybrid_rrf_topk"}
+    allowed_bnlj = {
+        "doc_bm25_topk",
+        "hybrid_rrf_topk",
+        # one-row aggregate crossJoins, the legitimate BNLJ shape:
+        # events_zorder_key broadcasts its min-max stats row,
+        # doc_dsir_weights its three scalar totals (rtot/ttot/n_docs)
+        "events_zorder_key",
+        "doc_dsir_weights",
+    }
     offenders = {}
     for name, q in build_catalog().items():
         plan = q.run(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
