@@ -62,28 +62,41 @@ def fit_logratios(
     counts: DataFrame, target_ids: DataFrame, buckets: int = BUCKETS
 ) -> DataFrame:
     """λ table (bkt, lam_u): micro-quantized add-one-smoothed
-    ln(p_target/p_raw) per bucket, from one pass over the bucket counts.
-    ``target_ids`` is a (doc_id) frame naming the target slice; the
-    semi-join keeps the raw counts frame as the single corpus-derived
-    input. Returns ≤ ``buckets`` rows — broadcast it into scoring."""
-    raw = counts.groupBy("bkt").agg(F.sum("k").cast("bigint").alias("rc"))
-    tgt = (
-        counts.join(target_ids.select("doc_id"), "doc_id", "semi")
-        .groupBy("bkt")
-        .agg(F.sum("k").cast("bigint").alias("tc"))
+    ln(p_target/p_raw) per bucket. ONE aggregation job computes raw and
+    target counts per bucket together (the target membership flag is a
+    broadcast join — target corpora are small by construction), the
+    ≤ ``buckets``-row result is collected once for the two scalar
+    totals, and λ evaluates over those same rows as a local frame —
+    with ``ln`` still computed BY SPARK on exact integer products, so
+    the result is bit-identical to the SQL gate's per-engine log
+    (driver-side math.log could round differently than the JVM's).
+    Returns ≤ ``buckets`` rows — broadcast it into scoring."""
+    flagged = counts.join(
+        F.broadcast(target_ids.select("doc_id").withColumn("_tgt", F.lit(1))),
+        "doc_id",
+        "left",
     )
-    # two O(1) scalar totals (bounded collects)
-    rtot = (raw.agg(F.sum("rc")).collect()[0][0] or 0) + buckets
-    ttot = (tgt.agg(F.sum("tc")).collect()[0][0] or 0) + buckets
+    per_bkt = (
+        flagged.groupBy("bkt")
+        .agg(
+            F.sum("k").cast("bigint").alias("rc"),
+            F.coalesce(
+                F.sum(F.when(F.col("_tgt") == 1, F.col("k"))), F.lit(0)
+            ).cast("bigint").alias("tc"),
+        )
+        .collect()  # bounded: one row per bucket
+    )
+    rtot = sum(r.rc for r in per_bkt) + buckets
+    ttot = sum(r.tc for r in per_bkt) + buckets
     lam_u = (
-        f"cast(floor(ln(cast((coalesce(tc, 0) + 1) * {rtot} as double)"
+        f"cast(floor(ln(cast((tc + 1) * {rtot} as double)"
         f" / cast((rc + 1) * {ttot} as double))"
         " * cast(1000000 as double) + cast(0.5 as double)) as bigint)"
     )
-    return (
-        raw.join(tgt, "bkt", "left")
-        .select("bkt", F.expr(lam_u).alias("lam_u"))
-    )
+    spark = counts.sparkSession
+    rows = [(int(r.bkt), int(r.rc), int(r.tc)) for r in per_bkt]
+    local = spark.createDataFrame(rows or [], "bkt bigint, rc bigint, tc bigint")
+    return local.select("bkt", F.expr(lam_u).alias("lam_u"))
 
 
 def importance_weights(counts: DataFrame, lam: DataFrame) -> DataFrame:
