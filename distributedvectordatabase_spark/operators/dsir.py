@@ -47,15 +47,22 @@ def hashed_feature_counts(
     buckets: int = BUCKETS,
 ) -> DataFrame:
     """Per-(doc, bucket) feature counts: unigrams + word bigrams hashed
-    into ``buckets``. One corpus pass; output ≤ buckets rows per doc."""
+    into ``buckets``. One corpus pass; output ≤ buckets rows per doc.
+
+    The bucket hash is applied PER OCCURRENCE, before any aggregation,
+    so the only groupBy key is (doc_id:long, bkt:long) — a fixed-width
+    Tungsten-friendly pair whose partial-aggregate state is bounded by
+    docs × buckets however large the vocabulary or corpus. Grouping by
+    the term string first (the SQL gate's shape, fine at gate scale)
+    holds a string-keyed hash map over every distinct (doc, term) pair
+    — measured as the heap ceiling at the 1M-doc probe. Extra md5
+    calls per occurrence are scan-rate work, the same cost class as
+    the MinHash/decontam shingle hashing."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.expr(tokens(text_col, SPARK)).alias("toks"))
     uni = base.select("doc_id", F.explode("toks").alias("s"))
     big = base.select("doc_id", F.explode(F.expr(word_shingles("toks", 2, SPARK))).alias("s"))
-    term = uni.unionAll(big).groupBy("doc_id", "s").agg(F.count("*").alias("c"))
-    return (
-        term.groupBy("doc_id", F.expr(_bucket_expr(buckets)).alias("bkt"))
-        .agg(F.sum("c").cast("bigint").alias("k"))
-    )
+    occ = uni.unionAll(big).select("doc_id", F.expr(_bucket_expr(buckets)).alias("bkt"))
+    return occ.groupBy("doc_id", "bkt").agg(F.count("*").cast("bigint").alias("k"))
 
 
 def fit_logratios(
