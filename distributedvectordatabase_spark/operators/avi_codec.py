@@ -151,7 +151,9 @@ def _walk(data: bytes, pos: int, end: int, frames: list, meta: dict) -> None:
         body_end = min(body_start + size, end)
         if ckid == b"LIST" and size >= 4:
             _walk(data, body_start + 4, body_end, frames, meta)
-        elif ckid[2:4] in _FRAME_SUFFIXES and ckid[:2].isdigit():
+        elif ckid[2:4] in _FRAME_SUFFIXES and all(
+            c in b"0123456789ABCDEFabcdef" for c in ckid[:2]
+        ):  # stream number: two (hex) digits — '0A' appears past 9 streams
             frames.append(data[body_start:body_end])
         elif ckid == b"avih" and size >= 56:
             vals = struct.unpack_from("<14I", data, body_start)

@@ -160,3 +160,14 @@ def test_video_frame_stats_matches_numpy(spark, video_media):
     # JPEG is lossy but close: decoded brightness tracks the source frames
     for i, f in enumerate(frames):
         assert abs(out.brightness.iloc[i] - f.mean() / 255.0) < 0.02
+
+
+def test_hex_stream_ids_accepted():
+    """Stream numbers past 9 use hex digits in the chunk id ('0Adc');
+    the walker must accept them like decimal ids."""
+    frames = _gradient_frames(n=2, h=16, w=16)
+    data = encode_avi_mjpeg(frames).replace(b"00dc", b"0Adc")
+    assert len(avi_frames(data)) >= 2
+    # but a non-stream 4CC ending in 'dc' must NOT be mistaken for one
+    data2 = encode_avi_mjpeg(frames).replace(b"00dc", b"xxdc")
+    assert len(avi_frames(data2)) == 0
