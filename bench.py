@@ -101,18 +101,18 @@ EXTRA = [
     "source_regex_stats",
     # r8: filtered hybrid serving (overflow gate)
     "hybrid_filtered_topk",
-    # r9: retrieval-quality eval over the exact-kNN ranker (overflow
-    # gate, operators/evaluate.py)
+    # r9: retrieval-quality eval over the exact-kNN ranker
+    # (operators/evaluate.py; in-window since the r10 rotation)
     "retrieval_eval_metrics",
-    # r9: Morton layout key (overflow gate, operators/zorder.py)
+    # r9: Morton layout key (operators/zorder.py; in-window since r10)
     "events_zorder_key",
-    # r9: snapshot drift monitor (overflow gate, operators/drift.py)
+    # r9: snapshot drift monitor (operators/drift.py; in-window since r10)
     "embedding_drift",
-    # r9: Gopher n-gram repetition filter (overflow gate)
+    # r9: Gopher n-gram repetition filter (in-window since r10)
     "doc_gopher_repetition",
-    # r9: DSIR importance weights (overflow gate, operators/dsir.py)
+    # r9: DSIR importance weights (operators/dsir.py; in-window since r10)
     "doc_dsir_weights",
-    # r9: exact repeated-substring detection (overflow gate)
+    # r9: exact repeated-substring detection (in-window since r10)
     "doc_substring_dedup",
 ]
 

@@ -3657,25 +3657,20 @@ def build_catalog() -> dict[str, Query]:
         # has been externally verified in at least one round.
         _sql_query("tpch_q5_nation_revenue", _q_tpch_q5),
         _sql_query("tpch_q17_small_qty", _q_tpch_q17_small_qty),
-        # r7 rotation (VERDICT r6 #1): bpe_pair_stats — the only
-        # oracle-able declared query never externally hash-checked —
-        # takes the events_value_histogram slot (hash-green in r6,
-        # single-mechanism fixed-width binning, strict-checked locally
-        # after demotion).
-        _sql_query("bpe_pair_stats", _q_bpe_pair_stats),
-        # r8 rotation (VERDICT r7 #4): external verification stays fresh
-        # on a ROLLING basis — the four relational gates demoted in the
-        # first r6 rotation (hash-green r2-r5, but 3 rounds externally
-        # unchecked by r8) come back in; four long-stable gates
-        # (customer_set_ops in-window green through r7;
-        # doc_packs/mix_weighted_sources/strat_sample_quota hash-green
-        # since r4-r5) cede their slots and stay bit-for-bit checked by
-        # tests/exact_compare.py. strat_sample_weighted keeps its slot
-        # (one round less external history than its quota sibling).
-        _sql_query("priority_stats", _q_priority_stats),
-        _sql_query("order_window_ranks", _q_order_window_ranks),
-        _sql_query("source_regex_stats", _q_source_regex_stats),
-        _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
+        # r10 rotation (VERDICT r9 #1): the entire r9 surface — six
+        # gates with full hash oracles the driver has NEVER checked
+        # (the largest unverified batch any round carried) — enters
+        # the window. Six externally-green gates cede their slots
+        # (bpe_pair_stats r7-r9; priority_stats/order_window_ranks/
+        # source_regex_stats/lineitem_price_stats r8-r9 on top of
+        # r2-r5; hybrid_rrf_topk r6-r9) and stay bit-for-bit checked
+        # by tests/exact_compare.py.
+        Query("retrieval_eval_metrics", _run_retrieval_eval, retrieval_eval_oracle_sql()),
+        _sql_query("events_zorder_key", _q_events_zorder_key),
+        Query("embedding_drift", _run_embedding_drift, embedding_drift_oracle_sql()),
+        _sql_query("doc_gopher_repetition", _q_doc_gopher_repetition),
+        _sql_query("doc_dsir_weights", _q_doc_dsir_weights),
+        _sql_query("doc_substring_dedup", _q_doc_substring_dedup),
         # r9 rotation (VERDICT r8 #1): hybrid_filtered_topk — the
         # engine's most composed query (exact filtered semantic leg +
         # hard-constraint BM25 leg through two persisted stores, RRF
@@ -3691,9 +3686,6 @@ def build_catalog() -> dict[str, Query]:
         # relational gates (priority_stats, order_window_ranks,
         # source_regex_stats, lineitem_price_stats — hash-green since
         # r2-r3) cede their slots and stay strict-checked locally.
-        # hybrid retrieval (cosine kNN + BM25, RRF-fused) — the
-        # composed search surface.
-        Query("hybrid_rrf_topk", _run_hybrid_rrf, hybrid_rrf_oracle_sql()),
         # PII redaction over deterministically injected synthetic PII
         # (the testdata itself is clean).
         _sql_query("doc_pii_scrub", _q_doc_pii_scrub),
@@ -3751,39 +3743,18 @@ def build_catalog() -> dict[str, Query]:
             _run_strat_sample_weighted,
             _q_strat_sample_weighted(DUCKDB),
         ),
-        # r9 new surface, born in overflow like hybrid_filtered_topk
-        # was: retrieval-quality evaluation (recall@k / precision@k /
-        # MRR / AP@k / nDCG@k per query) over the exact-kNN ranker with
-        # same-label qrels — the eval pass an index-shipping pipeline
-        # needs and the reference never measures. Full hash oracle;
-        # candidate for a future rotation slot.
-        Query("retrieval_eval_metrics", _run_retrieval_eval, retrieval_eval_oracle_sql()),
-        # r9 new surface: the Morton interleave operators/zorder.py
-        # clusters on (multi-dimensional data skipping), hash-checked
-        # as one flat bit-twiddling expression per dialect; the layout
-        # payoff itself is pinned against parquet footer stats in
-        # tests/test_zorder.py.
-        _sql_query("events_zorder_key", _q_events_zorder_key),
-        # r9 new surface: snapshot drift monitor (operators/drift.py)
-        # — per-dimension PSI + SMD between two embedding snapshots;
-        # alarm behavior on genuinely shifted inputs pinned in
-        # tests/test_drift.py.
-        Query("embedding_drift", _run_embedding_drift, embedding_drift_oracle_sql()),
-        # r9 new surface: Gopher-style n-gram repetition filter — the
-        # explode+aggregate repetition rules (top-2-gram coverage,
-        # dup-5-gram char fraction, keep verdict at the paper
-        # thresholds) that doc_quality's row-local profile can't
-        # express. All-integer tallies + integer threshold compares.
-        _sql_query("doc_gopher_repetition", _q_doc_gopher_repetition),
-        # r9 new surface: DSIR importance weights (hashed-n-gram
-        # log-ratio scoring against a target slice + top-20% select);
-        # the DataFrame scale path lives in operators/dsir.py and is
-        # pinned bit-identical to this gate in tests/test_dsir.py.
-        _sql_query("doc_dsir_weights", _q_doc_dsir_weights),
-        # r9 new surface: exact repeated-substring detection (the Lee
-        # et al. 2021 trim pass, fingerprint variant) — corpus-global
-        # K-gram marks merged to maximal per-doc spans; the boilerplate
-        # class MinHash (whole docs) and Gopher (within-doc) both miss.
-        _sql_query("doc_substring_dedup", _q_doc_substring_dedup),
+        # r10 rotation (VERDICT r9 #1): these six cede their slots to
+        # the six r9-surface gates above (retrieval_eval_metrics,
+        # events_zorder_key, embedding_drift, doc_gopher_repetition,
+        # doc_dsir_weights, doc_substring_dedup — the driver had never
+        # hash-checked any of them). All six demotions were externally
+        # hash-green 2-4 consecutive rounds and stay bit-for-bit green
+        # under tests/exact_compare.py like every prior demotion.
+        _sql_query("bpe_pair_stats", _q_bpe_pair_stats),
+        _sql_query("priority_stats", _q_priority_stats),
+        _sql_query("order_window_ranks", _q_order_window_ranks),
+        _sql_query("source_regex_stats", _q_source_regex_stats),
+        _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
+        Query("hybrid_rrf_topk", _run_hybrid_rrf, hybrid_rrf_oracle_sql()),
     ]
     return {q.name: q for q in qs}

@@ -42,28 +42,18 @@ DOCUMENTED_OVERFLOW = {
     # overflow in r8 — took strat_sample_weighted's slot (externally
     # hash-green r6-r8; its quota sibling already strict-checked here).
     "strat_sample_weighted",
-    # r9 new surface, born in overflow (the hybrid_filtered_topk
-    # pattern): IR-metric evaluation of the exact-kNN ranker
-    # (operators/evaluate.py); full hash oracle, rotation candidate.
-    "retrieval_eval_metrics",
-    # r9 new surface: the Z-order layout key (operators/zorder.py);
-    # the data-skipping payoff is pinned in tests/test_zorder.py.
-    "events_zorder_key",
-    # r9 new surface: snapshot drift monitor (operators/drift.py);
-    # alarm behavior on shifted inputs pinned in tests/test_drift.py.
-    "embedding_drift",
-    # r9 new surface: Gopher n-gram repetition filter (explode+agg
-    # repetition rules + keep verdict); planted-input behavior pinned
-    # in tests/test_catalog.py.
-    "doc_gopher_repetition",
-    # r9 new surface: DSIR importance weights (operators/dsir.py);
-    # DataFrame path pinned bit-identical to the gate in
-    # tests/test_dsir.py.
-    "doc_dsir_weights",
-    # r9 new surface: exact repeated-substring detection (Lee et al.
-    # 2021 fingerprint variant); planted boilerplate/self-repeat
-    # behavior pinned in tests/test_catalog.py.
-    "doc_substring_dedup",
+    # r10 rotation (VERDICT r9 #1): the six r9-surface gates (never
+    # externally checked) took these six slots. All demotions were
+    # externally hash-green 2-4 consecutive rounds (bpe_pair_stats
+    # r7-r9; the four relational gates r2-r5 + r8-r9 after their own
+    # freshness rotation; hybrid_rrf_topk r6-r9) and stay bit-for-bit
+    # green under tests/exact_compare.py.
+    "bpe_pair_stats",
+    "priority_stats",
+    "order_window_ranks",
+    "source_regex_stats",
+    "lineitem_price_stats",
+    "hybrid_rrf_topk",
 }
 
 
