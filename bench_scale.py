@@ -333,6 +333,59 @@ def main() -> None:
     norm_corpus.unpersist()
     norm_queries.unpersist()
 
+    # Drift monitor at scale (r10, VERDICT r9 #7): PSI+SMD between two
+    # n_rows x dim snapshots — the posexplode makes 2·n_rows·dim skinny
+    # rows, but every aggregation is map-side-combinable and the joins
+    # broadcast O(dim)-row frames, so the probe should track the scan
+    # rate, not the join. cur is a genuinely shifted copy (scale+offset)
+    # so the alarm math exercises the full-grid PSI path.
+    from distributedvectordatabase_spark.operators.drift import embedding_drift
+
+    drifted = loaded.select(
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.1) + F.lit(0.2)
+        ).alias("embedding")
+    )
+    dr = embedding_drift(loaded.select("embedding"), drifted)
+    timings["drift_psi_smd_full"] = timed_min(
+        lambda: dr.agg(F.sum("psi")).first(), reps=1
+    )
+
+    # Retrieval-eval at scale (r10, VERDICT r9 #7): 10k queries x
+    # k=100 run vs a 1M-row qrels table — one (qid, doc) join + per-
+    # query windows; skew is bounded by k, so the probe should be
+    # shuffle-bound on 2M skinny rows. Synthetic run/qrels generated
+    # distributed; doc ids are affine mod a prime-ish stride so every
+    # (qid, rnk) pair is distinct (no accidental duplicate retrievals).
+    from distributedvectordatabase_spark.operators.evaluate import (
+        macro_metrics,
+        ranking_metrics,
+    )
+
+    n_q, eval_k = 10_000, 100
+    run = spark.range(n_q * eval_k).select(
+        (F.col("id") % n_q).alias("qid"),
+        ((F.col("id") / n_q).cast("long") + 1).alias("rnk"),
+        (
+            ((F.col("id") % n_q) * 31 + ((F.col("id") / n_q).cast("long") + 1) * 7919)
+            % 50_000
+        ).alias("doc_id"),
+    )
+    qrels_scale = spark.range(n_q * eval_k).select(
+        (F.col("id") % n_q).alias("qid"),
+        (
+            ((F.col("id") % n_q) * 31
+             + ((F.col("id") / n_q).cast("long") * 3 + 1) * 7919)
+            % 50_000
+        ).alias("doc_id"),
+        ((F.col("id") / n_q).cast("long") % 4).alias("rel"),
+    )
+    ev_metrics = ranking_metrics(run, qrels_scale, k=eval_k)
+    timings["retrieval_eval_10kq_k100"] = timed_min(lambda: ev_metrics.count())
+    timings["retrieval_eval_macro"] = timed_min(
+        lambda: macro_metrics(ev_metrics).first(), reps=1
+    )
+
     # Crash-heal at scale (r8, VERDICT r7 #7): orphan a FULL append on
     # an n_rows store (rewind the sidecar to its pre-commit form — the
     # same faithful crash construction as tests/test_crash_replay.py),
@@ -630,6 +683,44 @@ def main() -> None:
         timings["hybrid_serve_batch_sq8_8q"] = timed_min(lambda: served.count())
         text_stats["hybrid_serve_rows"] = served.count()
         hq.unpersist()
+
+        # Gopher repetition filter at scale (r10, VERDICT r9 #2): two
+        # map-side-combinable (doc_id, shingle) groupBys + skinny
+        # doc-keyed joinbacks; the synthetic corpus's planted near-dups
+        # are WITHIN-doc diverse, so the keep rate stays high and the
+        # probe measures the honest shingle-count cost.
+        from distributedvectordatabase_spark.operators.gopher import (
+            gopher_repetition,
+        )
+
+        gr = gopher_repetition(docs)
+        timings["gopher_repetition"] = timed_min(
+            lambda: gr.agg(F.sum("keep")).first(), reps=1
+        )
+        text_stats["gopher_kept"] = gr.filter("keep = 1").count()
+
+        # Exact repeated-substring detection at scale (r10, VERDICT r9
+        # #2): the stage to measure is marks = sh JOIN dup — the full
+        # 8-shingle explode re-joined against the non-broadcastable
+        # duplicated-shingle set (every 10th synthetic doc repeats its
+        # predecessor, so the dup set is ~10% of the shingle space).
+        # Timed via the stats aggregate so column pruning can't drop
+        # the span merge; the trim pass (explode spans + anti-join +
+        # per-doc reassembly) is timed separately.
+        from distributedvectordatabase_spark.operators.substring_dedup import (
+            substring_stats,
+            substring_trim,
+        )
+
+        ss = substring_stats(docs, k=8)
+        timings["substring_stats"] = timed_min(
+            lambda: ss.agg(F.sum("dup_tokens")).first(), reps=1
+        )
+        text_stats["substring_docs_with_dups"] = ss.filter("clean = 0").count()
+        tr = substring_trim(docs, k=8)
+        timings["substring_trim"] = timed_min(
+            lambda: tr.agg(F.sum("kept_words")).first(), reps=1
+        )
 
     # ---- Z-order layout probe: data-skipping at scale ----------------
     # n_rows synthetic events over a (user_id, value) plane; the same

@@ -657,8 +657,18 @@ def _q_doc_gopher_repetition(d: str) -> str:
     else:
         ex2 = "SELECT doc_id, unnest(sh2) AS s FROM st"
         ex5 = "SELECT doc_id, unnest(sh5) AS s FROM st"
-    ttr = q6.format(x="cast(n_types as double) / n_words")
-    top2_frac = q6.format(x="cast(coalesce(top2_chars, 0) as double) / total_chars")
+    # empty docs guard to 0.0 like dup5_frac (ADVICE r9: an unguarded
+    # n_words/total_chars = 0 yielded NULL here while the sibling
+    # fractions yielded 0.0 — both engines agreed, but the output
+    # contract was inconsistent)
+    ttr = q6.format(
+        x="CASE WHEN n_words = 0 THEN 0.0 "
+        "ELSE cast(n_types as double) / n_words END"
+    )
+    top2_frac = q6.format(
+        x="CASE WHEN total_chars = 0 THEN 0.0 "
+        "ELSE cast(coalesce(top2_chars, 0) as double) / total_chars END"
+    )
     dup5_frac = q6.format(
         x="CASE WHEN coalesce(all5_chars, 0) = 0 THEN 0.0 "
         "ELSE cast(coalesce(dup5_chars, 0) as double) / all5_chars END"

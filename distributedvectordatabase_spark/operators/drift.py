@@ -49,12 +49,17 @@ def embedding_drift(
 
     both = explode(ref, 0).unionByName(explode(cur, 1))
 
-    # Pooled per-dimension range → shared fixed-width bin edges.
+    # Pooled per-dimension range → shared fixed-width bin edges. The
+    # range/moment/psi frames are O(d) rows at ANY corpus size, so
+    # every join below broadcasts its tiny side explicitly (the repo
+    # convention — aggregates carry no size stats, so without the hint
+    # the planner sort-merges a d-row join against N·d exploded rows;
+    # plan-asserted join-strategy test in tests/test_drift.py).
     rng = both.groupBy("dim").agg(
         F.min("val").alias("vmin"), F.max("val").alias("vmax")
     )
     span = F.col("vmax").cast("double") - F.col("vmin").cast("double")
-    binned = both.join(rng, "dim").withColumn(
+    binned = both.join(F.broadcast(rng), "dim").withColumn(
         "bin",
         F.when(span <= 0, F.lit(0)).otherwise(
             F.least(
@@ -91,7 +96,7 @@ def embedding_drift(
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_cur"),
     )
-    h = hist.join(mom.select("dim", "n_ref", "n_cur"), "dim")
+    h = hist.join(F.broadcast(mom.select("dim", "n_ref", "n_cur")), "dim")
     p_ref = (F.col("c_ref") + 1.0) / (F.col("n_ref") + float(bins))
     p_cur = (F.col("c_cur") + 1.0) / (F.col("n_cur") + float(bins))
     # Bins observed on NEITHER side still contribute smoothing mass;
@@ -104,7 +109,7 @@ def embedding_drift(
     prior_cur = 1.0 / (F.col("n_cur") + float(bins))
     prior_ref = 1.0 / (F.col("n_ref") + float(bins))
     out = (
-        mom.join(observed, "dim")
+        mom.join(F.broadcast(observed), "dim")
         .withColumn(
             "psi",
             F.col("psi_obs")

@@ -86,3 +86,13 @@ def test_plan_has_no_python_udfs(spark):
     df = _mk(spark, np.zeros((4, 2)))
     plan = embedding_drift(df, df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_all_joins_broadcast(spark):
+    """The O(d)-row range/moment/psi frames must broadcast into the
+    N·d exploded rows — a sort-merge join here shuffles the whole
+    exploded corpus on every monitoring run (VERDICT r9 #5)."""
+    df = _mk(spark, np.zeros((4, 2)))
+    plan = embedding_drift(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
