@@ -114,6 +114,8 @@ EXTRA = [
     "doc_dsir_weights",
     # r9: exact repeated-substring detection (in-window since r10)
     "doc_substring_dedup",
+    # r10: unigram-LM Viterbi apply gate (overflow; operators/unigram.py)
+    "doc_unigram_tokens",
 ]
 
 

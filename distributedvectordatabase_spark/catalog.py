@@ -749,6 +749,236 @@ def _q_bpe_pair_stats(d: str) -> str:
     """
 
 
+# Frozen unigram-LM piece table for the doc_unigram_tokens gate:
+# trained ONCE via operators/unigram.unigram_train on the sf0.001
+# documents corpus (vocab_size=80, seed_size=600, max_piece_len=5,
+# em_iters=2) and inlined as literals so the gate is self-contained
+# and deterministic at every sf — the _pca_oracle trick (r8). EM
+# training itself stays pytest-gated (KMeans-class, not
+# SQL-expressible); what the gate hash-checks externally is the
+# VITERBI APPLY — the serving-path DP both engines must segment
+# identically. Single-char coverage of the testdata alphabet is
+# asserted in tests/test_unigram_gate.py; unseen single chars fall
+# back to the operator's UNK_LP (-20.0) in both dialects.
+_UNIGRAM_PIECES: dict[str, float] = {
+    "a": -3.5845020541792323, "agg": -3.561152006499878,
+    "b": -31.144032746924207, "batch": -3.607322310466902,
+    "big": -3.629545447251612, "c": -4.723138615682071,
+    "can": -27.848195880919878, "colum": -3.8989009346976573,
+    "cus": -26.63317324040736, "cust": -24.45194900441758,
+    "custo": -3.630669675472891, "d": -31.144032746924207,
+    "dat": -25.962249196632122, "data": -3.622826497201526,
+    "dup": -7.053471079991322, "e": -31.144032746924207,
+    "f": -31.144032746924207, "fast": -3.6040310293828277,
+    "filte": -3.599659437721332, "g": -31.144032746924207,
+    "ge": -28.94680816958799, "gg": -26.020068767520947,
+    "group": -3.5812904717489538, "h": -31.144032746924207,
+    "hash": -3.5931376754749422, "i": -31.144032746924207,
+    "indo": -28.746137474125838, "indow": -4.230453535223024,
+    "j": -31.144032746924207, "join": -3.579151433500204,
+    "k": -31.144032746924207, "key": -3.5695819824840527,
+    "l": -31.144032746924207, "line": -3.5685243409259186,
+    "low": -27.925156922056008, "m": -22.81848443976281,
+    "mall": -27.885936208902724, "me": -23.01721902619809,
+    "mer": -3.630669679269289, "merge": -3.5802203806987336,
+    "n": -3.8988932958252356, "o": -31.144032746924207,
+    "olumn": -4.72315603360336, "omer": -24.45194900441758,
+    "orde": -23.19954058299205, "order": -3.538329441872257,
+    "ort": -27.848195880919878, "ow": -12.387889769088861,
+    "p": -31.144032746924207, "park": -27.848195880919878,
+    "part": -3.5507134981796717, "q": -31.144032746924207,
+    "query": -3.5812904717489538, "r": -2.898833048798121,
+    "ream": -25.180453403305762, "ro": -27.647525185457727,
+    "row": -3.657041224672696, "s": -3.5974751414062744,
+    "sca": -30.450885566364263, "scan": -3.5291462906854036,
+    "slo": -28.19959376775777, "slow": -3.5953068737702623,
+    "small": -3.6205968417045504, "sort": -3.5393556063629816,
+    "spark": -3.6073223104965706, "st": -25.180453403305762,
+    "strea": -22.81848443976281, "t": -31.144032746924207,
+    "table": -3.615044356560812, "the": -3.607322310466902,
+    "tomer": -26.63317324040736, "tream": -3.597480792537233,
+    "u": -31.144032746924207, "v": -31.144032746924207,
+    "value": -3.564304925383208, "vecto": -3.5845076327007277,
+    "w": -3.5373063545882815, "wind": -16.644244223869052,
+    "windo": -4.230453535223024, "y": -31.144032746924207,
+}
+_UNIGRAM_L = 5
+_UNIGRAM_UNK = -20.0  # == operators.unigram.UNK_LP
+
+
+def _unigram_lookup(expr: str) -> str:
+    """CASE-table piece lookup — identical syntax in both dialects, so
+    both engines bind the SAME double for every piece (decimal literal
+    -> nearest double is IEEE-defined)."""
+    arms = " ".join(
+        f"WHEN '{p}' THEN CAST({lp!r} AS DOUBLE)"
+        for p, lp in sorted(_UNIGRAM_PIECES.items())
+    )
+    return f"(CASE {expr} {arms} END)"
+
+
+def _q_doc_unigram_tokens(d: str) -> str:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) Viterbi APPLY as a
+    dual-dialect SQL program — the external gate for the
+    operators/unigram.py tokenizer family (VERDICT r9 #3). Each
+    distinct word is segmented by the max-log-prob dynamic program
+    over the frozen piece table above (ties resolve toward the LONGER
+    piece: candidates are scanned longest-first with strict ``>`` —
+    viterbi_segment's exact convention, pinned bit-for-bit against the
+    Python operator in tests/test_unigram_gate.py). Spark runs the DP
+    as ``aggregate`` higher-order folds (pure Catalyst, no UDF);
+    DuckDB as recursive CTEs. Bit parity holds because both engines
+    fold the SAME IEEE additions in the SAME order over the SAME
+    parsed literals, and every comparison is strict.
+
+    100 TB shape: the corpus contributes ONE tokenize + distinct-word
+    fold (the bpe_apply/word_vocab statistic — vocabulary-bounded);
+    the DP runs per DISTINCT word only; the join-back is the
+    size-aware vocabulary join. Per-doc outputs are integer counts, a
+    micro-quantized exact-bigint log-prob sum (summation order cannot
+    move a bit), and an md5 fingerprint of the doc's full
+    segmentation in token order."""
+    L = _UNIGRAM_L
+    toks = T.tokens("text", d)
+    if d == SPARK:
+        ex = (
+            "SELECT doc_id, pos, w FROM base "
+            "LATERAL VIEW posexplode(toks) e AS pos, w"
+        )
+
+        def cand(l: int) -> str:
+            look = _unigram_lookup(f"substring(w, greatest(i - {l} + 1, 1), {l})")
+            if l == 1:
+                look = f"coalesce({look}, CAST({_UNIGRAM_UNK!r} AS DOUBLE))"
+            return (
+                f"IF(i >= {l}, named_struct("
+                f"'s', coalesce({look} + element_at(acc.best, greatest(i - {l} + 1, 1)), CAST(-1e18 AS DOUBLE)), "
+                f"'j', i - {l}), "
+                "named_struct('s', CAST(-1e18 AS DOUBLE), 'j', -1))"
+            )
+
+        cands = ", ".join(cand(l) for l in range(L, 0, -1))
+        pick = (
+            f"aggregate(array({cands}), "
+            "named_struct('s', CAST(-1e18 AS DOUBLE), 'j', -1), "
+            "(p, c) -> IF(c.s > p.s, c, p))"
+        )
+        dp = (
+            "aggregate(sequence(1, length(w)), "
+            "named_struct('best', array(CAST(0.0 AS DOUBLE)), 'back', array(0)), "
+            f"(acc, i) -> aggregate(array({pick}), acc, "
+            "(a2, c) -> named_struct("
+            "'best', concat(a2.best, array(c.s)), "
+            "'back', concat(a2.back, array(c.j)))))"
+        )
+        piece = (
+            "substring(w, element_at(dpa.back, a3.i + 1) + 1, "
+            "a3.i - element_at(dpa.back, a3.i + 1))"
+        )
+        bt = (
+            "aggregate(sequence(1, n), "
+            "named_struct('i', n, 's', CAST('' AS STRING), 'np', 0), "
+            "(a3, step) -> IF(a3.i <= 0, a3, named_struct("
+            "'i', element_at(dpa.back, a3.i + 1), "
+            f"'s', CASE WHEN a3.s = '' THEN {piece} "
+            f"ELSE concat({piece}, '|', a3.s) END, "
+            "'np', a3.np + 1)))"
+        )
+        word_sql = f"""
+        dp AS (SELECT w, length(w) AS n, {dp} AS dpa FROM dw),
+        segw AS (
+          SELECT w, n, {bt} AS bt,
+                 element_at(dpa.best, n + 1) AS lp_word
+          FROM dp
+        ),
+        seg2 AS (
+          SELECT w, bt.s AS seg, bt.np AS np,
+                 CAST(floor(lp_word * 1000000.0 + 0.5) AS BIGINT) AS lpw_micro
+          FROM segw
+        )"""
+        fp = (
+            "md5(array_join(transform("
+            "array_sort(collect_list(struct(pos, seg))), x -> x.seg), ' '))"
+        )
+    else:
+        ex = (
+            "SELECT doc_id, unnest(range(len(toks))) AS pos, "
+            "unnest(toks) AS w FROM base"
+        )
+
+        def cand_d(l: int) -> str:
+            look = _unigram_lookup(f"substr(w, greatest(i - {l} + 2, 1), {l})")
+            if l == 1:
+                look = f"coalesce({look}, CAST({_UNIGRAM_UNK!r} AS DOUBLE))"
+            return (
+                f"CASE WHEN i + 1 >= {l} THEN "
+                f"{{'s': coalesce({look} + best[greatest(i - {l} + 2, 1)], CAST(-1e18 AS DOUBLE)), 'j': i + 1 - {l}}} "
+                "ELSE {'s': CAST(-1e18 AS DOUBLE), 'j': -1} END"
+            )
+
+        cands_d = ", ".join(cand_d(l) for l in range(L, 0, -1))
+        pick_d = (
+            f"list_reduce([{{'s': CAST(-1e18 AS DOUBLE), 'j': -1}}, {cands_d}], "
+            "(a, c) -> CASE WHEN c.s > a.s THEN c ELSE a END)"
+        )
+        piece_d = "substr(w, back[i + 1] + 1, i - back[i + 1])"
+        word_sql = f"""
+        r AS (
+          SELECT w, length(w) AS n, 0 AS i,
+                 [CAST(0 AS DOUBLE)] AS best, [0] AS back
+          FROM dw
+          UNION ALL
+          SELECT w, n, i + 1,
+                 list_append(best, ({pick_d}).s),
+                 list_append(back, ({pick_d}).j)
+          FROM r WHERE i < n
+        ),
+        dpn AS (SELECT w, n, best, back FROM r WHERE i = n),
+        bt AS (
+          SELECT w, n, back, n AS i, CAST('' AS VARCHAR) AS s, 0 AS np,
+                 best[n + 1] AS lp_word
+          FROM dpn
+          UNION ALL
+          SELECT w, n, back, back[i + 1] AS i,
+                 CASE WHEN s = '' THEN {piece_d}
+                      ELSE {piece_d} || '|' || s END,
+                 np + 1, lp_word
+          FROM bt WHERE i > 0
+        ),
+        seg2 AS (
+          SELECT w, s AS seg, np,
+                 CAST(floor(lp_word * 1000000.0 + 0.5) AS BIGINT) AS lpw_micro
+          FROM bt WHERE i = 0
+        )"""
+        fp = "md5(string_agg(seg, ' ' ORDER BY pos))"
+    recursive = "RECURSIVE " if d != SPARK else ""
+    return f"""
+    WITH {recursive}base AS (SELECT doc_id, {toks} AS toks FROM documents),
+    ex AS ({ex}),
+    dw AS (SELECT DISTINCT w FROM ex),
+    {word_sql},
+    joined AS (
+      SELECT e.doc_id, e.pos, s.seg, s.np, s.lpw_micro
+      FROM ex e JOIN seg2 s ON s.w = e.w
+    ),
+    agg AS (
+      SELECT doc_id,
+             cast(count(*) as bigint) AS n_words,
+             cast(sum(np) as bigint) AS n_pieces,
+             cast(sum(lpw_micro) as bigint) AS lp_micro,
+             {fp} AS pieces_fp
+      FROM joined GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           cast(coalesce(a.n_words, 0) as bigint) AS n_words,
+           cast(coalesce(a.n_pieces, 0) as bigint) AS n_pieces,
+           cast(coalesce(a.lp_micro, 0) as bigint) AS lp_micro,
+           (cast(coalesce(a.lp_micro, 0) as double) / cast(1000000 as double)) AS lp,
+           coalesce(a.pieces_fp, md5('')) AS pieces_fp
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """
+
+
 def _q_doc_sample_fingerprint(d: str) -> str:
     """Deterministic ~1/8 sample via content-independent hashing of the
     key — reproducible across engines, runs, and cluster sizes, unlike
@@ -3766,5 +3996,13 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
         Query("hybrid_rrf_topk", _run_hybrid_rrf, hybrid_rrf_oracle_sql()),
+        # r10 new surface, born in overflow (the hybrid_filtered_topk /
+        # r9 pattern): the unigram-LM tokenizer family's external gate
+        # (VERDICT r9 #3) — Viterbi apply over the frozen piece table,
+        # dual-dialect DP (Spark aggregate-HOF folds / DuckDB recursive
+        # CTEs), pinned bit-identical to operators/unigram.py's
+        # viterbi_segment in tests/test_unigram_gate.py. Full hash
+        # oracle; rotation candidate.
+        _sql_query("doc_unigram_tokens", _q_doc_unigram_tokens),
     ]
     return {q.name: q for q in qs}

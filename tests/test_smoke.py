@@ -54,6 +54,10 @@ DOCUMENTED_OVERFLOW = {
     "source_regex_stats",
     "lineitem_price_stats",
     "hybrid_rrf_topk",
+    # r10 new surface, born in overflow: unigram-LM Viterbi apply gate
+    # (operators/unigram.py's external check, VERDICT r9 #3); full
+    # hash oracle, rotation candidate.
+    "doc_unigram_tokens",
 }
 
 
