@@ -153,12 +153,22 @@ def _walk(data: bytes, pos: int, end: int, frames: list, meta: dict) -> None:
             _walk(data, body_start + 4, body_end, frames, meta)
         elif ckid[2:4] in _FRAME_SUFFIXES and all(
             c in b"0123456789ABCDEFabcdef" for c in ckid[:2]
-        ):  # stream number: two (hex) digits — '0A' appears past 9 streams
-            frames.append(data[body_start:body_end])
+        ):
+            # Stream number: two decimal digits normally; hex digits
+            # are only legal when the header declared >9 streams
+            # (ADVICE r9 — without the check a vendor chunk like
+            # 'ccdc' or 'addb' injects garbage payloads into the frame
+            # list). hdrl precedes movi in a conformant file, so the
+            # declared count is known by the time frames appear.
+            snum = int(ckid[:2], 16)
+            limit = meta.get("streams") or 10
+            if snum < limit and (ckid[:2].isdigit() or limit > 10):
+                frames.append(data[body_start:body_end])
         elif ckid == b"avih" and size >= 56:
             vals = struct.unpack_from("<14I", data, body_start)
             meta.setdefault("micro_sec_per_frame", vals[0])
             meta.setdefault("total_frames", vals[4])
+            meta.setdefault("streams", vals[6])
             meta.setdefault("width", vals[8])
             meta.setdefault("height", vals[9])
         elif ckid == b"strh" and size >= 56:

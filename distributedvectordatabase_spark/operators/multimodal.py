@@ -499,19 +499,34 @@ def video_frame_stats(media: DataFrame, stride: int = 1, max_frames: int = 8) ->
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            keep: list[int] = []
             widths: list[int] = []
             heights: list[int] = []
             bright: list[float] = []
-            for fp in pdf["frame_payload"]:
-                img = decode_image(bytes(fp))
+            for row_i, fp in enumerate(pdf["frame_payload"]):
+                b = bytes(fp)
+                # per-frame robustness (ADVICE r9): sample_video_frames
+                # emits raw byte windows for non-container payloads and
+                # the AVI walker admits uncompressed-DIB ('##db')
+                # chunks — neither is an image; on mixed or foreign
+                # datasets one undecodable frame must not kill the
+                # whole stage. Frames without a PNG/JPEG signature (or
+                # failing to decode) are dropped, not fatal.
+                if b[:8] != b"\x89PNG\r\n\x1a\n" and b[:3] != b"\xff\xd8\xff":
+                    continue
+                try:
+                    img = decode_image(b)
+                except (NotImplementedError, ValueError):
+                    continue
                 g = luma(img)
+                keep.append(row_i)
                 heights.append(int(g.shape[0]))
                 widths.append(int(g.shape[1]))
                 bright.append(float(g.mean() / 255.0))
             yield pd.DataFrame(
                 {
-                    "item_id": pdf["item_id"],
-                    "frame_idx": pdf["frame_idx"],
+                    "item_id": pdf["item_id"].iloc[keep].reset_index(drop=True),
+                    "frame_idx": pdf["frame_idx"].iloc[keep].reset_index(drop=True),
                     "width": pd.Series(widths, dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
                     "brightness": pd.Series(bright, dtype="float64"),

@@ -136,7 +136,17 @@ def _write_wds(sharded: DataFrame, data_path: str, id_col: str) -> None:
                     d = os.path.join(data_path, f"shard={shard}")
                     os.makedirs(d, exist_ok=True)
                     final = os.path.join(d, "part-000.tar")
-                    tmp = final + ".tmp"
+                    # attempt-unique tmp name (ADVICE r9): with
+                    # speculative execution two attempts of this task
+                    # run concurrently — a shared tmp path would
+                    # interleave writes and os.replace could publish a
+                    # torn tar. Each attempt stages privately; whichever
+                    # replace lands last wins with a COMPLETE file.
+                    from pyspark import TaskContext
+
+                    ctx = TaskContext.get()
+                    attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+                    tmp = f"{final}.attempt-{attempt}.tmp"
                     tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
                 key = f"{int(row['_ord']):015x}-{row[id_col]}"
                 meta = {}
@@ -146,11 +156,19 @@ def _write_wds(sharded: DataFrame, data_path: str, id_col: str) -> None:
                         v = v.item()
                     elif not isinstance(v, (str, int, float, bool, type(None), list, dict)):
                         v = str(v)
+                    # NULL numerics surface as float NaN in pandas
+                    # records; bare NaN is invalid strict JSON (ADVICE
+                    # r9) — normalize to null, and fail loudly if any
+                    # non-finite value slips through anyway.
+                    if isinstance(v, float) and v != v:
+                        v = None
                     meta[c] = v
                 _member(
                     tf,
                     f"{key}.json",
-                    json.dumps(meta, sort_keys=True, separators=(",", ":")).encode(),
+                    json.dumps(
+                        meta, sort_keys=True, separators=(",", ":"), allow_nan=False
+                    ).encode(),
                 )
                 if has_text and row["text"] is not None:
                     _member(tf, f"{key}.txt", str(row["text"]).encode())

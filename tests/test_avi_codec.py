@@ -162,12 +162,38 @@ def test_video_frame_stats_matches_numpy(spark, video_media):
         assert abs(out.brightness.iloc[i] - f.mean() / 255.0) < 0.02
 
 
-def test_hex_stream_ids_accepted():
+def test_video_frame_stats_survives_mixed_payloads(spark, video_media):
+    """Non-container payloads yield raw byte-window frames that are
+    not images; one bad frame must drop, not kill the stage (ADVICE
+    r9). Running over the MIXED frame (AVI + arbitrary bytes) must
+    succeed and emit stats only for the decodable video frames."""
+    media, frames, payload = video_media
+    out = video_frame_stats(media, stride=1, max_frames=8).toPandas()
+    assert set(out.item_id) == {1}
+    assert len(out) == 6
+
+
+def _set_declared_streams(data: bytes, n: int) -> bytes:
+    """Patch avih's dwStreams (7th uint32 of the chunk body)."""
+    import struct
+
+    pos = data.index(b"avih") + 8 + 6 * 4
+    return data[:pos] + struct.pack("<I", n) + data[pos + 4 :]
+
+
+def test_hex_stream_ids_accepted_only_when_declared():
     """Stream numbers past 9 use hex digits in the chunk id ('0Adc');
-    the walker must accept them like decimal ids."""
+    the walker accepts them only when the header declares >9 streams
+    (ADVICE r9) — otherwise a vendor 4CC like 'ccdc' would inject
+    garbage payloads into the frame list."""
     frames = _gradient_frames(n=2, h=16, w=16)
-    data = encode_avi_mjpeg(frames).replace(b"00dc", b"0Adc")
+    base = encode_avi_mjpeg(frames)
+    # declared 11 streams: hex id is a real stream
+    data = _set_declared_streams(base, 11).replace(b"00dc", b"0Adc")
     assert len(avi_frames(data)) >= 2
-    # but a non-stream 4CC ending in 'dc' must NOT be mistaken for one
-    data2 = encode_avi_mjpeg(frames).replace(b"00dc", b"xxdc")
-    assert len(avi_frames(data2)) == 0
+    # declared 1 stream (the encoder's truth): '0A' is out of range
+    assert len(avi_frames(base.replace(b"00dc", b"0Adc"))) == 0
+    # hex-looking vendor ids are rejected regardless ('cc' = 204)
+    assert len(avi_frames(base.replace(b"00dc", b"ccdc"))) == 0
+    # a non-hex 4CC ending in 'dc' must NOT be mistaken for a stream
+    assert len(avi_frames(base.replace(b"00dc", b"xxdc"))) == 0

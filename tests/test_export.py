@@ -230,6 +230,36 @@ def test_wds_binary_column_member(spark, out_dir):
     assert [r.n_members for r in back] in ([3, 2], [2, 3])
 
 
+def test_wds_null_numeric_metadata_is_strict_json(spark, out_dir):
+    """NULL numeric metadata surfaces as float NaN in pandas records;
+    the member json must emit strict-JSON null, not a bare NaN that
+    WebDataset loaders and get_json_object reject (ADVICE r9)."""
+    rows = [(1, "hello", 0.5), (2, "world", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    export_shards(df, out_dir, n_shards=1, fmt="wds")
+    import json as _json
+    import tarfile
+
+    with tarfile.open(os.path.join(out_dir, "data", "shard=0", "part-000.tar")) as tf:
+        metas = [
+            _json.loads(tf.extractfile(n).read().decode())
+            for n in tf.getnames()
+            if n.endswith(".json")
+        ]
+    by_id = {m["doc_id"]: m for m in metas}
+    assert by_id[2]["score"] is None
+    assert by_id[1]["score"] == 0.5
+    # strict parse: the raw bytes must not contain a bare NaN token
+    with tarfile.open(os.path.join(out_dir, "data", "shard=0", "part-000.tar")) as tf:
+        for n in tf.getnames():
+            if n.endswith(".json"):
+                _json.loads(tf.extractfile(n).read().decode(), parse_constant=_fail_const)
+
+
+def _fail_const(name):
+    raise AssertionError(f"non-strict JSON constant in member metadata: {name}")
+
+
 def test_wds_verify_detects_truncated_tar(spark, docs, out_dir):
     export_shards(docs, out_dir, n_shards=N_SHARDS, fmt="wds", weight_col="n_chars")
     victim = glob.glob(os.path.join(out_dir, "data", "shard=*", "*.tar"))[0]
