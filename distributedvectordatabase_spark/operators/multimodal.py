@@ -13,10 +13,11 @@ small feature rows, never the payload bytes.
 The ``"real"`` decoder does genuine pixel work with no third-party
 library: PNG decodes through the engine's own pure-stdlib codec
 (``operators/png_codec`` — zlib inflate + scanline unfilter) and
-baseline JPEG through ``operators/jpeg_codec`` (Huffman entropy
-decode, dequant, IDCT, chroma upsample, YCbCr→RGB). Only leftovers
-(WebP, progressive JPEG) fall back to PIL when installed, with a
-clearly-marked NotImplementedError otherwise. The ``"fake"`` decoder
+baseline AND progressive JPEG through ``operators/jpeg_codec``
+(Huffman entropy decode over SOF0 single scans or SOF2 scan scripts,
+dequant, IDCT, chroma upsample, YCbCr→RGB). Only WebP and exotic
+processes (lossless, arithmetic) fall back to PIL when installed,
+with a clearly-marked NotImplementedError otherwise. The ``"fake"`` decoder
 is a deterministic md5-based transform, which keeps the hash-gated
 correctness pipeline — schema, batching, UDF signatures —
 DuckDB-oracle-checkable (md5 agrees across engines).
@@ -99,7 +100,7 @@ def decode_image(payload: bytes):
     (``operators/png_codec`` / ``operators/jpeg_codec``) — real pixels
     in every environment, PIL or not, and deterministic across
     environments because the same decoders always run. Anything else
-    (WebP, exotic JPEG processes) falls back to PIL when installed,
+    (WebP, lossless/arithmetic JPEG) falls back to PIL when installed,
     else raises the documented NotImplementedError. Returns a uint8
     ndarray, (H, W) or (H, W, C)."""
     payload = bytes(payload)

@@ -13,6 +13,7 @@ from distributedvectordatabase_spark.operators.jpeg_codec import (
     _ZZ_FLAT,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -107,12 +108,19 @@ def test_decode_rejects_malformed():
         decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 3])
-    # flip the SOF0 marker to SOF2 (progressive) -> explicit refusal
+    # flip SOF0 to SOF2: progressive DECODES since r10, but this
+    # frankenstream pairs a progressive frame with a baseline
+    # full-band scan script — a malformed scan, rejected loudly
     prog = bytearray(good)
     i = prog.find(bytes([0xFF, 0xC0]))
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(bytes(prog))
+    # genuinely unsupported processes still refuse by name (SOF3 lossless)
+    lossless = bytearray(good)
+    lossless[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(lossless))
 
 
 def test_decodes_foreign_table_layout():
@@ -161,3 +169,114 @@ def test_gray_vs_color_shapes_and_validation():
     assert g.shape == (9, 5) and g.ndim == 2
     c = decode_jpeg(encode_jpeg(np.zeros((9, 5, 3), dtype=np.uint8)))
     assert c.shape == (9, 5, 3)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r10
+# ---------------------------------------------------------------------------
+#
+# The round-trip oracle: encode_jpeg_progressive shares encode_jpeg's
+# _forward_image, so both streams carry IDENTICAL quantized
+# coefficients — progressive is a reordering of the same data, and
+# decode_jpeg(progressive) must equal decode_jpeg(baseline)
+# BIT-FOR-BIT. A mirrored encoder/decoder bug cannot hide behind this
+# because the baseline decode path never touches the progressive scan
+# machinery (separate scan scripts, EOB runs, refinement algebra).
+
+
+def _prog_cases():
+    rng = np.random.RandomState(7)
+    x = np.linspace(0, 255, 48)
+    grad = np.clip(np.add.outer(x, x) / 2 + 40 * np.sin(np.arange(48) / 3), 0, 255)
+    sparse = np.full((40, 56, 3), 128, dtype=np.uint8)
+    sparse.flat[::97] = 255  # isolated spikes -> long cross-block EOB runs
+    return [
+        ("noise-gray", rng.randint(0, 256, (16, 16), dtype=np.uint8), False),
+        ("noise-rgb", rng.randint(0, 256, (24, 17, 3), dtype=np.uint8), True),
+        ("gradient", np.stack([grad, grad.T, 255 - grad], -1).astype(np.uint8), True),
+        ("flat", np.full((64, 64, 3), 77, dtype=np.uint8), True),
+        ("sparse-eobrun", sparse, True),
+        ("odd-dims-444", rng.randint(0, 256, (33, 41, 3), dtype=np.uint8), False),
+    ]
+
+
+def test_progressive_decodes_identical_to_baseline():
+    for name, img, sub in _prog_cases():
+        for q in (30, 75, 95):
+            base = encode_jpeg(img, quality=q, subsample=sub)
+            prog = encode_jpeg_progressive(img, quality=q, subsample=sub)
+            assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+            np.testing.assert_array_equal(
+                decode_jpeg(prog), decode_jpeg(base), err_msg=f"{name} q={q}"
+            )
+
+
+def test_progressive_is_multi_scan():
+    img = np.full((32, 32, 3), 50, dtype=np.uint8)
+    prog = encode_jpeg_progressive(img)
+    # DC first + 2 AC bands x 3 comps + DC refine + 3 AC refines = 11 SOS
+    assert prog.count(b"\xff\xda") >= 8
+    assert encode_jpeg(img).count(b"\xff\xda") == 1
+
+
+def test_progressive_eob_run_encoding_bit_exact():
+    """Spec pin independent of the decoder: a component whose band is
+    all-zero in every block must compress its AC-first scan to EOBn
+    symbols with n extension bits (T.81 G.1.2.2) — for 16 blocks, one
+    EOB16 run = symbol 0x40 + 0 extension value, i.e. a tiny scan."""
+    from distributedvectordatabase_spark.operators.jpeg_codec import (
+        _SymCollector,
+        _encode_scan_ac_first,
+    )
+
+    class _Rec:
+        def __init__(self):
+            self.events = []
+
+        def sym(self, s):
+            self.events.append(("sym", s))
+
+        def bits(self, v, n):
+            if n:
+                self.events.append(("bits", v, n))
+
+    comp = {
+        "bh": 4, "bw": 4,
+        "zzc": np.zeros((4, 4, 64), dtype=np.int64),
+    }
+    rec = _Rec()
+    _encode_scan_ac_first(rec, comp, 1, 63, 0)
+    # 16 all-zero blocks -> single EOB16: symbol (4<<4)=0x40, ext 16-16=0 in 4 bits
+    assert rec.events == [("sym", 0x40), ("bits", 0, 4)]
+    # one nonzero coefficient in block 5 splits the run: EOB4(0x20,+1ext)
+    # ... symbol ... EOB-run for the 10 remaining blocks
+    comp["zzc"][1, 1, 3] = 2
+    rec = _Rec()
+    _encode_scan_ac_first(rec, comp, 1, 63, 0)
+    assert rec.events[0] == ("sym", 0x20)            # EOB run of 5 blocks
+    assert rec.events[1] == ("bits", 1, 2)           # 5 = 4 + ext 1
+    assert rec.events[2] == ("sym", (2 << 4) | 2)    # run 2 zeros, size 2
+    assert rec.events[3] == ("bits", 2, 2)           # value +2
+    # remaining 10 blocks + this block's tail -> EOB run of 11 = 8 + ext 3
+    assert rec.events[4:] == [("sym", 0x30), ("bits", 3, 3)]
+
+
+def test_dc_successive_approximation_bit_semantics():
+    """DC point transform: first scan codes dc >> Al (arithmetic
+    shift), refinement appends the dropped bit; the decoder must
+    reassemble the exact DC for negative values too (two's-complement
+    OR). Construct a gray image whose single block has a negative DC."""
+    img = np.full((8, 8), 10, dtype=np.uint8)  # DC well below 128 -> negative coef
+    base = encode_jpeg(img, quality=90)
+    prog = encode_jpeg_progressive(img, quality=90)
+    np.testing.assert_array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_progressive_via_decode_image_dispatch():
+    """multimodal.decode_image must route SOF2 through the stdlib
+    codec now (no PIL fallback attempt)."""
+    from distributedvectordatabase_spark.operators.multimodal import decode_image
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    out = decode_image(encode_jpeg_progressive(img))
+    np.testing.assert_array_equal(out, decode_jpeg(encode_jpeg(img)))
