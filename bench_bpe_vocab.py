@@ -198,6 +198,26 @@ def main() -> None:
     out["merges_per_iteration"] = round(
         len(merges) / max(_bpe.LAST_TRAIN_ITERATIONS, 1), 2
     )
+    # s/merge vs merge index (r10, VERDICT r9 #4): quartile the
+    # per-iteration telemetry so one long run shows whether the
+    # pair-stats table's growth bites as the vocabulary coarsens
+    log = list(_bpe.LAST_TRAIN_ITER_LOG)
+    if log:
+        qsplit = []
+        idx, total = 0, len(merges)
+        for quart in range(4):
+            lo, hi = quart * total / 4, (quart + 1) * total / 4
+            m_q = s_q = 0.0
+            pos = 0.0
+            for m, sec in log:
+                mid = pos + m / 2
+                if lo <= mid < hi:
+                    m_q += m
+                    s_q += sec
+                pos += m
+            if m_q:
+                qsplit.append(round(s_q / m_q, 4))
+        out["per_merge_sec_by_quartile"] = qsplit
 
     t0 = time.perf_counter()
     wf = {r["word"]: int(r["freq"]) for r in vocab.collect()}

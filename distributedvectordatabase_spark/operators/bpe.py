@@ -29,6 +29,8 @@ between a tokenizer you can train and one you cannot.
 
 from __future__ import annotations
 
+import time as _time
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,6 +162,11 @@ def _has_pair_expr(a: str, b: str):
 # (diagnostic for the batched loop — merges/iteration is the overhead
 # amortization factor the r9 probe reports).
 LAST_TRAIN_ITERATIONS = 0
+# per-iteration telemetry of the last incremental train: (merges
+# committed, wall seconds) per batch iteration — lets the vocab probe
+# report s/merge VS MERGE INDEX in one run (does pair-stats growth
+# bite at 2k+ merges?) instead of re-running prefixes (VERDICT r9 #4)
+LAST_TRAIN_ITER_LOG: list[tuple[int, float]] = []
 
 
 def _select_merge_batch(rows, max_batch: int, fetched_all: bool):
@@ -343,6 +350,7 @@ def _train_incremental(
     every merge past the first few (BASELINE.md r8 probe)."""
     global LAST_TRAIN_ITERATIONS
     LAST_TRAIN_ITERATIONS = 0
+    LAST_TRAIN_ITER_LOG.clear()
     merges: list[tuple[str, str, int]] = []
     # partition budgets are pinned at entry: filter preserves the parent
     # partition count and union ADDS the two sides', so without the
@@ -368,6 +376,7 @@ def _train_incremental(
     fetch = max(4 * int(merge_batch), 64)
     try:
         while len(merges) < int(n_merges):
+            _iter_t0 = _time.perf_counter()
             top = stats.orderBy(F.col("cnt").desc(), "a", "b").limit(fetch).collect()
             if not top or int(top[0]["cnt"]) < 2:
                 break
@@ -421,6 +430,9 @@ def _train_incremental(
             superseded = (before - baseline) & created
             _unpersist_rdds(sc, superseded)
             created -= superseded
+            LAST_TRAIN_ITER_LOG.append(
+                (len(batch), _time.perf_counter() - _iter_t0)
+            )
     finally:
         # the learned merges are plain Python — nothing persisted escapes
         _unpersist_rdds(sc, created)

@@ -280,3 +280,25 @@ def test_progressive_via_decode_image_dispatch():
     img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
     out = decode_image(encode_jpeg_progressive(img))
     np.testing.assert_array_equal(out, decode_jpeg(encode_jpeg(img)))
+
+
+def test_restart_intervals_roundtrip_and_reject():
+    """DRI restart markers (r10): byte-aligned RSTm every n MCUs with
+    DC predictor reset — decoded pixels must equal the marker-free
+    stream; a wrong modulo-8 sequence number must fail loudly."""
+    rng = np.random.RandomState(5)
+    for shape, sub in [((48, 56, 3), True), ((48, 56, 3), False), ((40, 33), False)]:
+        img = (rng.randint(0, 256, shape).astype(float) * 0.35 + 100).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        for ri in (1, 2, 5):
+            withr = decode_jpeg(
+                encode_jpeg(img, quality=85, subsample=sub, restart_interval=ri)
+            )
+            np.testing.assert_array_equal(plain, withr)
+    data = bytearray(
+        encode_jpeg(np.full((48, 48), 90, dtype=np.uint8), restart_interval=2)
+    )
+    i = data.find(b"\xff\xd0")
+    data[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(data))
