@@ -116,6 +116,9 @@ EXTRA = [
     "doc_substring_dedup",
     # r10: unigram-LM Viterbi apply gate (overflow; operators/unigram.py)
     "doc_unigram_tokens",
+    # r10: Lee-et-al substring TRIM (operators/substring_dedup; the
+    # stats form is the doc_substring_dedup gate)
+    "substring_trim",
 ]
 
 
@@ -172,10 +175,23 @@ def main() -> None:
             docs, threshold=0.9, bands=2, rows=6, max_band_freq=500
         )
 
+    def _run_substring_trim(spark, sf_dir):
+        # the Lee-et-al span-removal pass (operators/substring_dedup,
+        # r10) — the stats form is gated as doc_substring_dedup; this
+        # measures the trim's extra cost (span explode + anti-join +
+        # per-doc reassembly)
+        from distributedvectordatabase_spark.operators.substring_dedup import (
+            substring_trim,
+        )
+        from distributedvectordatabase_spark.sources.tables import load_table
+
+        return substring_trim(load_table(spark, "documents", sf_dir), k=8)
+
     extra_runners = {
         "ann_ivf_topk": _run_ann_ivf,
         "events_approx_distinct": _run_events_approx_distinct,
         "dedup_minhash_capped": _run_dedup_minhash_capped,
+        "substring_trim": _run_substring_trim,
     }
 
     def time_query(name: str) -> tuple[float, float, float]:
