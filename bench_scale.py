@@ -716,6 +716,12 @@ def main() -> None:
         timings["substring_stats"] = timed_min(
             lambda: ss.agg(F.sum("dup_tokens")).first(), reps=1
         )
+        # the one-shuffle window strategy vs the AQE-skew-safe join
+        # (row-identity pinned in tests; this measures the trade)
+        ssw = substring_stats(docs, k=8, via="window")
+        timings["substring_stats_window"] = timed_min(
+            lambda: ssw.agg(F.sum("dup_tokens")).first(), reps=1
+        )
         text_stats["substring_docs_with_dups"] = ss.filter("clean = 0").count()
         tr = substring_trim(docs, k=8)
         timings["substring_trim"] = timed_min(

@@ -55,13 +55,36 @@ def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _marks(base: DataFrame, k: int) -> DataFrame:
+def _marks(base: DataFrame, k: int, via: str = "join") -> DataFrame:
     """(doc_id, pos) for every K-window whose shingle repeats >= 2×
-    corpus-wide. ``pos`` is the 0-based start token index."""
+    corpus-wide. ``pos`` is the 0-based start token index.
+
+    Two exact-identical strategies (pinned in
+    tests/test_substring_dedup.py; measured at 1M docs in BASELINE):
+
+    - ``"join"`` (default): map-side-combined ``groupBy(shingle)``
+      builds the duplicate set, then the exploded shingles re-join it.
+      Costs TWO passes over the explode (Spark recomputes the
+      un-reusable subplan) but AQE's skew-join splitting handles hot
+      boilerplate shingles.
+    - ``"window"``: one pass + ONE shuffle — ``count() OVER
+      (PARTITION BY shingle)`` — at the price of buffering each
+      shingle's whole partition in WindowExec (spills, and a
+      pathological hot shingle funnels into one window partition).
+    """
     sh = base.select(
         "doc_id",
         F.posexplode(F.expr(word_shingles("toks", k, SPARK))).alias("pos", "s"),
     )
+    if via == "window":
+        w = Window.partitionBy("s")
+        return (
+            sh.withColumn("c", F.count("*").over(w))
+            .filter("c >= 2")
+            .select("doc_id", "pos")
+        )
+    if via != "join":
+        raise ValueError(f"via must be 'join' or 'window', got {via!r}")
     dup = sh.groupBy("s").agg(F.count("*").alias("c")).filter("c >= 2").select("s")
     return sh.join(dup, "s").select("doc_id", "pos")
 
@@ -71,12 +94,13 @@ def duplicated_spans(
     k: int = K_DEFAULT,
     text_col: str = "text",
     id_col: str = "doc_id",
+    via: str = "join",
 ) -> DataFrame:
     """Maximal merged duplicate spans per document: (doc_id, s_start,
     s_end) in 0-based token positions, end inclusive. Overlapping or
     adjacent K-windows merge (gaps-and-islands over mark starts)."""
     base = _tokenized(docs, text_col, id_col)
-    marks = _marks(base, k)
+    marks = _marks(base, k, via)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -99,13 +123,14 @@ def substring_stats(
     k: int = K_DEFAULT,
     text_col: str = "text",
     id_col: str = "doc_id",
+    via: str = "join",
 ) -> DataFrame:
     """Per-doc duplicated-token mass — output columns match the
     ``doc_substring_dedup`` gate exactly: (doc_id, n_words,
     n_dup_windows, n_spans, dup_tokens, dup_frac, clean)."""
     base = _tokenized(docs, text_col, id_col)
     st = base.select("doc_id", F.size("toks").alias("n_words"))
-    marks = _marks(base.filter(F.size("toks") >= k), k)
+    marks = _marks(base.filter(F.size("toks") >= k), k, via)
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
@@ -161,6 +186,7 @@ def substring_trim(
     k: int = K_DEFAULT,
     text_col: str = "text",
     id_col: str = "doc_id",
+    via: str = "join",
 ) -> DataFrame:
     """The actual Lee et al. trim: drop every token covered by a
     duplicated span and re-join the survivors. Returns (doc_id,
@@ -174,7 +200,7 @@ def substring_trim(
     aggregation with an array sort bounded by doc length.
     """
     base = _tokenized(docs, text_col, id_col)
-    spans = duplicated_spans(docs, k, text_col, id_col)
+    spans = duplicated_spans(docs, k, text_col, id_col, via)
     cut = spans.select(
         "doc_id", F.explode(F.sequence("s_start", "s_end")).alias("pos")
     )

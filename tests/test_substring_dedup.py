@@ -96,3 +96,18 @@ def test_plan_has_no_python_udfs(spark):
         substring_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_window_strategy_identical_to_join(spark):
+    """The one-shuffle window form of duplicate detection must produce
+    exactly the join form's rows on real testdata."""
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    a = {r.doc_id: r.asDict() for r in substring_stats(docs, via="join").collect()}
+    b = {r.doc_id: r.asDict() for r in substring_stats(docs, via="window").collect()}
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="via"):
+        substring_stats(docs, via="nope").collect()
