@@ -56,7 +56,10 @@ def _q6(col):
 
 
 def gopher_repetition(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc Gopher repetition profile + keep verdict.
 
@@ -64,8 +67,16 @@ def gopher_repetition(
     (doc_id, n_words, n_types, total_chars, top2_chars, dup5_chars,
     all5_chars, ttr, top2_frac, dup5_frac, keep).
     """
-    toks = tokens(text_col, SPARK)
-    base = docs.select(F.col(id_col).alias("doc_id"), F.expr(toks).alias("toks"))
+    # tokens_col: reuse a persisted token column instead of paying
+    # tokenize x 3 corpus passes (the one-tokenize-pass pattern at
+    # 100 TB; same knob as substring_dedup/_tokenized)
+    if tokens_col is not None:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks")
+        )
+    else:
+        toks = tokens(text_col, SPARK)
+        base = docs.select(F.col(id_col).alias("doc_id"), F.expr(toks).alias("toks"))
     st = base.select(
         "doc_id",
         F.size("toks").alias("n_words"),
@@ -139,13 +150,16 @@ def gopher_repetition(
 
 
 def gopher_filter(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The curation form: input rows that PASS the repetition rules,
     original schema preserved (the pass a pipeline chains before
     tokenization/mixing). One skinny semi-join against the verdicts."""
     keep = (
-        gopher_repetition(docs, text_col, id_col)
+        gopher_repetition(docs, text_col, id_col, tokens_col)
         .filter(F.col("keep") == 1)
         .select(F.col("doc_id").alias(id_col))
     )

@@ -48,7 +48,16 @@ from ..functions.text import SPARK, tokens, word_shingles
 K_DEFAULT = 8
 
 
-def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _tokenized(
+    docs: DataFrame, text_col: str, id_col: str, tokens_col: str | None = None
+) -> DataFrame:
+    """(doc_id, toks). ``tokens_col`` names an existing array<string>
+    column to use instead of re-tokenizing ``text_col`` — the pattern a
+    100 TB pipeline runs: tokenize ONCE, persist the token column, and
+    every downstream operator (this one, gopher, dsir, bpe_apply)
+    reads it instead of re-paying tokenize × passes on the raw text."""
+    if tokens_col is not None:
+        return docs.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks"))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.expr(tokens(text_col, SPARK)).alias("toks"),
@@ -95,11 +104,12 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     via: str = "join",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Maximal merged duplicate spans per document: (doc_id, s_start,
     s_end) in 0-based token positions, end inclusive. Overlapping or
     adjacent K-windows merge (gaps-and-islands over mark starts)."""
-    base = _tokenized(docs, text_col, id_col)
+    base = _tokenized(docs, text_col, id_col, tokens_col)
     marks = _marks(base, k, via)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
@@ -124,11 +134,12 @@ def substring_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     via: str = "join",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc duplicated-token mass — output columns match the
     ``doc_substring_dedup`` gate exactly: (doc_id, n_words,
     n_dup_windows, n_spans, dup_tokens, dup_frac, clean)."""
-    base = _tokenized(docs, text_col, id_col)
+    base = _tokenized(docs, text_col, id_col, tokens_col)
     st = base.select("doc_id", F.size("toks").alias("n_words"))
     marks = _marks(base.filter(F.size("toks") >= k), k, via)
 
@@ -187,6 +198,7 @@ def substring_trim(
     text_col: str = "text",
     id_col: str = "doc_id",
     via: str = "join",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The actual Lee et al. trim: drop every token covered by a
     duplicated span and re-join the survivors. Returns (doc_id,
@@ -199,8 +211,8 @@ def substring_trim(
     the anti-join is (doc_id, pos)-keyed, and reassembly is one per-doc
     aggregation with an array sort bounded by doc length.
     """
-    base = _tokenized(docs, text_col, id_col)
-    spans = duplicated_spans(docs, k, text_col, id_col, via)
+    base = _tokenized(docs, text_col, id_col, tokens_col)
+    spans = duplicated_spans(docs, k, text_col, id_col, via, tokens_col)
     cut = spans.select(
         "doc_id", F.explode(F.sequence("s_start", "s_end")).alias("pos")
     )

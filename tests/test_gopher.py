@@ -64,3 +64,19 @@ def test_plan_has_no_python_udfs(spark):
         gopher_repetition(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_pretokenized_column_matches_text_path(spark):
+    """tokens_col reuses a persisted token column (the tokenize-once
+    pattern); output must equal the text path exactly."""
+    from pyspark.sql import functions as F
+    from distributedvectordatabase_spark.functions.text import SPARK, tokens
+
+    docs = _mk(spark, [(1, " ".join(["x y"] * 20)), (2, "a  b   c"), (3, "")])
+    pre = docs.withColumn("toks_pre", F.expr(tokens("text", SPARK)))
+    a = {r.doc_id: r.asDict() for r in gopher_repetition(docs).collect()}
+    b = {
+        r.doc_id: r.asDict()
+        for r in gopher_repetition(pre, tokens_col="toks_pre").collect()
+    }
+    assert a == b
