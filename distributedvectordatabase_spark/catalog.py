@@ -187,12 +187,12 @@ def _qz(expr: str, scale: int = 6) -> str:
     single operations in both engines, so this form is bit-identical
     given bit-identical inputs. Half-up toward +inf on negatives
     (floor(x+0.5)), which both dialects share by construction.
+
+    Delegates to the ONE shared definition in functions/text.py (r11
+    hoist — gopher/substring_dedup/the catalog all quantize through the
+    same helper, pinned in tests/test_quantization.py).
     """
-    m = 10**scale
-    return (
-        f"(cast(floor(({expr}) * cast({m} as double) + cast(0.5 as double)) as bigint)"
-        f" / cast({m} as double))"
-    )
+    return T.q6_sql(expr, scale)
 
 
 def _dq(dec_expr: str, scale: int = 2) -> str:
@@ -232,20 +232,13 @@ def _qavg(term: str, count: str = "count(*)") -> str:
 
 def _qz_py(x: float, scale: int = 6) -> float:
     """Python twin of :func:`_qz` — same IEEE ops on the same doubles."""
-    import math
-
-    m = float(10**scale)
-    return math.floor(x * m + 0.5) / m
+    return T.q6_py(x, scale)
 
 
 def _qz_col(col, scale: int = 6):
     """DataFrame twin of :func:`_qz` — identical floor-based ops, so a
     runner using this matches an oracle using ``_qz`` bit-for-bit."""
-    from pyspark.sql import functions as F
-
-    m = float(10**scale)
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * F.lit(m) + F.lit(0.5)) / F.lit(m)
+    return T.q6_col(col, scale)
 
 
 def _hour(ts: str, d: str) -> str:

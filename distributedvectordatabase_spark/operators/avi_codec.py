@@ -160,9 +160,19 @@ def _walk(data: bytes, pos: int, end: int, frames: list, meta: dict) -> None:
             # 'ccdc' or 'addb' injects garbage payloads into the frame
             # list). hdrl precedes movi in a conformant file, so the
             # declared count is known by the time frames appear.
-            snum = int(ckid[:2], 16)
+            # A declared dwStreams of 0 is a malformed header — treat
+            # it like "undeclared" and allow the 10 ids two decimal
+            # digits can always name (deliberate `or 10`, ADVICE r10).
             limit = meta.get("streams") or 10
-            if snum < limit and (ckid[:2].isdigit() or limit > 10):
+            two = ckid[:2]
+            # With >10 streams muxers disagree on digit base: ffmpeg
+            # writes two DECIMAL digits ('10dc' = stream ten) while
+            # others switch to hex ('0adc') — accept an id valid under
+            # EITHER reading so neither family's frames are dropped
+            # (ADVICE r10).
+            ok_dec = two.isdigit() and int(two, 10) < limit
+            ok_hex = limit > 10 and int(two, 16) < limit
+            if ok_dec or ok_hex:
                 frames.append(data[body_start:body_end])
         elif ckid == b"avih" and size >= 56:
             vals = struct.unpack_from("<14I", data, body_start)

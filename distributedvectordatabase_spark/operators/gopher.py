@@ -39,20 +39,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import SPARK, sum_token_lengths, tokens, word_shingles
+from ..functions.text import (
+    SPARK,
+    q6_col as _q6,
+    sum_token_lengths,
+    tokens,
+    word_shingles,
+)
 
 # Rae et al. 2021 App. A thresholds, expressed as integer cross-ratios
 # (top2_chars/total_chars <= 1/5; dup5_chars/all5_chars <= 3/20).
 TOP2_NUM, TOP2_DEN = 1, 5
 DUP5_NUM, DUP5_DEN = 3, 20
-
-
-def _q6(col):
-    """Shared 1e-6 floor-round quantization (the gates' ``q6`` macro)."""
-    return (
-        F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-        / F.lit(1000000.0)
-    )
 
 
 def gopher_repetition(

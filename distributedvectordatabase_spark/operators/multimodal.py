@@ -499,11 +499,14 @@ def video_frame_stats(media: DataFrame, stride: int = 1, max_frames: int = 8) ->
     frames = sample_video_frames(media, stride=stride, max_frames=max_frames)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import logging
+
         for pdf in it:
             keep: list[int] = []
             widths: list[int] = []
             heights: list[int] = []
             bright: list[float] = []
+            dropped = 0
             for row_i, fp in enumerate(pdf["frame_payload"]):
                 b = bytes(fp)
                 # per-frame robustness (ADVICE r9): sample_video_frames
@@ -514,16 +517,28 @@ def video_frame_stats(media: DataFrame, stride: int = 1, max_frames: int = 8) ->
                 # whole stage. Frames without a PNG/JPEG signature (or
                 # failing to decode) are dropped, not fatal.
                 if b[:8] != b"\x89PNG\r\n\x1a\n" and b[:3] != b"\xff\xd8\xff":
+                    dropped += 1
                     continue
                 try:
                     img = decode_image(b)
                 except (NotImplementedError, ValueError):
+                    dropped += 1
                     continue
                 g = luma(img)
                 keep.append(row_i)
                 heights.append(int(g.shape[0]))
                 widths.append(int(g.shape[1]))
                 bright.append(float(g.mean() / 255.0))
+            if dropped:
+                # observability (ADVICE r10): a systematically corrupt
+                # or misrouted dataset must surface as a detectable
+                # condition, not mysteriously fewer rows
+                logging.getLogger(__name__).warning(
+                    "video_frame_stats: dropped %d/%d undecodable frame(s) "
+                    "in batch (no PNG/JPEG signature or decode failure)",
+                    dropped,
+                    len(pdf),
+                )
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"].iloc[keep].reset_index(drop=True),

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import SPARK, tokens, word_shingles
+from ..functions.text import SPARK, q6_col, tokens, word_shingles
 
 K_DEFAULT = 8
 
@@ -166,14 +166,10 @@ def substring_stats(
     )
 
     dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0))
-    dup_frac = (
-        F.floor(
-            F.when(F.col("n_words") == 0, F.lit(0.0))
-            .otherwise(dup_tokens.cast("double") / F.col("n_words"))
-            * F.lit(1000000.0)
-            + F.lit(0.5)
-        ).cast("bigint")
-        / F.lit(1000000.0)
+    dup_frac = q6_col(
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+            dup_tokens.cast("double") / F.col("n_words")
+        )
     )
     return (
         st.join(per_doc, "doc_id", "left")

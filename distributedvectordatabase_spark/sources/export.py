@@ -122,7 +122,25 @@ def _write_wds(sharded: DataFrame, data_path: str, id_col: str) -> None:
                 os.fsync(fd)
             finally:
                 os.close(fd)
-            os.replace(tmp, final)
+            try:
+                os.replace(tmp, final)
+            except FileNotFoundError:
+                # our tmp was swept by a sibling attempt that already
+                # published a complete tar — lost the race, fine
+                if not os.path.exists(final):
+                    raise
+            # A failed/killed attempt leaves its private tmp behind
+            # forever (ADVICE r10) — sweep stale attempt files once a
+            # COMPLETE tar has been published. Racing a still-writing
+            # speculative attempt is benign: its fd keeps working and
+            # its os.replace hits the FileNotFoundError branch above.
+            import glob as _glob
+
+            for stale in _glob.glob(f"{final}.attempt-*.tmp"):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
             stats.append((int(cur_shard), n_rows, os.path.getsize(final)))
             tf = None
             n_rows = 0

@@ -197,3 +197,17 @@ def test_hex_stream_ids_accepted_only_when_declared():
     assert len(avi_frames(base.replace(b"00dc", b"ccdc"))) == 0
     # a non-hex 4CC ending in 'dc' must NOT be mistaken for a stream
     assert len(avi_frames(base.replace(b"00dc", b"xxdc"))) == 0
+
+
+def test_decimal_stream_ids_past_nine_accepted():
+    """ffmpeg-style muxers write two DECIMAL digits for streams past 9
+    ('10dc' = stream ten); with 11 declared streams that id must be
+    accepted even though its hex reading (16) is out of range, and a
+    declared dwStreams of 0 must behave like 'undeclared' (ADVICE r10)."""
+    frames = _gradient_frames(n=2, h=16, w=16)
+    base = encode_avi_mjpeg(frames)
+    data = _set_declared_streams(base, 11).replace(b"00dc", b"10dc")
+    assert len(avi_frames(data)) >= 2
+    # dwStreams == 0 (malformed header): two-decimal-digit ids still work
+    zeroed = _set_declared_streams(base, 0)
+    assert len(avi_frames(zeroed)) >= 2
