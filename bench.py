@@ -119,6 +119,10 @@ EXTRA = [
     # r10: Lee-et-al substring TRIM (operators/substring_dedup; the
     # stats form is the doc_substring_dedup gate)
     "substring_trim",
+    # r11: language identification from raw text (operators/langid.py)
+    # + the derived-lang curation pass (both in-window gates)
+    "doc_langid",
+    "curation_pipeline_langid",
 ]
 
 

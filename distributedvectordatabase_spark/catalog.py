@@ -367,6 +367,120 @@ def _q_curation_pipeline(d: str) -> str:
     """
 
 
+def _q_doc_langid(d: str) -> str:
+    """Language identification from RAW TEXT (operators/langid.py —
+    the CCNet/fastText-style hashed char-n-gram classifier, VERDICT r10
+    #1). The frozen per-language micro log-prob tables are inlined as
+    constant-folded array literals; per-doc scores are exact bigint
+    sums (summation order cannot move a bit) and the argmax ties break
+    toward the fixed LANGS order, so the gate has NO float parity
+    surface at all. Note the testdata's ``lang`` label is synthetic
+    (every doc shares one English-ish vocabulary), so ``agree`` is a
+    determinism check, not an accuracy claim — accuracy on real
+    multilingual text is pinned in tests/test_langid.py.
+
+    100 TB shape: one scan, pure per-row expression work — grams and
+    buckets materialize once per row (multi-use aliases survive
+    CollapseProject), then five integer folds. No shuffle, no join."""
+    from distributedvectordatabase_spark.operators import langid as LID
+
+    gs = LID.grams_sql("lt", d)
+    bks = LID.buckets_sql("gs", d)
+    score_cols = {lang: f"score_{lang}_micro" for lang in LID.LANGS}
+    tbl = (lambda lang: None) if d == SPARK else (lambda lang: f"t_{lang}")
+    scores = ",\n             ".join(
+        f"{LID.score_sql('bks', lang, d, tbl(lang))} AS score_{lang}_micro"
+        for lang in LID.LANGS
+    )
+    pred = LID.pred_sql(score_cols)
+    mdl = "" if d == SPARK else f"mdl AS ({LID.model_cte_sql(d)}),"
+    src = "b" if d == SPARK else "b CROSS JOIN mdl"
+    return f"""
+    WITH {mdl}
+    lowered AS (
+      SELECT doc_id, lang, lower(coalesce(text, '')) AS lt FROM documents
+    ),
+    g AS (SELECT doc_id, lang, {gs} AS gs FROM lowered),
+    b AS (SELECT doc_id, lang, {bks} AS bks FROM g),
+    s AS (
+      SELECT doc_id, lang, cast({_asize(d)}(bks) as bigint) AS n_grams,
+             {scores}
+      FROM {src}
+    )
+    SELECT doc_id, lang, n_grams,
+           score_en_micro, score_de_micro, score_es_micro,
+           score_fr_micro, score_zh_micro,
+           {pred} AS lang_pred,
+           CASE WHEN {pred} = lang THEN 1 ELSE 0 END AS agree
+    FROM s
+    """
+
+
+def _q_curation_pipeline_langid(d: str) -> str:
+    """The curation pipeline with language DERIVED from raw text by the
+    frozen classifier instead of read from a pre-labeled column — what
+    a real crawl pipeline runs, since no crawl ships lang labels
+    (VERDICT r10 #1). Same quality gates and keep-first dedup as
+    curation_pipeline; the grouping key and the en-conditioned stopword
+    gate both use ``lang_pred``. Still one declarative plan: the
+    classifier is per-row expression work fused into the scan."""
+    from distributedvectordatabase_spark.operators import langid as LID
+
+    toks = T.tokens("text", d)
+    n = f"{_asize(d)}({toks})"
+    stop = T.marker_score(toks, T.STOPWORDS_EN, d)
+    stop_ratio = f"(cast({stop} as double) / nullif({n}, 0))"
+    strip = (
+        "regexp_replace(text, '[^A-Za-z]', '')"
+        if d == SPARK
+        else "regexp_replace(text, '[^A-Za-z]', '', 'g')"
+    )
+    alpha_ratio = f"(cast(length({strip}) as double) / nullif(length(text), 0))"
+    gs = LID.grams_sql("lt", d)
+    bks = LID.buckets_sql("gs", d)
+    score_cols = {lang: f"score_{lang}_micro" for lang in LID.LANGS}
+    tbl = (lambda lang: None) if d == SPARK else (lambda lang: f"t_{lang}")
+    scores = ",\n             ".join(
+        f"{LID.score_sql('bks', lang, d, tbl(lang))} AS score_{lang}_micro"
+        for lang in LID.LANGS
+    )
+    pred = LID.pred_sql(score_cols)
+    mdl = "" if d == SPARK else f"mdl AS ({LID.model_cte_sql(d)}),"
+    src = "b" if d == SPARK else "b CROSS JOIN mdl"
+    return f"""
+    WITH {mdl}
+    lowered AS (
+      SELECT doc_id, text, lower(coalesce(text, '')) AS lt FROM documents
+    ),
+    g AS (SELECT doc_id, text, {gs} AS gs FROM lowered),
+    b AS (SELECT doc_id, text, {bks} AS bks FROM g),
+    s AS (
+      SELECT doc_id, text,
+             {scores}
+      FROM {src}
+    ),
+    p AS (SELECT doc_id, text, {pred} AS lang_pred FROM s),
+    gated AS (
+      SELECT lang_pred AS lang, doc_id, md5(text) AS content_hash
+      FROM p
+      WHERE {n} >= 10
+        AND {alpha_ratio} >= 0.5
+        AND (lang_pred <> 'en' OR {stop_ratio} > 0)
+    ),
+    kept AS (
+      SELECT lang, content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      FROM gated
+      GROUP BY lang, content_hash
+    )
+    SELECT lang,
+           count(*) AS docs_kept,
+           cast(sum(n_copies) as bigint) AS docs_after_gates,
+           cast(sum(n_copies) - count(*) as bigint) AS dups_removed
+    FROM kept
+    GROUP BY lang
+    """
+
+
 def _q_doc_tfidf_top3(d: str) -> str:
     """TF-IDF feature extraction: top-3 terms per document by
     tf * ln(N/df), ties broken by term. Ranking happens on the
@@ -3826,18 +3940,23 @@ def build_catalog() -> dict[str, Query]:
         # fingerprint/sample-hash ones)
         _sql_query("doc_quality", _q_doc_quality),
         Query("doc_tfidf_top3", _run_doc_tfidf_top3, _q_doc_tfidf_top3(DUCKDB)),
+        # language identification from raw text (r11, VERDICT r10 #1):
+        # the frozen hashed-char-n-gram classifier — integer-only
+        # scoring, no float parity surface
+        _sql_query("doc_langid", _q_doc_langid),
         # lexical ranked retrieval (north star: hybrid search's text leg)
         Query("doc_bm25_topk", _run_bm25, bm25_oracle_sql()),
         # training-data shaping (north star): sliding-window chunking
         Query("doc_chunks", _run_doc_chunks, _q_doc_chunks(DUCKDB)),
-        _sql_query("doc_sample_fingerprint", _q_doc_sample_fingerprint),
         # dedup family (X2/X3 + north star); shingle MinHash is the
         # headline scale path (unigram form stays bench-only — see bench.py)
         _sql_query("dedup_exact", _q_dedup_exact),
         _sql_query("curation_pipeline", _q_curation_pipeline),
+        # the derived-lang curation pass (r11): same gates/dedup, but
+        # language comes from the classifier, as a real crawl requires
+        _sql_query("curation_pipeline_langid", _q_curation_pipeline_langid),
         # benchmark decontamination (north star: eval-overlap pass)
         Query("decontam_overlap", _run_decontam, _q_decontam(DUCKDB)),
-        Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
         Query(
             "dedup_minhash_shingle",
             _run_dedup_minhash_shingle,
@@ -3858,11 +3977,8 @@ def build_catalog() -> dict[str, Query]:
         # vector analytics (X5; centroid+dispersion merged into one gate)
         _sql_query("label_centroid_dispersion", _q_label_centroid_dispersion),
         _sql_query("vector_norms", _q_vector_norms),
-        _sql_query("centroid_assign", _q_centroid_assign),
-        _sql_query("embedding_quantize_error", _q_embedding_quantize_error),
         # events (X6/X7); hour-bucket aggregation gates through
         # events_windowed (same plan the streaming operator runs)
-        _sql_query("events_json_extract", _q_events_json),
         _sql_query("events_sessions", _q_events_sessions),
         # events_daily_active was folded out in r4 to keep the catalog at the
         # driver's 50-gate cap when ann_ivf_exact_probe came in: its day
@@ -3870,7 +3986,6 @@ def build_catalog() -> dict[str, Query]:
         # distinct-user counting is events_approx_distinct's (exact-checked
         # in tests/test_catalog.py).
         Query("events_windowed", _run_events_windowed, _q_events_windowed(DUCKDB)),
-        Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
         Query("events_asof_purchase", _run_events_asof, _events_asof_oracle()),
         # approximate-distinct (§2.2, HLL++) left the gated set in r4
         # for decontam_overlap: its estimates are engine-specific so it
@@ -3930,6 +4045,21 @@ def build_catalog() -> dict[str, Query]:
         # rung of the compression ladder. Integer-only output, so the
         # gate has no float parity surface at all.
         Query("knn_hamming", _run_knn_hamming, knn_hamming_oracle_sql()),
+        # r11 rotation (VERDICT r10 #2/#8): doc_unigram_tokens — the
+        # only hash-oracle gate never externally verified (born in
+        # overflow r10) — enters the window, alongside the three
+        # STALEST r6/r8 demotions not externally re-checked in 4+
+        # rounds (events_value_histogram green r6 only; customer_set_ops
+        # and doc_packs green through r7). Six long-green gates cede
+        # (dedup_minhash per the verdict's own suggestion — its shingle
+        # sibling stays; events_salted_agg, events_json_extract,
+        # centroid_assign, embedding_quantize_error,
+        # doc_sample_fingerprint — all externally hash-green r2-r10)
+        # and stay bit-for-bit checked by tests/exact_compare.py.
+        _sql_query("doc_unigram_tokens", _q_doc_unigram_tokens),
+        _sql_query("events_value_histogram", _q_events_value_histogram),
+        _sql_query("customer_set_ops", _q_customer_set_ops),
+        Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
         # position 51+: past the driver's 50-gate cap, but still
         # exact-checked by tests/test_catalog.py (and benched where in
         # bench.py's lists). Slot cessions, r4: events_value_histogram →
@@ -3954,17 +4084,12 @@ def build_catalog() -> dict[str, Query]:
             _run_returnflag_unpivot,
             _returnflag_unpivot_oracle(),
         ),
-        # r7 rotation: events_value_histogram demoted here after its r6
-        # external hash-pass, ceding its slot to bpe_pair_stats (the
-        # last never-hash-checked oracle-able query). Stays bit-for-bit
-        # green under tests/exact_compare.py like every other demotion.
-        _sql_query("events_value_histogram", _q_events_value_histogram),
-        # r8 rotation: these four cede their slots to the returning
-        # r6-demoted relational gates (rolling-freshness policy,
-        # VERDICT r7 #4); all were externally hash-green for 3+ rounds
-        # and stay bit-for-bit green under tests/exact_compare.py.
-        _sql_query("customer_set_ops", _q_customer_set_ops),
-        Query("doc_packs", _run_doc_packs, _q_doc_packs(DUCKDB)),
+        # r8 rotation (remaining): these cede their slots to the
+        # returning r6-demoted relational gates (rolling-freshness
+        # policy, VERDICT r7 #4); externally hash-green for 3+ rounds
+        # and bit-for-bit green under tests/exact_compare.py.
+        # (events_value_histogram, customer_set_ops and doc_packs
+        # returned to the window in the r11 rotation above.)
         Query("mix_weighted_sources", _run_mix_weighted, _q_mix_weighted(DUCKDB)),
         Query("strat_sample_quota", _run_strat_sample, _q_strat_sample(DUCKDB)),
         # r9 rotation: strat_sample_weighted demoted here after three
@@ -3989,13 +4114,18 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("source_regex_stats", _q_source_regex_stats),
         _sql_query("lineitem_price_stats", _q_lineitem_price_stats),
         Query("hybrid_rrf_topk", _run_hybrid_rrf, hybrid_rrf_oracle_sql()),
-        # r10 new surface, born in overflow (the hybrid_filtered_topk /
-        # r9 pattern): the unigram-LM tokenizer family's external gate
-        # (VERDICT r9 #3) — Viterbi apply over the frozen piece table,
-        # dual-dialect DP (Spark aggregate-HOF folds / DuckDB recursive
-        # CTEs), pinned bit-identical to operators/unigram.py's
-        # viterbi_segment in tests/test_unigram_gate.py. Full hash
-        # oracle; rotation candidate.
-        _sql_query("doc_unigram_tokens", _q_doc_unigram_tokens),
+        # r11 rotation: these six cede their slots to doc_langid,
+        # curation_pipeline_langid, doc_unigram_tokens and the three
+        # returning stale demotions (VERDICT r10 #1/#2/#8). All were
+        # externally hash-green every round since r1/r2 (dedup_minhash
+        # is the verdict's own demotion candidate — the shingle scale
+        # path stays in-window) and stay bit-for-bit green under
+        # tests/exact_compare.py like every prior demotion.
+        Query("dedup_minhash", _run_dedup_minhash, _q_dedup_minhash(DUCKDB)),
+        Query("events_salted_agg", _run_salted_event_counts, _salted_event_counts_oracle()),
+        _sql_query("events_json_extract", _q_events_json),
+        _sql_query("centroid_assign", _q_centroid_assign),
+        _sql_query("embedding_quantize_error", _q_embedding_quantize_error),
+        _sql_query("doc_sample_fingerprint", _q_doc_sample_fingerprint),
     ]
     return {q.name: q for q in qs}

@@ -1,0 +1,140 @@
+"""Language identification (operators/langid.py + the doc_langid /
+curation_pipeline_langid gates).
+
+Covers: frozen-model reproducibility (pinned md5 — catches seed/param
+drift AND cross-platform libm drift in math.log loudly), held-out
+accuracy on real multilingual sentences (the thing the synthetic-label
+driver gate cannot measure), DataFrame-operator vs Python-twin parity
+(including empty/NULL/unknown-script inputs), shuffle-free plan shape,
+and the dual-dialect gates against the DuckDB oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from distributedvectordatabase_spark.catalog import (
+    _q_curation_pipeline_langid,
+    _q_doc_langid,
+)
+from distributedvectordatabase_spark.functions.text import DUCKDB, SPARK
+from distributedvectordatabase_spark.operators import langid as L
+from tests.conftest import assert_matches_oracle
+
+# Pinned at freeze time (r11). If this fails the model drifted —
+# either the seeds/params changed (update deliberately, bump the gate
+# note) or math.log differs on this platform (do NOT silently
+# re-freeze; the gate contract is bit-stability).
+MODEL_MD5 = "a87ea31da5081758a9d87748ae6bfa55"
+
+HELD_OUT = [
+    ("en", "she walked to the store yesterday and bought some bread for dinner"),
+    ("en", "scientists have discovered that regular exercise improves memory"),
+    ("en", "the committee will meet on tuesday to discuss the new budget proposal"),
+    ("de", "ich habe gestern einen langen brief an meine schwester geschrieben"),
+    ("de", "die wissenschaftler haben entdeckt dass bewegung wichtig ist"),
+    ("de", "morgen fahren wir mit dem zug in die stadt um einkäufe zu machen"),
+    ("es", "ayer caminé a la tienda y compré pan para la cena de mi familia"),
+    ("es", "los científicos descubrieron que el ejercicio mejora la memoria"),
+    ("es", "mañana vamos en tren a la ciudad para hacer algunas compras"),
+    ("fr", "hier je suis allé au magasin et j'ai acheté du pain pour le dîner"),
+    ("fr", "les scientifiques ont découvert que l'exercice améliore la mémoire"),
+    ("fr", "demain nous prenons le train pour aller faire des courses en ville"),
+    ("zh", "昨天我去商店买了一些面包作为晚餐"),
+    ("zh", "科学家发现经常锻炼可以提高记忆力"),
+    ("zh", "明天我们坐火车去城里买东西"),
+    ("zh", "请问最近的火车站怎么走"),
+]
+
+
+def test_frozen_model_pinned():
+    js = json.dumps(L.MODEL_MICRO, sort_keys=True, separators=(",", ":"))
+    assert hashlib.md5(js.encode()).hexdigest() == MODEL_MD5
+    assert set(L.MODEL_MICRO) == set(L.LANGS)
+    assert all(len(t) == L.BUCKETS for t in L.MODEL_MICRO.values())
+    # every entry is a negative micro log-prob that fits exact-int sums
+    assert all(-40_000_000 < v < 0 for t in L.MODEL_MICRO.values() for v in t)
+    # retraining from the in-source seeds reproduces the frozen table
+    assert L.train_langid_model(L.SEED_TEXTS) == L.MODEL_MICRO
+
+
+def test_held_out_accuracy():
+    """100% on held-out real-language sentences (none appear in the
+    seeds). A miss here means the model regressed, not just drifted."""
+    for want, text in HELD_OUT:
+        assert L.predict_lang_py(text) == want, (want, text)
+
+
+def test_edge_inputs_python_twin():
+    assert L.predict_lang_py("") == "en"  # all-zero scores -> tie -> en
+    # unknown script (cyrillic) still returns SOME language deterministically
+    assert L.predict_lang_py("привет как дела") in L.LANGS
+    assert L.predict_lang_py("a") in L.LANGS
+
+
+def test_dataframe_operator_matches_python_twin(spark):
+    rows = [(i, t) for i, (_, t) in enumerate(HELD_OUT)]
+    rows += [(100, ""), (101, None), (102, "12345 67890 !!!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in L.langid(df).select("doc_id", "lang_pred").collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == L.predict_lang_py(text or ""), (doc_id, text)
+
+
+def test_keep_scores_columns(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox")], "doc_id long, text string")
+    out = L.langid(df, keep_scores=True)
+    cols = set(out.columns)
+    assert {f"score_{lang}_micro" for lang in L.LANGS} <= cols
+    row = out.collect()[0]
+    bks = [L.bucket_py(g) for g in L.grams_py("the quick brown fox")]
+    for lang in L.LANGS:
+        assert row[f"score_{lang}_micro"] == sum(L.MODEL_MICRO[lang][b] for b in bks)
+
+
+def test_plan_is_shuffle_free(spark):
+    """The classifier is pure per-row expression work: the plan must
+    contain no exchange, no join, no aggregate."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    plan = L.langid(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "HashAggregate", "SortAggregate"):
+        assert bad not in plan, f"{bad} in langid plan:\n{plan[:2000]}"
+
+
+def test_doc_langid_gate_matches_oracle(spark, oracle):
+    from distributedvectordatabase_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.01")
+    assert_matches_oracle(
+        spark.sql(_q_doc_langid(SPARK)), oracle, _q_doc_langid(DUCKDB)
+    )
+
+
+def test_curation_pipeline_langid_gate_matches_oracle(spark, oracle):
+    from distributedvectordatabase_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.01")
+    assert_matches_oracle(
+        spark.sql(_q_curation_pipeline_langid(SPARK)),
+        oracle,
+        _q_curation_pipeline_langid(DUCKDB),
+    )
+
+
+def test_bucket_hash_matches_sql_hash64(spark):
+    """bucket_py is the Python twin of functions.text.hash64 % B —
+    verify on multibyte grams (UTF-8 md5 everywhere)."""
+    from distributedvectordatabase_spark.functions.text import hash64
+
+    grams = ["a", "th", "the", "敏捷的", "ñ", "é", "中文"]
+    df = spark.createDataFrame([(g,) for g in grams], "g string")
+    got = [
+        r[0]
+        for r in df.selectExpr(f"{hash64('g', SPARK)} % {L.BUCKETS}").collect()
+    ]
+    assert got == [L.bucket_py(g) for g in grams]

@@ -27,15 +27,12 @@ DOCUMENTED_OVERFLOW = {
     "order_part_lists",
     "sales_grouping_sets",
     "returnflag_pivot_unpivot",
-    # r7 rotation: ceded its slot to bpe_pair_stats (VERDICT r6 #1)
-    # after passing the external hash gate in r6.
-    "events_value_histogram",
     # r8 rotation (VERDICT r7 #4, rolling-freshness policy): ceded
     # their slots to the returning r6-demoted relational gates
     # (priority_stats, order_window_ranks, source_regex_stats,
     # lineitem_price_stats) after 3+ rounds externally hash-green.
-    "customer_set_ops",
-    "doc_packs",
+    # (events_value_histogram, customer_set_ops and doc_packs returned
+    # to the window in r11.)
     "mix_weighted_sources",
     "strat_sample_quota",
     # r9 rotation (VERDICT r8 #1): hybrid_filtered_topk — born in
@@ -54,10 +51,20 @@ DOCUMENTED_OVERFLOW = {
     "source_regex_stats",
     "lineitem_price_stats",
     "hybrid_rrf_topk",
-    # r10 new surface, born in overflow: unigram-LM Viterbi apply gate
-    # (operators/unigram.py's external check, VERDICT r9 #3); full
-    # hash oracle, rotation candidate.
-    "doc_unigram_tokens",
+    # r11 rotation (VERDICT r10 #1/#2/#8): doc_unigram_tokens entered
+    # the window (it was the only hash-oracle gate never externally
+    # verified), together with doc_langid, curation_pipeline_langid and
+    # the three stalest r6/r8 demotions (events_value_histogram,
+    # customer_set_ops, doc_packs). These six cede — all externally
+    # hash-green every round since r1/r2; dedup_minhash is the
+    # verdict's own suggested demotion (its shingle scale path stays
+    # in-window).
+    "dedup_minhash",
+    "events_salted_agg",
+    "events_json_extract",
+    "centroid_assign",
+    "embedding_quantize_error",
+    "doc_sample_fingerprint",
 }
 
 
