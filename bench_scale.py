@@ -728,6 +728,71 @@ def main() -> None:
             lambda: tr.agg(F.sum("kept_words")).first(), reps=1
         )
 
+        # Planted HOT shingle (r11, VERDICT r10 #3): one 8-gram in ~30%
+        # of docs. The join strategy survives via AQE skew-split on the
+        # dup-set join; the window strategy funnels every hot-shingle
+        # row into ONE WindowExec partition — this measures that trade
+        # so "join stays default" is a recorded number, not a docstring
+        # claim.
+        hot_phrase = " ".join(f"hotw{i}" for i in range(8))
+        hotdocs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" " + hot_phrase)),
+            ).otherwise(F.col("text")),
+        )
+        ssh_j = substring_stats(hotdocs, k=8, via="join")
+        timings["substring_stats_hot30pct_join"] = timed_min(
+            lambda: ssh_j.agg(F.sum("dup_tokens")).first(), reps=1
+        )
+        ssh_w = substring_stats(hotdocs, k=8, via="window")
+        timings["substring_stats_hot30pct_window"] = timed_min(
+            lambda: ssh_w.agg(F.sum("dup_tokens")).first(), reps=1
+        )
+
+        # Language identification at scale (r11): pure per-row
+        # expression work — the probe should track scan bandwidth.
+        # Aggregate on the PREDICTION so column pruning can't drop the
+        # scoring expressions under a bare count.
+        from distributedvectordatabase_spark.operators.langid import langid
+
+        lid = langid(docs)
+        timings["langid"] = timed_min(
+            lambda: lid.groupBy("lang_pred").count().collect(), reps=1
+        )
+
+        # Composed curation chain with tokenize-once (r11, VERDICT r10
+        # #4): tokenize once (staged parquet) -> gopher_filter ->
+        # substring_trim -> shingle-MinHash dedup -> DSIR select ->
+        # mix -> pack -> export, ONE wall-clock number. Every stage
+        # reuses the persisted token column (plan-asserted in
+        # tests/test_curation.py).
+        from distributedvectordatabase_spark.operators.curation import (
+            curate_corpus,
+        )
+
+        cdocs = docs.withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+        )
+        target = docs.select("doc_id").filter(f"doc_id < {max(n_docs // 100, 10)}")
+        t0 = time.perf_counter()
+        cres = curate_corpus(
+            spark,
+            cdocs,
+            os.path.join(tmp, "curation"),
+            target_ids=target,
+            select_k=max(n_docs // 10, 100),
+            rates={"s0": 2.0, "s1": 0.5},
+            pack_budget=2048,
+            n_shards=32,
+            collect_stats=True,
+        )
+        timings["curation_chain_e2e"] = round(time.perf_counter() - t0, 3)
+        text_stats["curation"] = cres.stats
+        cres.trimmed.unpersist()
+        cres.deduped.unpersist()
+
     # ---- Z-order layout probe: data-skipping at scale ----------------
     # n_rows synthetic events over a (user_id, value) plane; the same
     # table written time-ordered (event_id ranges) vs Z-ordered. A 1/8

@@ -38,6 +38,7 @@ def tokenized(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, distinct token set) — the MinHash input form.
 
@@ -45,8 +46,12 @@ def tokenized(
     n-word shingles: on low-vocab corpora unigram sets saturate (median
     pairwise Jaccard 0.63 on the driver testdata) and banding goes
     near-quadratic; shingles restore a bimodal similarity distribution,
-    which is the recommended MinHash input on real corpora."""
-    base = T.tokens(text_col, T.SPARK)
+    which is the recommended MinHash input on real corpora.
+
+    ``tokens_col`` names an existing ``array<string>`` column to use
+    instead of re-tokenizing ``text_col`` — the tokenize-once pattern
+    shared with gopher/substring_dedup/dsir (r11)."""
+    base = tokens_col if tokens_col is not None else T.tokens(text_col, T.SPARK)
     if shingle_n is not None:
         base = T.word_shingles(base, shingle_n, T.SPARK)
     toks = F.expr(f"array_distinct({base})")
@@ -156,6 +161,7 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     shingle_n: int | None = None,
     max_band_freq: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -167,7 +173,9 @@ def minhash_neardup_pairs(
     generation (see :func:`minhash_band_pairs`) — the bound on the
     saturated-vocab worst case; leave ``None`` for the exact-LSH
     semantics the catalog oracle reproduces."""
-    toks = tokenized(docs, text_col, id_col, shingle_n=shingle_n).cache()
+    toks = tokenized(
+        docs, text_col, id_col, shingle_n=shingle_n, tokens_col=tokens_col
+    ).cache()
     sigs = minhash_signatures(toks, bands * rows).cache()
     cand = minhash_band_pairs(sigs, bands, rows, max_band_freq=max_band_freq)
     ta = toks.select(

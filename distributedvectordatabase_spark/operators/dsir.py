@@ -45,6 +45,7 @@ def hashed_feature_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = BUCKETS,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-(doc, bucket) feature counts: unigrams + word bigrams hashed
     into ``buckets``. One corpus pass; output ≤ buckets rows per doc.
@@ -57,8 +58,15 @@ def hashed_feature_counts(
     holds a string-keyed hash map over every distinct (doc, term) pair
     — measured as the heap ceiling at the 1M-doc probe. Extra md5
     calls per occurrence are scan-rate work, the same cost class as
-    the MinHash/decontam shingle hashing."""
-    base = docs.select(F.col(id_col).alias("doc_id"), F.expr(tokens(text_col, SPARK)).alias("toks"))
+    the MinHash/decontam shingle hashing.
+
+    ``tokens_col`` names an existing ``array<string>`` column to use
+    instead of re-tokenizing ``text_col`` (tokenize-once, r11)."""
+    toks_expr = (
+        F.col(tokens_col) if tokens_col is not None
+        else F.expr(tokens(text_col, SPARK))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks_expr.alias("toks"))
     uni = base.select("doc_id", F.explode("toks").alias("s"))
     big = base.select("doc_id", F.explode(F.expr(word_shingles("toks", 2, SPARK))).alias("s"))
     occ = uni.unionAll(big).select("doc_id", F.expr(_bucket_expr(buckets)).alias("bkt"))
@@ -126,9 +134,10 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = BUCKETS,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """End-to-end: feature counts → λ fit → per-doc weights."""
-    counts = hashed_feature_counts(docs, text_col, id_col, buckets)
+    counts = hashed_feature_counts(docs, text_col, id_col, buckets, tokens_col)
     lam = fit_logratios(counts, target_ids, buckets)
     return importance_weights(counts, lam)
 

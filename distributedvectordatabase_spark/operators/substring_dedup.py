@@ -195,6 +195,7 @@ def substring_trim(
     id_col: str = "doc_id",
     via: str = "join",
     tokens_col: str | None = None,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """The actual Lee et al. trim: drop every token covered by a
     duplicated span and re-join the survivors. Returns (doc_id,
@@ -202,6 +203,11 @@ def substring_trim(
     space-joined surviving tokens (original inter-token whitespace is
     not preserved — tokenization already collapsed it, the same
     contract as the reference pass which operates on token streams).
+
+    ``with_tokens=True`` additionally emits the surviving token ARRAY
+    as ``toks_trimmed`` — the trim already knows the kept tokens, so a
+    tokenize-once pipeline (operators/curation.py) gets the post-trim
+    token column for free instead of re-tokenizing the rebuilt text.
 
     Scale: span positions explode to at most doc-length rows per doc,
     the anti-join is (doc_id, pos)-keyed, and reassembly is one per-doc
@@ -214,22 +220,30 @@ def substring_trim(
     )
     tok = base.select("doc_id", F.posexplode("toks").alias("pos", "w"))
     kept = tok.join(cut, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("kept_words"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x.w
-            ),
-            " ",
-        ).alias("text_trimmed"),
+    kept_arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x.w
     )
+    aggs = [
+        F.count("*").cast("bigint").alias("kept_words"),
+        F.array_join(kept_arr, " ").alias("text_trimmed"),
+    ]
+    if with_tokens:
+        aggs.append(kept_arr.alias("toks_trimmed"))
+    rebuilt = kept.groupBy("doc_id").agg(*aggs)
+    cols = [
+        "doc_id",
+        F.coalesce(F.col("text_trimmed"), F.lit("")).alias("text_trimmed"),
+        "n_words",
+        F.coalesce(F.col("kept_words"), F.lit(0)).cast("bigint").alias("kept_words"),
+    ]
+    if with_tokens:
+        cols.append(
+            F.coalesce(
+                F.col("toks_trimmed"), F.array().cast("array<string>")
+            ).alias("toks_trimmed")
+        )
     return (
         base.select("doc_id", F.size("toks").cast("bigint").alias("n_words"))
         .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("text_trimmed"), F.lit("")).alias("text_trimmed"),
-            "n_words",
-            F.coalesce(F.col("kept_words"), F.lit(0)).cast("bigint").alias("kept_words"),
-        )
+        .select(*cols)
     )
