@@ -95,14 +95,16 @@ def _fake_decode(payload: bytes) -> float:
 
 
 def decode_image(payload: bytes):
-    """Dispatch real pixel decoding by signature: PNG and baseline JPEG
-    go through the engine's own pure-stdlib codecs
-    (``operators/png_codec`` / ``operators/jpeg_codec``) — real pixels
-    in every environment, PIL or not, and deterministic across
-    environments because the same decoders always run. Anything else
-    (WebP, lossless/arithmetic JPEG) falls back to PIL when installed,
-    else raises the documented NotImplementedError. Returns a uint8
-    ndarray, (H, W) or (H, W, C)."""
+    """Dispatch real pixel decoding by signature: PNG, JPEG
+    (baseline + progressive) and lossless WebP (VP8L) go through the
+    engine's own pure-stdlib codecs (``operators/png_codec`` /
+    ``operators/jpeg_codec`` / ``operators/webp_codec``, the last added
+    r11) — real pixels in every environment, PIL or not, and
+    deterministic across environments because the same decoders always
+    run. Only LOSSY WebP (VP8) and exotic JPEG processes
+    (lossless/arithmetic) fall back to PIL when installed, else raise
+    the documented NotImplementedError. Returns a uint8 ndarray,
+    (H, W) or (H, W, C)."""
     payload = bytes(payload)
     from .png_codec import PNG_SIGNATURE, decode_png
 
@@ -114,13 +116,22 @@ def decode_image(payload: bytes):
         try:
             return decode_jpeg(payload)
         except NotImplementedError:
-            pass  # non-baseline process -> PIL below if available
+            pass  # non-baseline/progressive process -> PIL below if available
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_codec import decode_webp
+
+        try:
+            return decode_webp(payload)
+        except NotImplementedError:
+            pass  # lossy VP8 -> PIL below if available
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "this payload needs PIL/pillow (not present): PNG and baseline "
-            "JPEG decode via the built-in stdlib codecs, other formats do not"
+            "this payload needs PIL/pillow (not present): PNG, JPEG "
+            "(baseline + progressive) and lossless WebP decode via the "
+            "built-in stdlib codecs; lossy VP8 WebP and exotic JPEG "
+            "processes do not"
         ) from e
     import io
 
