@@ -218,6 +218,24 @@ def main() -> None:
             if m_q:
                 qsplit.append(round(s_q / m_q, 4))
         out["per_merge_sec_by_quartile"] = qsplit
+        # r11 (VERDICT r10 #5): s/merge by 1k-merge bucket — finer
+        # than quartiles, so table-growth vs load-weather separates
+        # visually over a long idle run
+        if total >= 2000:
+            buckets = []
+            for b in range((total + 999) // 1000):
+                lo, hi = b * 1000, min((b + 1) * 1000, total)
+                m_b = s_b = 0.0
+                pos = 0.0
+                for m, sec in log:
+                    mid = pos + m / 2
+                    if lo <= mid < hi:
+                        m_b += m
+                        s_b += sec
+                    pos += m
+                if m_b:
+                    buckets.append(round(s_b / m_b, 4))
+            out["per_merge_sec_by_1k_bucket"] = buckets
 
     t0 = time.perf_counter()
     wf = {r["word"]: int(r["freq"]) for r in vocab.collect()}

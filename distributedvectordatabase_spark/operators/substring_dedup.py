@@ -69,17 +69,24 @@ def _marks(base: DataFrame, k: int, via: str = "join") -> DataFrame:
     corpus-wide. ``pos`` is the 0-based start token index.
 
     Two exact-identical strategies (pinned in
-    tests/test_substring_dedup.py; measured at 1M docs in BASELINE):
+    tests/test_substring_dedup.py; measured at 1M docs in BASELINE's
+    r11 window-vs-join section):
 
     - ``"join"`` (default): map-side-combined ``groupBy(shingle)``
       builds the duplicate set, then the exploded shingles re-join it.
       Costs TWO passes over the explode (Spark recomputes the
-      un-reusable subplan) but AQE's skew-join splitting handles hot
-      boilerplate shingles.
+      un-reusable subplan), and measured SLOWER at every probed scale
+      (1M docs idle box: 129.8 s vs window 85.5 s; with a planted
+      hot shingle in 30% of docs: 128.3 s vs 47.6 s). It stays the
+      default for the bounded-memory GUARANTEE: shuffle-hash
+      aggregation never holds one key's full occurrence list, so no
+      single boilerplate shingle — however hot — can outgrow a task.
     - ``"window"``: one pass + ONE shuffle — ``count() OVER
-      (PARTITION BY shingle)`` — at the price of buffering each
-      shingle's whole partition in WindowExec (spills, and a
-      pathological hot shingle funnels into one window partition).
+      (PARTITION BY shingle)`` — the measured fast path. Its cost
+      model: each shingle's whole occurrence list buffers in ONE
+      WindowExec partition (a 333k-occurrence hot shingle is a few MB
+      and fine; a billions-of-occurrences boilerplate line at 100 TB
+      is the case that spills or dies, which is why it is opt-in).
     """
     sh = base.select(
         "doc_id",
