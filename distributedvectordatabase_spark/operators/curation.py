@@ -164,6 +164,10 @@ def curate_corpus(
         selected = deduped
 
     # ---- stage 5: weighted source mixing (epoch expansion) -----------
+    if rates and max(rates.values()) >= 1024:
+        # sample_id packs the epoch into 10 bits below doc_id; a rate
+        # past 1024 epochs would silently collide ids across docs
+        raise ValueError("mixture rates >= 1024 are not supported")
     mixed = mix_corpus(selected, rates or {}, source_col="source")
     # unique per-sample id for packing order + export placement
     mixed = mixed.withColumn(
