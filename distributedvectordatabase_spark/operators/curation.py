@@ -171,7 +171,8 @@ def curate_corpus(
     mixed = mix_corpus(selected, rates or {}, source_col="source")
     # unique per-sample id for packing order + export placement
     mixed = mixed.withColumn(
-        "sample_id", F.col("doc_id") * F.lit(1024) + F.col("epoch")
+        "sample_id",
+        F.col("doc_id").cast("long") * F.lit(1024) + F.col("epoch"),
     )
 
     # ---- stage 6: token-budget packing --------------------------------
