@@ -83,7 +83,17 @@ def test_roundtrip_random_transform_compositions(img, opts):
 def test_roundtrip_random_palette(img, seed):
     # palette path excludes the other transforms by encoder design;
     # sub-byte bundling widths are chosen by distinct-color count, so
-    # the low-cardinality image pool hits 1/2/4/8-bit packing
+    # the low-cardinality image pool hits 1/2/4/8-bit packing. The
+    # encoder requires <= 256 distinct colors: a levels=256 draw with
+    # >256 pixels can exceed that, so remap those through a seeded
+    # 256-color pool (keeps the 8-bit packing branch covered).
+    if img.ndim == 3:
+        flat = img.reshape(-1, img.shape[2])
+        colors = np.unique(flat, axis=0)
+        if len(colors) > 256:
+            rng = np.random.default_rng(seed)
+            pool = colors[rng.choice(len(colors), 256, replace=False)]
+            img = pool[rng.integers(0, 256, len(flat))].reshape(img.shape)
     payload = W.encode_webp_lossless(img, palette=True)
     out = W.decode_webp(payload)
     if img.ndim == 3 and img.shape[2] == 4 and bool(np.any(img[..., 3] != 255)):
