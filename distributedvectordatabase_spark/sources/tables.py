@@ -40,7 +40,59 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _LOADED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+# r11 scan-parallelism floor (optimization guide §2.5, "input skew: one
+# huge unsplittable file"). Parquet scans parallelize at ROW-GROUP
+# granularity, and every driver testdata table is a single file with a
+# single row group — so without intervention the scan stage (where all
+# the per-row expression work lives: tokenize, n-gram md5, BLAS batches)
+# runs on ONE core no matter the core count (measured: the langid
+# scoring projection at sf0.1 is 9.3 s on the 1-row-group scan vs 0.8 s
+# after a repartition on local[32]). The fix is the guide's own: when a
+# table's actual split count (row groups, read from the parquet footer
+# at plan time) is below what the session could use, repartition right
+# after the read. Scale-adaptive by construction: the target follows
+# defaultParallelism (the driver's lower-core bench runs get a matching
+# lower fan-out) and real corpora stored as many files/row groups
+# satisfy ``splits >= target`` and never pay the exchange.
+#
+# OPT-IN per call site (``load_table(..., spread=True)``), not blanket:
+# an r11 A/B over the full bench showed the blanket form wins big
+# exactly where scan-side expression work dominates a single table
+# reference (minhash signatures −0.4 s, CC edge build −0.8 s, langid
+# scoring 9.3→0.8 s) but taxes the other ~50 queries one extra
+# exchange each — and queries that reference a table several times
+# (drift +2.4 s, dsir +1.5 s) pay the repartition per reference. Tiny
+# dimension tables stay un-spread via the rows/_MIN_ROWS_PER_SPLIT cap
+# either way — shuffling 25 rows to 32 tasks buys nothing.
+_MIN_ROWS_PER_SPLIT = 64
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total_row_groups, total_rows) of the parquet file at ``path`` —
+    footer metadata only, no data read."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    return f.metadata.num_row_groups, f.metadata.num_rows
+
+
+def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    splits, rows = _parquet_layout(path)
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, rows // _MIN_ROWS_PER_SPLIT),
+    )
+    if splits < target:
+        df = df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    spread: bool = False,
+) -> DataFrame:
     """Load one testdata table.
 
     Side effect (deliberate, session-wide): pins
@@ -65,7 +117,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     st = os.stat(path)
-    key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+    key = (sf_dir, name, st.st_mtime_ns, st.st_size, spread)
     cache = _LOADED.setdefault(spark, {})
     hit = cache.get(key)
     if hit is not None:
@@ -87,6 +139,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # (session.py), so the NTZ→LTZ cast is value-preserving and
             # matches DuckDB's naive-timestamp semantics exactly.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if spread:
+        df = _spread_scan(spark, df, path)
     cache[key] = df
     return df
 

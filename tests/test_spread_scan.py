@@ -1,0 +1,52 @@
+"""r11 scan-parallelism floor (sources/tables._spread_scan): the driver
+testdata is single-file/single-row-group parquet, so without a spread
+the scan stage runs on one core. The opt-in ``load_table(spread=True)``
+repartitions to the session's parallelism — these tests pin that it (a)
+changes no rows, (b) actually raises partition count on under-split
+inputs, (c) stays a no-op for tiny dimension tables, and (d) the
+default path's plan is untouched (no exchange added to the ~50 queries
+that don't opt in)."""
+
+from __future__ import annotations
+
+from distributedvectordatabase_spark.sources.tables import (
+    _MIN_ROWS_PER_SPLIT,
+    load_table,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_spread_preserves_rows(spark):
+    plain = load_table(spark, "documents", SF)
+    spread = load_table(spark, "documents", SF, spread=True)
+    a = sorted(tuple(r) for r in plain.select("doc_id", "text").collect())
+    b = sorted(tuple(r) for r in spread.select("doc_id", "text").collect())
+    assert a == b
+
+
+def test_spread_raises_partition_count(spark):
+    spread = load_table(spark, "documents", SF, spread=True)
+    n = spread.rdd.getNumPartitions()
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, 500 // _MIN_ROWS_PER_SPLIT),  # sf0.01 documents = 500 rows
+    )
+    assert n == target and n > 1
+
+
+def test_spread_noop_for_tiny_dimension_tables(spark):
+    # region has 5 rows: rows // _MIN_ROWS_PER_SPLIT == 0 -> target 1,
+    # which the 1-row-group layout already satisfies -> no repartition
+    spread = load_table(spark, "region", SF, spread=True)
+    assert (
+        "Repartition"
+        not in spread._jdf.queryExecution().logical().toString()
+    )
+
+
+def test_default_path_plan_unchanged(spark):
+    plain = load_table(spark, "documents", SF)
+    assert (
+        "Repartition" not in plain._jdf.queryExecution().logical().toString()
+    )
