@@ -81,7 +81,11 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # Lazy checkpoint (r11): the convergence check below is the
+        # round's first action and materializes the checkpoint as a
+        # side effect, so eager=True's separate materialization job per
+        # round is pure overhead (3 driver actions/round → 1).
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # Convergence = the edge set IS a star forest, checked directly
         # on nxt instead of diffing against cur — this detects the
         # fixpoint on the round that PRODUCES it, saving one full
@@ -94,14 +98,27 @@ def connected_components(
         # are identities (the SoCC'14 fixpoint). Conversely the
         # algorithm's fixpoint is exactly such a forest, so the check
         # is necessary too — no early or late stop.
-        multi = nxt.groupBy("src").agg(F.count("*").alias("n")).where("n > 1")
-        if multi.isEmpty():
-            roots_as_src = nxt.select(F.col("dst").alias("src")).distinct().join(
-                nxt.select("src").distinct(), "src"
+        #
+        # Both conditions fold into ONE degree pass (r11): a node v
+        # violates the star-forest shape iff it appears more than once
+        # as a src (multi-out) or appears as both a src and a dst (a
+        # root that is also a child) — the same two conditions the
+        # former two-job check (count>1 filter + dst⋈src) computed,
+        # now a single aggregation and a single driver action.
+        deg = (
+            nxt.select(F.col("src").alias("v"), F.lit(1).alias("s"), F.lit(0).alias("d"))
+            .unionAll(
+                nxt.select(F.col("dst").alias("v"), F.lit(0).alias("s"), F.lit(1).alias("d"))
             )
-            if roots_as_src.isEmpty():
-                cur = nxt
-                break
+            .groupBy("v")
+            .agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
+        )
+        bad = deg.where(
+            (F.col("ns") > 1) | ((F.col("ns") > 0) & (F.col("nd") > 0))
+        )
+        if bad.isEmpty():
+            cur = nxt
+            break
         cur = nxt
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
