@@ -725,6 +725,26 @@ def _q_doc_substring_dedup(d: str) -> str:
     """
 
 
+def _run_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator form of ``_q_doc_substring_dedup`` (r11): same rows
+    (pinned window≡join in tests/test_substring_dedup.py and against
+    the DuckDB oracle), but the marks pass uses the ``via="window"``
+    strategy — ONE pass over the shingle explode + one shuffle instead
+    of the join form's two explode evaluations (the BASELINE r11
+    window-vs-join section measured window faster at every probed
+    scale, 85.5 s vs 129.8 s at 1M docs, including a planted
+    30%-hot-shingle skew), plus the spread-scan fix so the explode
+    parallelizes on the single-row-group testdata."""
+    from distributedvectordatabase_spark.operators.substring_dedup import (
+        substring_stats,
+    )
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    return substring_stats(
+        load_table(spark, "documents", sf_dir, spread=True), k=8, via="window"
+    )
+
+
 def _q_doc_dsir_weights(d: str) -> str:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -4108,7 +4128,14 @@ def build_catalog() -> dict[str, Query]:
         Query("embedding_drift", _run_embedding_drift, embedding_drift_oracle_sql()),
         _sql_query("doc_gopher_repetition", _q_doc_gopher_repetition),
         _sql_query("doc_dsir_weights", _q_doc_dsir_weights),
-        _sql_query("doc_substring_dedup", _q_doc_substring_dedup),
+        # r11: Spark side runs the operator's window-strategy form
+        # (one explode pass; measured faster at every probed scale);
+        # oracle stays the shared template.
+        Query(
+            "doc_substring_dedup",
+            _run_doc_substring_dedup,
+            _q_doc_substring_dedup(DUCKDB),
+        ),
         # r9 rotation (VERDICT r8 #1): hybrid_filtered_topk — the
         # engine's most composed query (exact filtered semantic leg +
         # hard-constraint BM25 leg through two persisted stores, RRF
