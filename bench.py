@@ -174,6 +174,11 @@ def main() -> None:
         )
         from distributedvectordatabase_spark.sources.tables import load_table
 
+        # no spread=True here, unlike the catalog's dedup_minhash
+        # runner: an r11 A/B measured the capped form SLOWER with the
+        # scan spread (2.28 -> 2.62 s) — the cap drops the saturated
+        # verification mass that made parallelizing the scan pay, so
+        # the extra exchange is pure overhead (OPTIMIZATION_r11.md)
         docs = load_table(spark, "documents", sf_dir)
         return minhash_neardup_pairs(
             docs, threshold=0.9, bands=2, rows=6, max_band_freq=500

@@ -503,8 +503,20 @@ class TextIndex:
             )
             .distinct()  # BM25 bag form: a repeated query term weighs once
         )
+        # ONE driver job collects the batch vocabulary AND each term's
+        # pruning bucket (r11): the bucket hash is the same xxhash64
+        # expression the build used, evaluated on the same rows the
+        # vocabulary collect already touches — the former second job
+        # (a LocalRelation re-hash of the collected terms) was pure
+        # scheduling overhead.
         vocab_rows = (
-            qterms.select("term").distinct().limit(MAX_QUERY_BATCH + 1).collect()
+            qterms.select("term")
+            .distinct()
+            .withColumn(
+                "b", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+            .limit(MAX_QUERY_BATCH + 1)
+            .collect()
         )
         if not vocab_rows:
             raise ValueError("bm25_batch requires at least one query term")
@@ -514,16 +526,7 @@ class TextIndex:
                 "split the query batch"
             )
         terms = sorted(r.term for r in vocab_rows)
-        buckets = sorted(
-            {
-                r.b
-                for r in spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(
-                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-                )
-                .collect()
-            }
-        )
+        buckets = sorted({r.b for r in vocab_rows})
         # tombstone anti-filter sits ABOVE the bucket/term-pruned scan,
         # so deletes never change the partition-pruned plan shape; the
         # commit filter is two more literal predicates on the same scan
