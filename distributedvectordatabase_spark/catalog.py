@@ -450,6 +450,12 @@ def _run_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang in LID.LANGS
         ],
     )
+    # lang_pred projected FIRST, agree derived from the column in a
+    # follow-up select (r12, ADVICE r11): the argmax CASE is non-cheap
+    # and referencing it twice in one projection re-expands it twice —
+    # CollapseProject's multi-use guard keeps the two-Project form, so
+    # the CASE is evaluated exactly once per row (the restructured
+    # curation runner's shape).
     return s.select(
         "doc_id",
         "lang",
@@ -460,8 +466,7 @@ def _run_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fr_micro",
         "score_zh_micro",
         F.expr(pred).alias("lang_pred"),
-        F.expr(f"CASE WHEN {pred} = lang THEN 1 ELSE 0 END").alias("agree"),
-    )
+    ).withColumn("agree", F.expr("CASE WHEN lang_pred = lang THEN 1 ELSE 0 END"))
 
 
 def _q_curation_pipeline_langid(d: str) -> str:
@@ -658,17 +663,23 @@ def _run_doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     idf = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(idf, "term").select(
+    # n_docs rides the plan as a broadcast one-row aggregate (the
+    # template's own CROSS JOIN n shape) instead of a docs.count()
+    # driver job — one fewer blocking action per call (guide §5), same
+    # value: count(*) is an exact integer, and casting it to double in
+    # the ln argument equals the old Python-float literal bit for bit.
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(idf, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         # the ln() is quantized BEFORE the tf multiply: Java Math.log and
         # DuckDB's libm log may differ by one ulp on the same argument,
         # and tf (up to ~200) amplifies that past the final 1e-6 grain —
         # a deterministic log factor makes the product engine-identical
-        _qz_col(F.col("tf") * _qz_col(F.log(F.lit(float(n_docs)) / F.col("df")))).alias(
-            "tfidf"
-        ),
+        _qz_col(
+            F.col("tf")
+            * _qz_col(F.log(F.col("n_docs").cast("double") / F.col("df")))
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -186,18 +186,25 @@ def minhash_neardup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
         F.size("toks").alias("sz_b"),
     )
-    jac = F.expr(
-        "cast(size(array_intersect(toks_a, toks_b)) as double)"
-        " / nullif(size(array_union(toks_a, toks_b)), 0)"
-    )
     # Size prefilter (results-preserving): J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
     # so any pair whose size ratio is under the threshold cannot pass it —
     # drop those before the expensive array_intersect verification.
     size_ok = F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b") * threshold
+    # |a ∪ b| = |a| + |b| − |a ∩ b| exactly (both arrays are distinct),
+    # so the union is integer arithmetic over sizes already at hand and
+    # the verification runs ONE array op per pair instead of two (r12,
+    # guide §1.2 step 2). The intersect is projected first so the
+    # two references to it below stay one evaluation (CollapseProject's
+    # multi-use-non-cheap guard keeps the Projects separate).
+    jac = F.expr("cast(_inter as double) / nullif(sz_a + sz_b - _inter, 0)")
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .filter(size_ok)
+        .select(
+            "doc_a", "doc_b", "sz_a", "sz_b",
+            F.expr("size(array_intersect(toks_a, toks_b))").alias("_inter"),
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.round("jaccard", 6))
@@ -257,15 +264,17 @@ def minhash_neardup_join(
         F.col("doc_id").alias("corpus_id"), F.col("toks").alias("toks_b"),
         F.size("toks").alias("sz_b"),
     )
-    jac = F.expr(
-        "cast(size(array_intersect(toks_a, toks_b)) as double)"
-        " / nullif(size(array_union(toks_a, toks_b)), 0)"
-    )
     size_ok = F.least("sz_a", "sz_b") >= F.greatest("sz_a", "sz_b") * threshold
+    # same union-as-size-arithmetic verification as minhash_neardup_pairs
+    jac = F.expr("cast(_inter as double) / nullif(sz_a + sz_b - _inter, 0)")
     return (
         cand.join(ta, "new_id")
         .join(tb, "corpus_id")
         .filter(size_ok)
+        .select(
+            "new_id", "corpus_id", "sz_a", "sz_b",
+            F.expr("size(array_intersect(toks_a, toks_b))").alias("_inter"),
+        )
         .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.round("jaccard", 6))

@@ -79,6 +79,46 @@ def collect_query_batch(
     return rows
 
 
+def _dlit(x: float) -> str:
+    """A Spark SQL double literal that parses back to exactly ``x``
+    (repr round-trips through correctly-rounded decimal parsing on
+    both sides; the D suffix keeps the literal DOUBLE, not DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def local_query_relation(spark, qrows: list, qid_col: str, qvec_col: str) -> DataFrame:
+    """The already-collected query batch as a VALUES LocalRelation.
+
+    The deterministic re-score (``_rescored_topk``) broadcast-joins the
+    query vectors back to the candidate slate. Referencing the original
+    ``queries`` plan there makes the broadcast build re-run the whole
+    query-side subplan (e.g. a TakeOrdered scan of the corpus) as its
+    own Spark job — once per search call — even though the exact same
+    rows were just collected to the driver to build the numpy payload.
+    Rebuilding the q side from those rows as a literal VALUES relation
+    is row-identical by construction (same qid/qvec pairs; double
+    literals round-trip exactly, and every distance expression casts
+    its inputs to array<double> anyway) and broadcasts driver-side with
+    NO job at all (LocalTableScan collects without submitting tasks) —
+    one fewer job + one fewer corpus-scan subtree per query batch
+    (guide §5: the driver should do almost no data work, and bounded
+    work it already did should not be re-done as a cluster job)."""
+    if not qrows:
+        return spark.sql(
+            f"SELECT CAST(NULL AS BIGINT) AS `{qid_col}`, "
+            f"CAST(NULL AS ARRAY<DOUBLE>) AS `{qvec_col}` WHERE 1=0"
+        )
+    rows_sql = ", ".join(
+        "({}L, array({}))".format(
+            int(r[qid_col]), ",".join(_dlit(x) for x in r[qvec_col])
+        )
+        for r in qrows
+    )
+    return spark.sql(
+        f"SELECT col1 AS `{qid_col}`, col2 AS `{qvec_col}` FROM VALUES {rows_sql}"
+    )
+
+
 def _dist_expr(metric: str, a, b) -> Column:
     if metric == "l2sq":
         return l2sq(a, b)
@@ -151,9 +191,15 @@ def _rescored_topk(
     join_corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qrows: list | None = None,
 ) -> DataFrame:
     """Deterministic final top-k over an Arrow partial that carries the
     neighbor vectors (``nvec``).
+
+    ``qrows`` — the already-collected query batch; when given, the
+    broadcast q side is rebuilt from it as a literal LocalRelation
+    (:func:`local_query_relation`) instead of re-executing the
+    ``queries`` subplan as a broadcast-build job.
 
     The BLAS distance matrix sums in batch order, so its float64 values
     can land on either side of a rounding boundary depending on
@@ -212,6 +258,10 @@ def _rescored_topk(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
             ),
             "neighbor_id",
+        )
+    if qrows is not None:
+        queries = local_query_relation(
+            partial.sparkSession, qrows, qid_col, qvec_col
         )
     q = F.broadcast(
         queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec"))
@@ -277,6 +327,7 @@ def knn(
         return _rescored_topk(
             partial, queries, k, metric, qid_col, qvec_col,
             join_corpus=None if carry else corpus, id_col=id_col, vec_col=vec_col,
+            qrows=qrows,
         )
     if impl == "expr":
         pairs = corpus.join(F.broadcast(queries.select(qid_col, qvec_col)))
@@ -472,6 +523,7 @@ def knn_pruned(
         return _rescored_topk(
             partial, queries, k, metric, qid_col, qvec_col,
             join_corpus=None if carry else pruned, id_col=id_col, vec_col=vec_col,
+            qrows=qrows,
         )
 
     cand_df = spark.createDataFrame(cand_pairs, schema=f"{qid_col} long, {shard_col} int")
@@ -615,4 +667,5 @@ def filtered_knn(
     return _rescored_topk(
         partial, queries, k, metric, qid_col, qvec_col,
         join_corpus=None if carry else pruned, id_col=id_col, vec_col=vec_col,
+        qrows=[{qid_col: r[qid_col], qvec_col: r[qvec_col]} for r in qrows],
     )

@@ -103,14 +103,30 @@ def similarity_join(
         .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
         .distinct()
     )
-    sa = sized.select(F.col("sid").alias("id_a"), F.col("items").alias("items_a"))
-    sb = sized.select(F.col("sid").alias("id_b"), F.col("items").alias("items_b"))
-    jac = F.size(F.array_intersect("items_a", "items_b")) / F.size(
-        F.array_union("items_a", "items_b")
+    sa = sized.select(
+        F.col("sid").alias("id_a"),
+        F.col("items").alias("items_a"),
+        F.size("items").alias("_na"),
+    )
+    sb = sized.select(
+        F.col("sid").alias("id_b"),
+        F.col("items").alias("items_b"),
+        F.size("items").alias("_nb"),
+    )
+    # |a ∪ b| = |a| + |b| − |a ∩ b| exactly (distinct-element arrays),
+    # so verification costs ONE array op per candidate pair instead of
+    # two (r12). The intersect is projected first so its two uses stay
+    # one evaluation (CollapseProject multi-use guard).
+    jac = (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).cast(
+        "double"
     )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .select(
+            "id_a", "id_b", "_na", "_nb",
+            F.size(F.array_intersect("items_a", "items_b")).alias("_inter"),
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

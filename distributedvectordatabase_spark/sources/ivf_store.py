@@ -1313,6 +1313,7 @@ class IVFStore:
                 partial, queries, k, metric, qid_col, qvec_col,
                 join_corpus=None if carry else corpus,
                 id_col=self.id_col, vec_col=self.vec_col,
+                qrows=qrows,
             )
 
         probe_df = spark.createDataFrame(probe_pairs, schema=f"{qid_col} long, cell_id int")
