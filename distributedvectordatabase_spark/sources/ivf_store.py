@@ -1072,8 +1072,10 @@ class IVFStore:
     def _read_live(self, spark: SparkSession) -> DataFrame:
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
         return filter_live(
-            spark, self._committed(spark.read.parquet(self.path)),
+            spark, self._committed(cached_parquet(spark, self.path)),
             self._tombstone_path, self.id_col,
         )
 
@@ -1092,7 +1094,9 @@ class IVFStore:
             filter_live,
         )
 
-        df = self._committed(spark.read.parquet(path))
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
+        df = self._committed(cached_parquet(spark, path))
         if as_of_gen is None:
             return filter_live(spark, df, self._tombstone_path, self.id_col)
         return filter_as_of(
@@ -1142,9 +1146,11 @@ class IVFStore:
 
         # aborted gens were never committed at ANY point in history, so
         # the snapshot excludes them regardless of as_of_gen
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
         return filter_as_of(
             spark,
-            self._committed(spark.read.parquet(self.path)),
+            self._committed(cached_parquet(spark, self.path)),
             self._tombstone_path,
             self.id_col, as_of_gen,
         ).drop("_gen")

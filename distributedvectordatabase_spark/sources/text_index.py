@@ -262,7 +262,11 @@ class TextIndex:
         index time (one row per doc, empties included), where the
         fresh-build equivalence is exact."""
         if os.path.exists(self._doclens_path):
-            return self._committed(spark.read.parquet(self._doclens_path))
+            from distributedvectordatabase_spark.sources.scan_cache import (
+                cached_parquet,
+            )
+
+            return self._committed(cached_parquet(spark, self._doclens_path))
         post = self.postings(spark)
         if GEN_COL not in post.columns:
             post = post.withColumn(GEN_COL, F.lit(0))
@@ -413,7 +417,9 @@ class TextIndex:
         return persisted
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._postings_path)
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
+        return cached_parquet(spark, self._postings_path)
 
     # ------------------------------------------------------------------
     def bm25(

@@ -428,8 +428,10 @@ def filter_live(
         df = df.withColumn(GEN_COL, F.lit(0))
     if not os.path.exists(tomb_dir):
         return df
+    from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
     tomb = (
-        spark.read.parquet(tomb_dir)
+        cached_parquet(spark, tomb_dir)
         .groupBy(id_col)
         .agg(F.max(DEL_GEN_COL).alias("_tomb_gen"))
     )
@@ -465,8 +467,10 @@ def filter_as_of(
     df = df.filter(F.col(GEN_COL) <= int(gen))
     if not os.path.exists(tomb_dir):
         return df
+    from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
     tomb = (
-        spark.read.parquet(tomb_dir)
+        cached_parquet(spark, tomb_dir)
         .filter(F.col(DEL_GEN_COL) <= int(gen))
         .groupBy(id_col)
         .agg(F.max(DEL_GEN_COL).alias("_tomb_gen"))

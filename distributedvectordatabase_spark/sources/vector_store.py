@@ -525,7 +525,9 @@ class VectorStore:
             filter_live,
         )
 
-        df = self._committed(spark.read.parquet(self._sq_path))
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
+        df = self._committed(cached_parquet(spark, self._sq_path))
         if as_of_gen is None:
             return filter_live(spark, df, self._tombstone_path, self.id_col)
         return filter_as_of(
@@ -785,7 +787,9 @@ class VectorStore:
         self._check_codes_gens(int(side.get("gen", 0)), as_of_gen, side, "bq")
         if metric is None:
             metric = "cosine" if side.get("normalize") else "l2sq"
-        raw_codes = self._committed(spark.read.parquet(self._bq_path))
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
+        raw_codes = self._committed(cached_parquet(spark, self._bq_path))
         if as_of_gen is None:
             codes = filter_live(
                 spark, raw_codes, self._tombstone_path, self.id_col
@@ -863,8 +867,10 @@ class VectorStore:
         """
         from distributedvectordatabase_spark.sources.tombstones import filter_live
 
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
         return filter_live(
-            spark, self._committed(spark.read.parquet(self.path)),
+            spark, self._committed(cached_parquet(spark, self.path)),
             self._tombstone_path, self.id_col,
         )
 
@@ -892,8 +898,10 @@ class VectorStore:
 
         # aborted gens were never committed at ANY point in history, so
         # the snapshot excludes them regardless of as_of_gen
+        from distributedvectordatabase_spark.sources.scan_cache import cached_parquet
+
         return filter_as_of(
-            spark, self._committed(spark.read.parquet(self.path)),
+            spark, self._committed(cached_parquet(spark, self.path)),
             self._tombstone_path, self.id_col, as_of_gen,
         ).drop("_gen")
 
