@@ -393,3 +393,55 @@ def test_filtered_knn_string_constraint_values(spark):
     assert len(res) == 8
     for r in res:
         assert langs[r.neighbor_id] == ("de" if r.qid == 0 else "en")
+
+
+def test_local_query_relation_round_trips_exactly(spark):
+    """The VALUES LocalRelation the rescore builds from collected query
+    rows (r12) must reproduce every double bit-for-bit — repr literals
+    parse back correctly-rounded on the JVM side."""
+    import math
+
+    from distributedvectordatabase_spark.operators.knn import local_query_relation
+
+    vals = [
+        0.1, -0.1, 1e-308, 1.7976931348623157e308, 123456.789e-30,
+        -0.0, 2.0 ** -1074, 1 / 3, math.pi, 6.02214076e23,
+    ]
+    rows = [{"qid": 7, "qvec": vals}]
+    out = local_query_relation(spark, rows, "qid", "qvec").collect()
+    assert len(out) == 1 and out[0]["qid"] == 7
+    got = list(out[0]["qvec"])
+    import struct
+
+    assert [struct.pack(">d", x) for x in got] == [
+        struct.pack(">d", x) for x in vals
+    ]
+
+
+def test_local_query_relation_empty(spark):
+    from distributedvectordatabase_spark.operators.knn import local_query_relation
+
+    df = local_query_relation(spark, [], "qid", "qvec")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["qid", "qvec"]
+
+
+def test_knn_rescore_side_is_local_relation(spark):
+    """The deterministic rescore must NOT re-execute the query subplan
+    as a broadcast-build job: the final plan carries exactly one scan
+    of the corpus source and a LocalTableScan for the q side (r12)."""
+    from distributedvectordatabase_spark.operators.knn import knn
+    from distributedvectordatabase_spark.sources.tables import (
+        load_table,
+        queries_fixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, "embeddings", sf)
+    queries = queries_fixture(spark, sf, n=3)
+    plan = (
+        knn(corpus, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LocalTableScan" in plan
+    assert plan.count("Scan parquet") == 1

@@ -9,8 +9,13 @@ that don't opt in)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from distributedvectordatabase_spark.sources.tables import (
     _MIN_ROWS_PER_SPLIT,
+    _parquet_layout,
     load_table,
 )
 
@@ -26,11 +31,17 @@ def test_spread_preserves_rows(spark):
 
 
 def test_spread_raises_partition_count(spark):
+    # rows derived from the actual parquet footer, not a hard-coded
+    # count, so regenerated testdata at another size stays meaningful
+    # (ADVICE r11); a local[1] session can't demonstrate a raise at all
+    if spark.sparkContext.defaultParallelism <= 1:
+        pytest.skip("defaultParallelism == 1: no spread target to hit")
+    _splits, rows = _parquet_layout(os.path.join(SF, "documents.parquet"))
     spread = load_table(spark, "documents", SF, spread=True)
     n = spread.rdd.getNumPartitions()
     target = min(
         spark.sparkContext.defaultParallelism,
-        max(1, 500 // _MIN_ROWS_PER_SPLIT),  # sf0.01 documents = 500 rows
+        max(1, rows // _MIN_ROWS_PER_SPLIT),
     )
     assert n == target and n > 1
 

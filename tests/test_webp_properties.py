@@ -114,6 +114,20 @@ def test_prefix_encode_decode_inverse_wide(v):
     assert W._prefix_decode(br, prefix) == v
 
 
+def test_palette_rejects_over_256_colors():
+    # explicit pin of the encoder's documented contract (ADVICE r11):
+    # palette=True with more than 256 distinct colors raises rather
+    # than silently degrading — the property test above deliberately
+    # steers its inputs away from this branch, so cover it directly
+    import pytest
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 17, 3)).astype(np.uint8)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        W.encode_webp_lossless(img, palette=True)
+
+
 # ------------------------------------------------------------ langid totality
 
 anytext = st.text(max_size=200)  # hypothesis text covers astral + controls
