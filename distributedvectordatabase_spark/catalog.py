@@ -896,6 +896,109 @@ def _q_doc_dsir_weights(d: str) -> str:
     """
 
 
+def _run_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame mirror of ``_q_doc_dsir_weights`` (r12, VERDICT r11
+    #7) with one plan-shape fix, no persist and no extra driver
+    actions (the r11 persist restructure measured SLOWER and was
+    reverted — OPTIMIZATION_r11.md negative results): the per-bucket
+    raw and target counts fold into ONE aggregation over ``dt`` joined
+    with the broadcast (doc_id, lang) slice — ``rc = sum(k)``,
+    ``tc = sum(k) FILTER (lang = 'en')`` as a conditional sum (the
+    langid-gate pattern), instead of the template's two separate
+    aggregations + LEFT JOIN. One fewer pass over ``dt`` and one fewer
+    join; identical exact bigints (the doc_id join is key-preserving,
+    conditional-sum nulls reproduce the LEFT JOIN's missing-bucket
+    nulls). Measured at sf0.1 (idle, min-of-5): noop 3.38 → 2.60 s,
+    count 1.95 → 1.79 s. A spread-scan variant of the heavy pipeline
+    was A/B'd and REJECTED (noop 3.50, count 2.88 — the repartition
+    exchange rides every inlined copy of the ``dt`` subtree and costs
+    more than it parallelizes; OPTIMIZATION_r12.md).
+
+    Every arithmetic expression is the template's verbatim (exact
+    integer products, one IEEE divide inside ln, floor-quantized
+    micro-units, exact bigint dot products), so rows are byte-identical
+    to the DuckDB oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributedvectordatabase_spark.sources.tables import load_table
+
+    B = 512
+    toks = T.tokens("text", SPARK)
+    sh2 = T.word_shingles("toks", 2, SPARK)
+    heavy = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    base = heavy.select("doc_id", F.expr(toks).alias("toks"))
+    occ = base.select("doc_id", F.explode("toks").alias("s")).unionAll(
+        base.select("doc_id", F.expr(sh2).alias("sh2")).select(
+            "doc_id", F.explode("sh2").alias("s")
+        )
+    )
+    term = occ.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    dt = term.groupBy(
+        "doc_id", F.expr(f"{T.hash64('s', SPARK)} % {B}").alias("bkt")
+    ).agg(F.expr("cast(sum(c) as bigint)").alias("k"))
+    # merged raw+target bucket stats: one aggregation, conditional sum
+    lang = docs.select("doc_id", "lang")
+    bs = (
+        dt.join(F.broadcast(lang), "doc_id")
+        .groupBy("bkt")
+        .agg(
+            F.expr("cast(sum(k) as bigint)").alias("rc"),
+            F.expr(
+                "cast(sum(CASE WHEN lang = 'en' THEN k END) as bigint)"
+            ).alias("tc"),
+        )
+    )
+    tots = bs.agg(
+        F.expr(f"cast(sum(rc) as bigint) + {B}").alias("rtot"),
+        F.expr(f"cast(coalesce(sum(tc), 0) as bigint) + {B}").alias("ttot"),
+    )
+    logr = (
+        "ln(cast((coalesce(tc, 0) + 1) * rtot as double)"
+        " / cast((rc + 1) * ttot as double))"
+    )
+    lam = bs.crossJoin(F.broadcast(tots)).select(
+        "bkt",
+        F.expr(
+            f"cast(floor(({logr}) * cast(1000000 as double)"
+            " + cast(0.5 as double)) as bigint)"
+        ).alias("lam_u"),
+    )
+    scored = (
+        dt.join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("cast(sum(k) as bigint)").alias("n_feats"),
+            F.expr("cast(sum(k * lam_u) as bigint)").alias("weight_micro"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("weight_micro").desc(), "doc_id")
+        ),
+    )
+    n = docs.agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
+    return (
+        ranked.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "weight_micro",
+            F.expr(
+                "cast(weight_micro as double) / cast(1000000 as double)"
+            ).alias("weight"),
+            F.expr("cast(rnk as bigint)").alias("rnk"),
+            F.expr("CASE WHEN rnk * 5 <= n_docs THEN 1 ELSE 0 END").alias(
+                "selected"
+            ),
+        )
+    )
+
+
 def _q_doc_gopher_repetition(d: str) -> str:
     """Gopher-style n-gram repetition FILTER (Rae et al. 2021, App. A —
     the repetition rules large-scale curation applies before training):
@@ -2006,10 +2109,17 @@ def _run_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedvectordatabase_spark.operators.decontam import ngram_contamination
     from distributedvectordatabase_spark.sources.tables import load_table
 
-    docs = load_table(spark, "documents", sf_dir)
+    # train side over the spread scan (guide §2.5: the shingle+md5
+    # expression work otherwise single-threads on the one-row-group
+    # testdata layout); the benchmark side — a ~1/16 slice that only
+    # feeds the broadcast shingle set — stays on the plain scan so the
+    # broadcast build never pays a repartition. (The r11 blanket-spread
+    # A/B taxed BOTH references and lost; this is the asymmetric form.)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    bench_docs = load_table(spark, "documents", sf_dir)
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
     out = ngram_contamination(
-        docs.filter(~is_bench), docs.filter(is_bench), n=3
+        docs.filter(~is_bench), bench_docs.filter(is_bench), n=3
     )
     return out.select(
         "doc_id",
@@ -4189,7 +4299,9 @@ def build_catalog() -> dict[str, Query]:
         _sql_query("events_zorder_key", _q_events_zorder_key),
         Query("embedding_drift", _run_embedding_drift, embedding_drift_oracle_sql()),
         _sql_query("doc_gopher_repetition", _q_doc_gopher_repetition),
-        _sql_query("doc_dsir_weights", _q_doc_dsir_weights),
+        Query(
+            "doc_dsir_weights", _run_doc_dsir_weights, _q_doc_dsir_weights(DUCKDB)
+        ),
         # r11: Spark side runs the operator's window-strategy form
         # (one explode pass; measured faster at every probed scale);
         # oracle stays the shared template.

@@ -20,7 +20,20 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="dvdb-tests", master="local[4]", shuffle_partitions=4)
+    # AQE off for the shared TEST session only (r12): adaptive
+    # re-optimization adds a driver round per shuffle stage, which at
+    # test scale (tiny frames, thousands of jobs) is pure fixed
+    # overhead — measured ~17% of a BPE train. Results are identical
+    # either way (AQE never changes semantics); production sessions
+    # (session.get_spark defaults) keep AQE on, and the few tests that
+    # assert AQE-specific plan shapes flip the conf on locally
+    # (spark.sql.adaptive.enabled is runtime-settable per query).
+    s = get_spark(
+        app_name="dvdb-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     yield s
 
 

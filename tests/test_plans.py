@@ -211,9 +211,12 @@ def test_no_catalog_query_plans_a_cartesian_or_shuffled_join(spark):
         "hybrid_rrf_topk",
         # one-row aggregate crossJoins, the legitimate BNLJ shape:
         # events_zorder_key broadcasts its min-max stats row,
-        # doc_dsir_weights its three scalar totals (rtot/ttot/n_docs)
+        # doc_dsir_weights its three scalar totals (rtot/ttot/n_docs),
+        # doc_tfidf_top3 its n_docs count (r12: the former docs.count()
+        # driver job folded into the plan)
         "events_zorder_key",
         "doc_dsir_weights",
+        "doc_tfidf_top3",
     }
     offenders = {}
     for name, q in build_catalog().items():
