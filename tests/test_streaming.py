@@ -226,9 +226,27 @@ def closed_sessions(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # A stateful session-window query under availableNow never
+    # self-terminates on this Spark version: after the last data batch
+    # commits it sits in a perpetual "No new data but cleaning up
+    # state" trigger, so a bare awaitTermination(180) burned the full
+    # 180 s AND leaked the still-active query into the rest of the
+    # suite (r12). Wait for the sink to have received everything —
+    # no data available and the no-new-data trigger reached — then
+    # stop it explicitly.
+    import time as _time
+
+    deadline = _time.time() + 180
+    while _time.time() < deadline and q.isActive:
+        st = q.status
+        if not st["isDataAvailable"] and st["message"].startswith("No new data"):
+            break
+        _time.sleep(0.5)
     assert q.exception() is None
-    return spark.sql("select * from sessions_out").toPandas()
+    out = spark.sql("select * from sessions_out").toPandas()
+    q.stop()
+    q.awaitTermination(60)
+    return out
 
 
 def test_sessionize_closed_count_matches_window_sessionization(spark, closed_sessions):
